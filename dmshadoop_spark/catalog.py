@@ -1,0 +1,67 @@
+"""Testdata catalog: load the driver-generated parquet tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table under an sf dir.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Plain parquet scan → Catalyst gets full
+    pushdown/pruning; nothing is cached or collected here.
+
+    Timestamp normalization: every timestamp column is surfaced as
+    TIMESTAMP_NTZ (naive UTC wall time) so results compare bit-for-bit with
+    the DuckDB oracle regardless of host time zone. events.ts is stored as
+    parquet TIMESTAMP(NANOS), which Spark's reader rejects outright — we use
+    the designed escape hatch (nanosAsLong) and rebuild the timestamp at
+    microsecond precision (exactly what DuckDB's reader keeps)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        # ns → µs with integer division (values exceed double precision),
+        # then reinterpret as naive-UTC timestamp.
+        # Pure NTZ arithmetic from the epoch — no session-zone dependence
+        # (timestamp_micros().cast(ntz) would shift by the session zone).
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+        return df
+    df = spark.read.parquet(path)
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampType):
+            df = df.withColumn(field.name, F.col(field.name).cast(TimestampNTZType()))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for spark.sql usage)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

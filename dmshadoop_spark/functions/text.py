@@ -1,0 +1,78 @@
+"""Reusable text column expressions — tokenization, shingling, quality
+signals, fingerprinting. All pure JVM-side built-in functions (no Python
+UDFs): these run inside whole-stage codegen and scale linearly with input.
+
+The reference delegated all text handling to Solr (src/DMS.py:345-356);
+these expressions are the Spark-native decomposition (SURVEY.md §2.9/§2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword list for quality/langid heuristics (subset present in the
+# testdata vocabulary).
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokenization of already-normalized text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, r"\s+")
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles as an array<string>.
+
+    Implemented with transform over an index sequence — stays in codegen,
+    no explode until the caller wants one.
+    """
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+    # sequence() counts *down* when start > stop, so guard short docs.
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_ratio(tokens: Column) -> Column:
+    """Fraction of tokens that are stopwords (one exact IEEE division)."""
+    stops = F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))
+    return stops.cast("double") / F.size(tokens).cast("double")
+
+
+def mean_token_length(text: Column | str, tokens: Column) -> Column:
+    """Average token length = (chars - separators) / tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = F.size(tokens)
+    return (F.length(c) - (n_tok - 1)).cast("double") / n_tok.cast("double")
+
+
+def doc_fingerprint(tokens: Column, mod: int = 1_000_000_007) -> Column:
+    """Deterministic rolling polynomial hash over tokens.
+
+    acc = (acc*31 + len(tok)*7 + ascii(first char)) mod p — pure integer
+    arithmetic, reproducible in any engine (DuckDB oracle uses list_reduce
+    with the same fold).
+    """
+    component = lambda t: (  # noqa: E731
+        F.length(t).cast("long") * 7 + F.ascii(t).cast("long")
+    )
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + component(t)) % mod,
+    )
+
+
+def langid_score(tokens: Column) -> Column:
+    """Toy language-ID heuristic: 'en' when English stopwords appear, else
+    'und'. (Real n-gram LM scoring would be a Pandas UDF; the testdata text
+    is synthetic English-ish vocab, so the heuristic is the honest demo.)"""
+    stops = F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))
+    return F.when(stops > 0, F.lit("en")).otherwise(F.lit("und"))

@@ -1,0 +1,213 @@
+"""Aggregations — SURVEY.md §2.4 (A1-A9).
+
+A1/A2 are the reference's own semantics (get_lastest_version src/DMS.py:385,
+get_file_version :368) done numerically (bug note B1: the reference sorts
+version *strings*, so v10 < v9 — we use numeric max). A5-A9 cover the
+TPC-H-ish extension tier. All money aggregates run in exact DECIMAL so the
+distributed partial/final aggregation is order-insensitive and hash-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dmshadoop_spark.catalog import load_table
+from dmshadoop_spark.functions.numeric import dec2, dec4, exact_avg, money
+from dmshadoop_spark.registry import query
+
+
+@query(
+    "a1_max_per_group",
+    oracle="""
+    SELECT source, max(doc_id) AS latest_doc_id, count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def a1_max_per_group(spark, sf_dir):
+    """Latest-version-per-name (get_lastest_version, src/DMS.py:385-392) with
+    numeric ordering (bug B1 fixed). Map-side partial max → tiny shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.max("doc_id").alias("latest_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "a2_collect_list",
+    oracle="""
+    SELECT source, list_sort(list(DISTINCT lang)) AS langs
+    FROM documents GROUP BY source
+    """,
+)
+def a2_collect_list(spark, sf_dir):
+    """Collect values per group (the per-file version list, src/DMS.py:377-383)
+    — sorted for determinism, mirroring the reference's own sort-before-use
+    at src/DMS.py:391."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.array_sort(F.collect_set("lang")).alias("langs")
+    )
+
+
+@query(
+    "a3_count",
+    oracle="SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def a3_count(spark, sf_dir):
+    """Result-set counting (the numFound check, src/DMS.py:352)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query("a4_distinct", oracle="SELECT DISTINCT source FROM documents")
+def a4_distinct(spark, sf_dir):
+    """Distinct names (implied by delete_all's per-file loop, src/DMS.py:412)."""
+    return load_table(spark, sf_dir, "documents").select("source").distinct()
+
+
+@query(
+    "a5_numeric_rollups",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_acctbal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_acctbal,
+           min(c_acctbal) AS min_acctbal,
+           max(c_acctbal) AS max_acctbal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def a5_numeric_rollups(spark, sf_dir):
+    """sum/avg/min/max rollups. avg = exact decimal sum / count with one
+    IEEE division — bit-identical across engines and row orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        money(F.sum(dec2("c_acctbal"))).alias("sum_acctbal"),
+        exact_avg("c_acctbal").alias("avg_acctbal"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+    )
+
+
+@query(
+    "a6_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                          * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a6_q1_pricing_summary(spark, sf_dir):
+    """Multi-key hash aggregate — the flagship TPC-H-Q1-shaped pricing
+    summary. HashAggregateExec does partial→shuffle→final automatically; the
+    shuffle carries only (2 keys × ~4 groups) of decimal partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("2000-09-02 00:00:00").cast(li.schema["l_shipdate"].dataType)
+    disc = F.lit(1) - dec4("l_discount")
+    charge = dec2("l_extendedprice") * disc * (F.lit(1) + dec4("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            money(F.sum(dec2("l_extendedprice") * disc)).alias("sum_disc_price"),
+            money(F.sum(charge)).alias("sum_charge"),
+            (
+                F.sum(dec2("l_quantity")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_qty"),
+            (
+                F.sum(dec4("l_discount")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a7_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def a7_count_distinct(spark, sf_dir):
+    """Exact distinct count (expands to a two-phase aggregate in Spark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@query("a7_approx_count_distinct")  # approximate → rows-only check
+def a7_approx_count_distinct(spark, sf_dir):
+    """HLL++ approximate distinct — the scale path (no shuffle of the
+    distinct values, constant memory). No SQL oracle: approximation is
+    engine-specific; the driver records a rows-only check."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+@query(
+    "a8_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def a8_rollup(spark, sf_dir):
+    """Hierarchical rollup (region → nation → grand total)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "a9_map_key_count",
+    oracle="""
+    SELECT k AS meta_key, count(*) AS cnt
+    FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    """,
+)
+def a9_map_key_count(spark, sf_dir):
+    """Aggregate over dynamic map-typed metadata — the reference's schemaless
+    meta_data family (src/DMS.py:135-155) as explode(map_keys) → count."""
+    ev = load_table(spark, sf_dir, "events")
+    meta = F.from_json("props", "map<string,string>")
+    return (
+        ev.select(F.explode(F.map_keys(meta)).alias("meta_key"))
+        .groupBy("meta_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,186 @@
+"""Event-time / streaming-shaped operators — SURVEY.md §2.10 (ST1-ST6).
+
+The reference is synchronous request/response (nothing streams); these are
+the batch-equivalent forms mandated by the north star. The *same* logical
+expressions run under Structured Streaming via
+``dmshadoop_spark.streaming`` (readStream → identical transforms →
+writeStream), which the streaming tests verify — keeping these
+oracle-checkable here while proving stream parity separately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from dmshadoop_spark.catalog import load_table
+from dmshadoop_spark.functions.numeric import dec2, money
+from dmshadoop_spark.registry import query
+
+EVENT_WEIGHTS = [
+    ("click", "1.00"),
+    ("view", "0.50"),
+    ("purchase", "10.00"),
+    ("signup", "5.00"),
+    ("error", "0.00"),
+]
+
+
+@query(
+    "st1_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+           event_type,
+           count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st1_tumbling_window(spark, sf_dir):
+    """Tumbling 5-minute window aggregate (epoch-aligned, matching DuckDB's
+    time_bucket). Streaming form: identical groupBy under readStream with a
+    watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "5 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec2("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "cnt", "sum_value"
+        )
+    )
+
+
+@query(
+    "st2_sliding_window",
+    oracle="""
+    SELECT w_start, event_type, count(*) AS cnt
+    FROM (
+        SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts)
+                           - INTERVAL '5 minutes']) AS w_start,
+               event_type
+        FROM events
+    ) GROUP BY w_start, event_type
+    """,
+)
+def st2_sliding_window(spark, sf_dir):
+    """Sliding window (10 min length, 5 min step) — each event lands in two
+    windows; Spark's window() expands them natively."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt")
+    )
+
+
+@query(
+    "st3_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    grouped AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_last,
+           count(*) AS n_events
+    FROM grouped GROUP BY user_id, g
+    """,
+)
+def st3_session_window(spark, sf_dir):
+    """Session windows (5-minute inactivity gap) per user. Spark's
+    session_window merges overlapping [ts, ts+gap) intervals; the oracle
+    reproduces that with the lag/cumsum islands idiom."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+    )
+
+
+@query(
+    "st4_watermark_filter",
+    oracle="""
+    SELECT event_type, count(*) AS cnt
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL '10 minutes'
+    GROUP BY event_type
+    """,
+)
+def st4_watermark_filter(spark, sf_dir):
+    """Batch equivalent of a 10-minute watermark: keep events no older than
+    max(ts) - 10min (the same late-data cutoff withWatermark enforces in the
+    streaming form)."""
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(broadcast(max_ts))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 10 MINUTES"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "st5_stateful_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def st5_stateful_dedup(spark, sf_dir):
+    """Key dedup — dropDuplicates; under streaming the same call keeps state
+    bounded by the watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+@query(
+    "st6_stream_static_join",
+    oracle="""
+    SELECT event_type,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))
+                          * CAST(weight AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS weighted_value
+    FROM events
+    JOIN (VALUES ('click','1.00'), ('view','0.50'), ('purchase','10.00'),
+                 ('signup','5.00'), ('error','0.00'))
+         AS w(event_type, weight)
+    USING (event_type)
+    GROUP BY event_type
+    """,
+)
+def st6_stream_static_join(spark, sf_dir):
+    """Stream⋈static-dimension join (broadcast; identical API in streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(EVENT_WEIGHTS, "event_type string, weight string")
+    return (
+        ev.join(broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            money(F.sum(dec2("value") * dec2("weight"))).alias("weighted_value")
+        )
+    )

@@ -1,0 +1,208 @@
+"""Joins — SURVEY.md §2.3 (J1-J8).
+
+The reference never joins two tables, but three of its operations are joins
+in disguise (existence probe src/DMS.py:114, delete-by-key loops :400-418,
+row↔blob pairing by shared key :102-103). J4-J8 complete the taxonomy for
+the star-schema testdata and the 100 TB design point: small dims broadcast,
+big joins shuffle on their keys, the as-of join avoids candidate blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from dmshadoop_spark.catalog import load_table
+from dmshadoop_spark.functions.numeric import dec2, dec4, money
+from dmshadoop_spark.operators.asof import asof_join
+from dmshadoop_spark.registry import query
+
+
+@query(
+    "j1_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE EXISTS (SELECT 1 FROM customer
+                  WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+    """,
+)
+def j1_semi_join(spark, sf_dir):
+    """Left-semi join — the upload existence probe (src/DMS.py:114) done as
+    one set-oriented pass instead of a per-row fetch loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return orders.join(
+        broadcast(rich), orders.o_custkey == rich.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey")
+
+
+@query(
+    "j2_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j2_anti_join(spark, sf_dir):
+    """Left-anti join — delete-by-key set semantics (delete_all_version loop,
+    src/DMS.py:400-402)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "j3_inner_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j3_inner_join(spark, sf_dir):
+    """Equi inner join chain (TPC-H Q3 shape) — the implicit row↔blob pairing
+    by shared key (src/DMS.py:102-103) generalized. lineitem⋈orders shuffles
+    on the shared orderkey; customer is small relative to facts and AQE picks
+    broadcast when it fits."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    revenue = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money(F.sum(revenue)).alias("revenue"),
+    )
+
+
+@query(
+    "j4_broadcast_join",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def j4_broadcast_join(spark, sf_dir):
+    """Broadcast hash join — explicit broadcast of the tiny dims so the fact
+    scan never shuffles (nation=25, region=5 rows at every scale factor)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        money(F.sum(dec2("c_acctbal"))).alias("total_acctbal"),
+    )
+
+
+@query(
+    "j5_outer_join",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def j5_outer_join(spark, sf_dir):
+    """Left outer join — customers kept at zero orders (count skips NULLs)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "j6_range_join",
+    oracle="""
+    SELECT b.label AS bracket,
+           count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders o
+    JOIN (VALUES ('xs', 0, 100000), ('s', 100000, 200000),
+                 ('m', 200000, 300000), ('l', 300000, 400000),
+                 ('xl', 400000, 1000000000)) AS b(label, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.label
+    """,
+)
+def j6_range_join(spark, sf_dir):
+    """Theta/range join against a tiny bracket table — broadcast nested loop
+    with 5 brackets; at scale the small side stays broadcast so cost is one
+    scan of the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    brackets = spark.createDataFrame(
+        [("xs", 0, 100000), ("s", 100000, 200000), ("m", 200000, 300000),
+         ("l", 300000, 400000), ("xl", 400000, 1000000000)],
+        "label string, lo long, hi long",
+    )
+    joined = orders.join(
+        broadcast(brackets),
+        (orders.o_totalprice >= brackets.lo) & (orders.o_totalprice < brackets.hi),
+    )
+    return joined.groupBy(F.col("label").alias("bracket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum(dec2("o_totalprice"))).alias("total_price"),
+    )
+
+
+@query(
+    "j7_asof_join",
+    oracle="""
+    SELECT c.event_id,
+           (SELECT p.event_id FROM events p
+            WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+              AND (p.ts, p.event_id) <= (c.ts, c.event_id)
+            ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS event_id_asof
+    FROM events c WHERE c.event_type = 'click'
+    """,
+)
+def j7_asof_join(spark, sf_dir):
+    """As-of join: each click annotated with the latest preceding purchase by
+    the same user. Union-trick implementation (operators/asof.py) — one
+    shuffle + one sort, no range-join candidate explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join(
+        clicks.select("user_id", "ts", "event_id"),
+        purchases.select("user_id", "ts", "event_id"),
+        on=["user_id"],
+        ts="ts",
+        seq="event_id",
+        value_cols=["event_id"],
+    )
+    return joined.select("event_id", "event_id_asof")
+
+
+@query(
+    "j8_cross_join",
+    oracle="SELECT n_name, r_name FROM nation CROSS JOIN region",
+)
+def j8_cross_join(spark, sf_dir):
+    """Cartesian product of two tiny dims (25×5)."""
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    return nation.crossJoin(broadcast(region))

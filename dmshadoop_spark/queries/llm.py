@@ -1,0 +1,327 @@
+"""LLM-data-pipeline operators — SURVEY.md §2.12 (X1-X6) + §2.11 UD surface.
+
+No reference counterpart (the reference is a DMS); mandated by the north
+star. Everything here is designed for the 100 TB path: dedup and similarity
+work through bounded-size keys (hashes, band buckets) so no operator ever
+shuffles raw document text more than once, and the only cross join is
+against a broadcast query set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from dmshadoop_spark.catalog import load_table
+from dmshadoop_spark.functions.text import (
+    doc_fingerprint,
+    langid_score,
+    mean_token_length,
+    shingles,
+    stopword_ratio,
+    tokenize,
+)
+from dmshadoop_spark.functions.vectors import (
+    DUCK_DOT,
+    DUCK_NORM_SQ,
+    as_double,
+    cosine,
+    norm_sq,
+)
+from dmshadoop_spark.registry import query
+
+# --------------------------------------------------------------------------
+# X1 — exact dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "x1_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keep_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def x1_exact_dedup(spark, sf_dir):
+    """Exact dedup by content hash: group on md5, keep the smallest id.
+    The shuffle key is the 128-bit hash — uniform, skew-free at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X2 — near-duplicate detection (exact n-gram Jaccard is oracle-checkable;
+#       MinHash/SimHash live in dmshadoop_spark.dedup with rows-only checks)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "x2_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        FROM tok
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE)
+               / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE)
+          / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.05
+    """,
+)
+def x2_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs. Candidate generation is the
+    standard shingle-inverted-index self-join: only docs sharing a shingle
+    ever meet, so the shuffle is on shingle hash — at 100 TB add a
+    frequent-shingle cap (drop shingles with df > threshold) to bound the
+    worst bucket; jaccard = |∩| / |∪| as one exact IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(tokenize("text"), 3)).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        (F.col("sa.n") + F.col("sb.n") - F.col("n_common")).cast("double")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+# --------------------------------------------------------------------------
+# X3 — text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "x3_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def x3_text_stats(spark, sf_dir):
+    """Corpus statistics per language (exact integer sums → one division)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize("text")).cast("long")
+    return (
+        docs.select("lang", "n_chars", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_chars"
+            ),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_tokens"
+            ),
+        )
+    )
+
+
+@query(
+    "x3_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in')))
+                AS DOUBLE) / CAST(len(t) AS DOUBLE) AS stopword_ratio,
+           CAST(n_chars - (len(t) - 1) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+               AS mean_token_len
+    FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents)
+    """,
+)
+def x3_quality_score(spark, sf_dir):
+    """Document quality signals (stopword ratio, mean token length) — each a
+    single exact division over integer counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    return docs.select(
+        "doc_id",
+        stopword_ratio(toks).alias("stopword_ratio"),
+        mean_token_length("text", toks).alias("mean_token_len"),
+    )
+
+
+@query(
+    "x3_lang_id",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the','a','of','and','is','to','in'))) > 0
+                THEN 'en' ELSE 'und' END AS lang_pred
+    FROM documents
+    """,
+)
+def x3_lang_id(spark, sf_dir):
+    """Heuristic language ID (stopword evidence vote)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", langid_score(tokenize("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "x3_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                       t -> CAST(length(t) AS BIGINT) * 7
+                            + CAST(ascii(t) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def x3_fingerprint(spark, sf_dir):
+    """Rolling polynomial document fingerprint — pure integer fold,
+    bit-identical in any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", doc_fingerprint(tokenize("text")).alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# X4/X5 — embedding similarity & k-NN search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "x4_embedding_norm",
+    oracle=f"""
+    SELECT vec_id,
+           sqrt({DUCK_NORM_SQ.format(v='embedding')}) AS l2_norm
+    FROM embeddings
+    """,
+)
+def x4_embedding_norm(spark, sf_dir):
+    """L2 norms via explicit left-fold — establishes the determinism contract
+    used by every cosine query (no rounding anywhere)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    return emb.select(
+        "vec_id", F.sqrt(norm_sq(v)).alias("l2_norm")
+    )
+
+
+@query(
+    "x4_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+               / (sqrt({DUCK_NORM_SQ.format(v='q.embedding')})
+                  * sqrt({DUCK_NORM_SQ.format(v='c.embedding')})) AS cosine
+        FROM q CROSS JOIN embeddings c
+        WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def x4_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k for a small query set: broadcast the queries,
+    stream the candidate corpus once (the 100 TB baseline path; the LSH
+    variant in dmshadoop_spark.similarity prunes candidates first)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(as_double("q_emb"), as_double("embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+@query(
+    "x5_knn_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+    SELECT c.vec_id AS neighbor_id, c.label,
+           {DUCK_DOT.format(a='q.q_emb', b='c.embedding')}
+           / (sqrt({DUCK_NORM_SQ.format(v='q.q_emb')})
+              * sqrt({DUCK_NORM_SQ.format(v='c.embedding')})) AS cosine
+    FROM embeddings c CROSS JOIN q
+    WHERE c.vec_id <> 0
+    ORDER BY cosine DESC, neighbor_id LIMIT 10
+    """,
+)
+def x5_knn_search(spark, sf_dir):
+    """Single-query k-NN: one broadcast row against the corpus, ranked
+    top-10 (TakeOrderedAndProject — no global sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(broadcast(q))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            cosine(as_double("q_emb"), as_double("embedding")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        .limit(10)
+    )

@@ -1,0 +1,141 @@
+"""Full-text search — SURVEY.md §2.9 (T1-T5).
+
+The reference's search() delegates tokenize/match/rank to Solr
+(src/DMS.py:345-356) and was never finished (README.md:24 "Working on").
+Here the whole pipeline is first-class: tokenize → inverted index
+(materialized view) → term lookup → TF-IDF ranking → numFound gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from dmshadoop_spark.catalog import load_table
+from dmshadoop_spark.functions.text import tokenize
+from dmshadoop_spark.registry import query
+
+QUERY_TERMS = ("spark", "join", "window")
+
+
+def tokens_df(spark, sf_dir):
+    """(doc_id, term) exploded token stream — the T2 building block."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("term")
+    )
+
+
+@query(
+    "t1_tokenize",
+    oracle="""
+    SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    """,
+)
+def t1_tokenize(spark, sf_dir):
+    """Tokenization as a first-class operator (Solr did this internally)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.split("text", " ").alias("tokens"))
+
+
+@query(
+    "t2_inverted_index",
+    oracle="""
+    SELECT w AS term,
+           count(DISTINCT doc_id) AS doc_freq,
+           count(*) AS total_tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    """,
+)
+def t2_inverted_index(spark, sf_dir):
+    """The inverted index as a derived table: tokenize → explode → groupBy.
+    At 100 TB this materializes once per corpus snapshot; the shuffle is on
+    the term key and partial aggregation collapses each partition's token
+    stream before the exchange."""
+    return tokens_df(spark, sf_dir).groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_tf"),
+    )
+
+
+@query(
+    "t3_term_lookup",
+    oracle="""
+    SELECT DISTINCT doc_id
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w = 'spark'
+    """,
+)
+def t3_term_lookup(spark, sf_dir):
+    """Single-term lookup (the q= path, src/DMS.py:350)."""
+    return (
+        tokens_df(spark, sf_dir)
+        .filter(F.col("term") == "spark")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+@query(
+    "t4_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN {QUERY_TERMS!r}
+        GROUP BY doc_id, term
+    ),
+    dfq AS (
+        SELECT term, count(DISTINCT doc_id) AS dfreq FROM tok
+        WHERE term IN {QUERY_TERMS!r}
+        GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id,
+           CAST(ROUND(SUM(tf.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                     / CAST(dfq.dfreq AS DOUBLE))), 4)
+                AS DOUBLE) AS score
+    FROM tf JOIN dfq USING (term) CROSS JOIN n
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def t4_tfidf_topk(spark, sf_dir):
+    """TF-IDF ranked top-k — the deterministic stand-in for Solr's relevance
+    ranking (SURVEY §2.9 T4). Ordering uses the *rounded* score plus the
+    unique doc_id so the cut is stable across engines."""
+    tok = tokens_df(spark, sf_dir)
+    qtok = tok.filter(F.col("term").isin(*QUERY_TERMS))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    idf = F.log(F.col("n_docs").cast("double") / F.col("dfreq").cast("double"))
+    scored = (
+        tf.join(broadcast(dfq), "term")
+        .crossJoin(broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("tf") * idf), 4).cast("double").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+@query(
+    "t5_search_numfound",
+    oracle=f"""
+    SELECT count(DISTINCT doc_id) AS num_found
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w IN {QUERY_TERMS!r}
+    """,
+)
+def t5_search_numfound(spark, sf_dir):
+    """numFound — the reference's empty-result gate (src/DMS.py:352)."""
+    return (
+        tokens_df(spark, sf_dir)
+        .filter(F.col("term").isin(*QUERY_TERMS))
+        .agg(F.countDistinct("doc_id").alias("num_found"))
+    )

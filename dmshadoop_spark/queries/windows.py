@@ -1,0 +1,151 @@
+"""Window functions — SURVEY.md §2.5 (W1-W6).
+
+W1/W2 are the reference's core versioning semantics done declaratively:
+latest-row-per-group (default-version resolution, src/DMS.py:185-186 etc.)
+and next-version assignment (the O(n)-scans probe loop, src/DMS.py:113-117,
+replaced by one windowed max). Every window orders by a unique tie-break so
+results are deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dmshadoop_spark.catalog import load_table
+from dmshadoop_spark.functions.numeric import dec2, money
+from dmshadoop_spark.registry import query
+
+
+@query(
+    "w1_latest_per_group",
+    oracle="""
+    SELECT source, doc_id, n_chars FROM (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id DESC) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def w1_latest_per_group(spark, sf_dir):
+    """Latest row per group — the reference's default-version resolution
+    (get_lastest_version used by 5 methods, src/DMS.py:186,211,287,321,337).
+    One shuffle on the group key; no self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+@query(
+    "w2_next_version",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           max(o_orderkey) OVER (PARTITION BY o_custkey) + 1 AS next_key
+    FROM orders
+    """,
+)
+def w2_next_version(spark, sf_dir):
+    """Next-version assignment — replaces the reference's per-upload probe
+    loop (src/DMS.py:113-117, O(versions) table scans each) with one
+    windowed max."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_custkey", (F.max("o_orderkey").over(w) + 1).alias("next_key")
+    ).distinct()
+
+
+@query(
+    "w3_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey, rnk FROM (
+        SELECT c_nationkey, c_custkey,
+               rank() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        FROM customer
+    ) WHERE rnk <= 3
+    """,
+)
+def w3_rank(spark, sf_dir):
+    """Top-3 customers per nation by balance (rank with unique tie-break)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "rnk")
+    )
+
+
+@query(
+    "w4_lag",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                      - lag(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey), 2)
+                AS DOUBLE) AS price_delta
+    FROM orders
+    """,
+)
+def w4_lag(spark, sf_dir):
+    """lag — version-chain diffing (natural extension of the reference's
+    version lists, src/DMS.py:377-383). NULL for each customer's first order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    delta = dec2("o_totalprice") - F.lag(dec2("o_totalprice")).over(w)
+    return orders.select(
+        "o_orderkey", "o_custkey", money(delta).alias("price_delta")
+    )
+
+
+@query(
+    "w5_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def w5_running_sum(spark, sf_dir):
+    """Running (frame) aggregate in exact decimal — order-stable by design."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec2("value")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "w6_ntile",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT)
+               AS quartile
+    FROM customer
+    """,
+)
+def w6_ntile(spark, sf_dir):
+    """ntile quartiles over a unique total order. (Single-partition window —
+    fine for ranking output-sized data; at 100 TB use approx quantiles.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", F.ntile(4).over(w).cast("long").alias("quartile")
+    )

@@ -1,0 +1,78 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes via the noop sink (full pipeline runs distributed;
+nothing funnels through the driver). A warmup query first absorbs JVM/
+codegen startup so per-query numbers measure the plan, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dmshadoop_spark import registry
+from dmshadoop_spark.session import get_spark
+
+registry.load_all()
+
+HEADLINE = [
+    "a6_q1_pricing_summary",   # multi-key hash agg over the fact table
+    "j3_inner_join",           # fact⋈fact⋈dim join + agg
+    "j4_broadcast_join",       # broadcast star join
+    "j7_asof_join",            # union-trick as-of join
+    "w1_latest_per_group",     # window dedup (the DMS latest-version path)
+    "t2_inverted_index",       # tokenize→explode→agg (search index build)
+    "t4_tfidf_topk",           # ranked retrieval
+    "x1_exact_dedup",          # hash dedup
+    "x2_ngram_jaccard",        # near-dup candidate join
+    "x4_cosine_topk",          # embedding similarity
+    "st1_tumbling_window",     # event-time window agg
+    "st3_session_window",      # session windows
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    fn = registry.QUERIES[name]
+    start = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="dmshadoop-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: touch the fact table once so JVM/codegen startup isn't billed
+    # to the first measured query.
+    run_query(spark, "a6_q1_pricing_summary", sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_query(spark, name, sf_dir), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

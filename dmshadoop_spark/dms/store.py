@@ -1,0 +1,275 @@
+"""DocumentStore — the reference's DMS surface over one Parquet dataset.
+
+Reference data model (src/DMS.py): versioned documents as HBase wide rows
+keyed ``v{version}.{filename}`` with families meta_data/file, content bytes
+duplicated into both HBase and HDFS (src/DMS.py:121 + :125-130). Here the
+composite string key is decomposed into typed (name, version) columns, and
+content lives exactly once as a BINARY column — Parquet is the single
+source of truth (SURVEY.md §1.3).
+
+Storage layout: MVCC generation snapshots. ``base/gen=N/`` holds the table
+at generation N; uploads append files to the current generation (parquet
+append = new row-groups, no rewrite); deletes/updates write generation N+1
+excluding/replacing the affected keys, then a marker makes it current. This
+is the job-level-commit answer to the reference's non-atomic two-store write
+(bug B5) — on a production cluster the same API binds to Delta/Iceberg and
+deletes become MERGE/DELETE.
+
+Fixed reference bugs (SURVEY.md §2 notes):
+  B1 — latest version is numeric max(version), not a string sort
+       (src/DMS.py:391 sorts "10" < "9").
+  B2 — version listing matches the name by equality on the typed column,
+       not an unanchored regex (src/DMS.py:373 matches 'a.txt' in
+       'bba.txt').
+  B3 — dotted filenames survive (no key.split('.')[1] surgery,
+       src/DMS.py:413).
+  B8 — update() actually works (the reference's is dead code: undefined
+       't' at src/DMS.py:228 → always False).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from dmshadoop_spark.dms.extract import extract_metadata
+
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("version", IntegerType()),
+        StructField("content", BinaryType()),
+        StructField("content_hash", StringType()),
+        StructField("length", LongType()),
+        StructField("modification_time", TimestampNTZType()),
+        StructField("meta", MapType(StringType(), StringType())),
+    ]
+)
+
+_GEN_RE = re.compile(r"^gen=(\d+)$")
+
+
+class DocumentStore:
+    """DMS facade: upload/download/update/delete/get_*/search over Parquet."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- storage plumbing --------------------------------------------------
+
+    def _generations(self) -> list[int]:
+        gens = []
+        for entry in os.listdir(self.base_dir):
+            m = _GEN_RE.match(entry)
+            if m and os.path.exists(
+                os.path.join(self.base_dir, entry, "_SUCCESS")
+            ):
+                gens.append(int(m.group(1)))
+        return sorted(gens)
+
+    def _current_gen(self) -> int | None:
+        gens = self._generations()
+        return gens[-1] if gens else None
+
+    def _gen_path(self, gen: int) -> str:
+        return os.path.join(self.base_dir, f"gen={gen}")
+
+    def df(self) -> DataFrame:
+        """The current table snapshot (empty, schema-stable, if no data)."""
+        gen = self._current_gen()
+        if gen is None:
+            return self.spark.createDataFrame([], DOCUMENT_SCHEMA)
+        return self.spark.read.schema(DOCUMENT_SCHEMA).parquet(self._gen_path(gen))
+
+    def _write_snapshot(self, df: DataFrame) -> None:
+        gen = self._current_gen()
+        new_gen = 0 if gen is None else gen + 1
+        df.write.mode("overwrite").parquet(self._gen_path(new_gen))
+
+    # -- write path --------------------------------------------------------
+
+    def _make_row_df(
+        self,
+        name: str,
+        version: int,
+        content: bytes,
+        extra_meta: dict[str, str] | None,
+    ) -> DataFrame:
+        meta = extract_metadata(content)
+        if extra_meta:
+            meta.update({str(k): str(v) for k, v in extra_meta.items()})
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        row = (
+            name,
+            version,
+            content,
+            meta["sha256"],
+            len(content),
+            now,
+            meta,
+        )
+        return self.spark.createDataFrame([row], DOCUMENT_SCHEMA)
+
+    def upload(
+        self,
+        name: str,
+        content: bytes,
+        extra_meta: dict[str, str] | None = None,
+    ) -> int:
+        """Insert a new version: next = numeric max(version)+1 (one windowed
+        aggregate — replaces the reference's O(versions)-scans probe loop,
+        src/DMS.py:113-117) and ONE parquet append (vs N+2 sequential HTTP
+        inserts, src/DMS.py:125-165)."""
+        latest = self.get_lastest_version(name)
+        version = (latest or 0) + 1
+        row_df = self._make_row_df(name, version, content, extra_meta)
+        gen = self._current_gen()
+        if gen is None:
+            self._write_snapshot(row_df)
+        else:
+            row_df.write.mode("append").parquet(self._gen_path(gen))
+        return version
+
+    def update(
+        self,
+        name: str,
+        content: bytes,
+        version: int | None = None,
+        extra_meta: dict[str, str] | None = None,
+    ) -> bool:
+        """Overwrite a version in place (upsert = anti-join out + union in;
+        the reference's update is dead code — bug, src/DMS.py:228)."""
+        version = version or self.get_lastest_version(name)
+        if version is None or not self._exists(name, version):
+            return False
+        keep = self.df().filter(
+            ~((F.col("name") == name) & (F.col("version") == version))
+        )
+        self._write_snapshot(keep.unionByName(
+            self._make_row_df(name, version, content, extra_meta)
+        ))
+        return True
+
+    def delete(self, name: str, version: int | None = None) -> bool:
+        """Delete one version (default: latest) — rewrite-excluding-predicate
+        (plain Parquet has no row deletes; Delta/Iceberg DELETE in prod)."""
+        version = version or self.get_lastest_version(name)
+        if version is None or not self._exists(name, version):
+            return False
+        self._write_snapshot(
+            self.df().filter(
+                ~((F.col("name") == name) & (F.col("version") == version))
+            )
+        )
+        return True
+
+    def delete_all_version(self, name: str) -> bool:
+        """Drop every version of a name (anti-join delete, src/DMS.py:394)."""
+        if not self.get_file_version(name):
+            return False
+        self._write_snapshot(self.df().filter(F.col("name") != name))
+        return True
+
+    def delete_all(self) -> None:
+        """Truncate (src/DMS.py:407) — dotted filenames survive (bug B3)."""
+        self._write_snapshot(self.spark.createDataFrame([], DOCUMENT_SCHEMA))
+
+    # -- read path ---------------------------------------------------------
+
+    def _exists(self, name: str, version: int) -> bool:
+        return bool(
+            self.df()
+            .filter((F.col("name") == name) & (F.col("version") == version))
+            .select("name")
+            .head(1)
+        )
+
+    def download(self, name: str, version: int | None = None) -> bytes | None:
+        """Point read of content by (name, version); default latest
+        (src/DMS.py:174-200). Column pruning: only `content` leaves the scan."""
+        df = self.df().filter(F.col("name") == name)
+        if version is not None:
+            df = df.filter(F.col("version") == version)
+        else:
+            df = df.orderBy(F.desc("version")).limit(1)
+        row = df.select("content").head(1)
+        return bytes(row[0][0]) if row else None
+
+    get_file_content = download
+
+    def get_file_meta_data(
+        self, name: str, version: int | None = None
+    ) -> dict[str, str] | None:
+        """Project the metadata map (fetch(key)['meta_data'], src/DMS.py:327)."""
+        df = self.df().filter(F.col("name") == name)
+        if version is not None:
+            df = df.filter(F.col("version") == version)
+        else:
+            df = df.orderBy(F.desc("version")).limit(1)
+        row = df.select("meta").head(1)
+        return dict(row[0][0]) if row else None
+
+    def get_file_version(self, name: str) -> list[int]:
+        """All versions of a name, numerically sorted (src/DMS.py:368-383).
+        Anchored name equality — 'a.txt' never matches 'bba.txt' (bug B2)."""
+        rows = (
+            self.df()
+            .filter(F.col("name") == name)
+            .select("version")
+            .orderBy("version")
+            .collect()
+        )
+        return [r[0] for r in rows]
+
+    def get_lastest_version(self, name: str) -> int | None:
+        """Numeric max(version) — v10 > v9 (bug B1 fixed; the reference's
+        string sort at src/DMS.py:391 says otherwise). Name kept for
+        reference parity; ``get_latest_version`` aliases it."""
+        row = (
+            self.df()
+            .filter(F.col("name") == name)
+            .agg(F.max("version"))
+            .head(1)
+        )
+        return row[0][0] if row and row[0][0] is not None else None
+
+    get_latest_version = get_lastest_version
+
+    # -- search ------------------------------------------------------------
+
+    def search(self, text: str, k: int = 10) -> DataFrame:
+        """Full-text search over text/plain documents (the reference
+        delegated this to Solr and never finished it, src/DMS.py:345-356,
+        README.md:24). Term-frequency scoring, deterministic top-k."""
+        terms = [t for t in text.lower().split() if t]
+        if not terms:
+            return self.df().select("name", "version").limit(0).withColumn(
+                "score", F.lit(0).cast("long")
+            )
+        docs = self.df().filter(
+            F.col("meta").getItem("content_type") == "text/plain"
+        )
+        tokens = F.split(F.lower(F.col("content").cast("string")), r"\s+")
+        tf = F.size(F.filter(tokens, lambda t: t.isin(*terms)))
+        return (
+            docs.select("name", "version", tf.alias("score"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), "name", "version")
+            .limit(k)
+        )

@@ -1,0 +1,151 @@
+"""DMS-behavior tests — pin the Tier-R semantics including the documented
+bug deviations (SURVEY.md §2 notes B1-B4, FIXTURES.md §B)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dmshadoop_spark.dms import DocumentStore, extract_metadata
+
+
+def make_png(width: int = 320, height: int = 200) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", width, height)
+        + b"\x08\x02\x00\x00\x00"
+    )
+
+
+def make_jpeg(width: int = 320, height: int = 240) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return DocumentStore(spark, str(tmp_path / "dms"))
+
+
+def test_b1_numeric_latest_version(store):
+    """12 versions: latest must be 12, not lexicographic 9 (src/DMS.py:391)."""
+    for i in range(12):
+        v = store.upload("report.txt", f"report rev {i}".encode())
+        assert v == i + 1
+    assert store.get_lastest_version("report.txt") == 12
+    assert store.download("report.txt") == b"report rev 11"
+
+
+def test_b2_anchored_name_match(store):
+    """'a.txt' versions must not include 'bba.txt' rows (src/DMS.py:373)."""
+    store.upload("a.txt", b"alpha v1")
+    store.upload("a.txt", b"alpha v2")
+    store.upload("bba.txt", b"beta v1")
+    assert store.get_file_version("a.txt") == [1, 2]
+    assert store.get_file_version("bba.txt") == [1]
+
+
+def test_b3_dotted_filename(store):
+    """'my.doc.txt' survives delete_all bookkeeping intact (src/DMS.py:413)."""
+    for i in range(3):
+        store.upload("my.doc.txt", f"v{i}".encode())
+    assert store.get_file_version("my.doc.txt") == [1, 2, 3]
+    store.delete("my.doc.txt", 2)
+    assert store.get_file_version("my.doc.txt") == [1, 3]
+    store.delete_all()
+    assert store.get_file_version("my.doc.txt") == []
+
+
+def test_b4_colon_metadata_split_first_colon_only():
+    """'- Creation date: 2014-04-25 14:22:33' keeps the full value
+    (the reference kept split(':')[1] → ' 2014-04-25 14')."""
+    meta = extract_metadata(b"- Creation date: 2014-04-25 14:22:33\nbody")
+    assert meta["Creation date"] == "2014-04-25 14:22:33"
+
+
+def test_version_gap_next_is_max_plus_one(store):
+    """Versions {1,3} (2 deleted) → next upload gets 4 (W2 semantics)."""
+    for _ in range(3):
+        store.upload("gap.txt", b"x")
+    assert store.delete("gap.txt", 2)
+    assert store.get_file_version("gap.txt") == [1, 3]
+    assert store.upload("gap.txt", b"y") == 4
+
+
+def test_binary_ingest_and_image_dimensions(store):
+    png = make_png(320, 200)
+    store.upload("pic.png", png)
+    meta = store.get_file_meta_data("pic.png")
+    assert meta["content_type"] == "image/png"
+    assert (meta["width"], meta["height"]) == ("320", "200")
+    assert store.download("pic.png") == png
+
+    jpg = make_jpeg(640, 480)
+    meta2 = extract_metadata(jpg)
+    assert meta2["content_type"] == "image/jpeg"
+    assert (meta2["width"], meta2["height"]) == ("640", "480")
+
+
+def test_update_works_and_bumps_content(store):
+    """The reference's update() is dead code (undefined t, src/DMS.py:228);
+    ours must actually replace content in place."""
+    store.upload("u.txt", b"old v1")
+    store.upload("u.txt", b"old v2")
+    assert store.update("u.txt", b"new v2")
+    assert store.download("u.txt", 2) == b"new v2"
+    assert store.download("u.txt", 1) == b"old v1"
+    assert store.get_file_version("u.txt") == [1, 2]
+    assert not store.update("missing.txt", b"zz")
+
+
+def test_delete_all_version_and_missing(store):
+    store.upload("d.txt", b"1")
+    store.upload("d.txt", b"2")
+    store.upload("keep.txt", b"k")
+    assert store.delete_all_version("d.txt")
+    assert store.get_file_version("d.txt") == []
+    assert store.get_file_version("keep.txt") == [1]
+    assert not store.delete_all_version("d.txt")
+    assert not store.delete("d.txt")
+
+
+def test_search_tf_ranked(store):
+    store.upload("a.txt", b"spark join spark window")
+    store.upload("b.txt", b"join filter scan")
+    store.upload("c.txt", b"nothing relevant")
+    store.upload("pic.png", make_png())  # non-text must be ignored
+    rows = store.search("spark join").collect()
+    names = [(r["name"], r["score"]) for r in rows]
+    assert names[0] == ("a.txt", 3)
+    assert ("b.txt", 1) in names
+    assert all(n != "c.txt" for n, _ in names)
+
+
+def test_metadata_has_ingest_fields(store):
+    store.upload("m.txt", b"hello world")
+    meta = store.get_file_meta_data("m.txt")
+    assert meta["length"] == "11"
+    assert meta["word_count"] == "2"
+    assert len(meta["sha256"]) == 64
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    content=st.binary(min_size=0, max_size=512),
+    n_versions=st.integers(min_value=1, max_value=3),
+)
+def test_roundtrip_property(spark, tmp_path_factory, content, n_versions):
+    """upload→download round-trip preserves bytes; version monotonic."""
+    store = DocumentStore(
+        spark, str(tmp_path_factory.mktemp("dms_prop"))
+    )
+    for i in range(n_versions):
+        assert store.upload("f.bin", content + bytes([i])) == i + 1
+    got = store.download("f.bin")
+    assert got == content + bytes([n_versions - 1])

@@ -1,0 +1,15 @@
+"""Near-duplicate detection (SURVEY.md §2.12 X2) — MinHash+LSH, SimHash,
+and exact n-gram Jaccard (the latter registered with a SQL oracle in
+queries/llm.py). All implementations are deterministic (seeded hash
+families, no RNG at execution time) and expression-only (JVM-side, no
+Python UDFs in the hot path)."""
+
+from dmshadoop_spark.dedup.minhash import minhash_lsh_pairs, minhash_signature
+from dmshadoop_spark.dedup.simhash import simhash, simhash_candidate_pairs
+
+__all__ = [
+    "minhash_lsh_pairs",
+    "minhash_signature",
+    "simhash",
+    "simhash_candidate_pairs",
+]

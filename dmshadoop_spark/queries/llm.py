@@ -325,3 +325,89 @@ def x5_knn_search(spark, sf_dir):
         .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# X2 (approximate family) / X5 LSH / X6 multimodal — rows-only checks where
+# the computation is engine-specific (seeded xxhash64 / hyperplane LSH);
+# deterministic across runs by construction.
+# --------------------------------------------------------------------------
+
+
+@query("x2_minhash_lsh")  # seeded xxhash64 family → no SQL oracle
+def x2_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified (dedup.minhash).
+    Deterministic (pinned seed); threshold low enough to surface the
+    synthetic corpus's strongest collisions."""
+    from dmshadoop_spark.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.05, num_perm=64, bands=16)
+
+
+@query("x2_simhash")  # seeded xxhash64 bit votes → no SQL oracle
+def x2_simhash(spark, sf_dir):
+    """SimHash fingerprints + chunk-collision candidate pairs with Hamming
+    distance (dedup.simhash)."""
+    from dmshadoop_spark.dedup import simhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs, chunks=4).filter(
+        F.col("hamming") <= 16
+    )
+
+
+@query("x5_knn_lsh")  # hyperplane LSH recall is engine-specific → rows-only
+def x5_knn_lsh(spark, sf_dir):
+    """Bucketed (random-hyperplane LSH) k-NN — the scale path for X5;
+    exact rerank inside buckets (similarity.knn.lsh_knn)."""
+    from dmshadoop_spark.similarity import lsh_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return lsh_knn(emb, queries_df, dim=64, k=5, planes=6)
+
+
+@query(
+    "x6_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS content_type,
+           sha256(text) AS sha256_hex,
+           n_chars AS length
+    FROM documents
+    """,
+)
+def x6_multimodal_meta(spark, sf_dir):
+    """Binary-column pipeline: text payloads as BINARY → Arrow-batched
+    metadata extraction UDF (dms.extract) → typed columns. The UDF output
+    is oracle-checkable because sniff/hash/length are deterministic."""
+    from dmshadoop_spark.dms import with_extracted_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = with_extracted_meta(F.col("text").cast("binary"))
+    return docs.select(
+        "doc_id",
+        meta.getItem("content_type").alias("content_type"),
+        meta.getItem("sha256").alias("sha256_hex"),
+        meta.getItem("length").cast("long").alias("length"),
+    )
+
+
+@query("x6_feature_extract")  # fake featurizer stub → rows-only
+def x6_feature_extract(spark, sf_dir):
+    """mapInPandas feature extraction over binary payloads (multimodal
+    plumbing with the deterministic stand-in featurizer)."""
+    from dmshadoop_spark.multimodal import with_binary_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    binary_shaped = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    feats = with_binary_features(binary_shaped)
+    return feats.select(
+        "path", "content_type", "length", F.size("feature").alias("feature_dim")
+    )

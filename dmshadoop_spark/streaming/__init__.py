@@ -1,0 +1,15 @@
+from dmshadoop_spark.streaming.streams import (
+    read_events_stream,
+    run_to_memory,
+    streaming_dedup,
+    streaming_stream_static_join,
+    streaming_tumbling_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_to_memory",
+    "streaming_dedup",
+    "streaming_stream_static_join",
+    "streaming_tumbling_counts",
+]

@@ -1,0 +1,101 @@
+"""Structured Streaming forms of the ST* operators (SURVEY.md §2.10).
+
+The batch forms in queries/events.py are the oracle-checked semantics; the
+functions here run the *same logical expressions* under ``readStream`` —
+watermarked, checkpointed, incremental. Tests verify stream output ==
+batch output on the same input (availableNow trigger drains the source and
+stops, which is exactly the batch-parity contract Spark documents).
+
+At production scale the source becomes Kafka/Kinesis with the identical
+transform graph; watermark bounds state, and the windowed aggregations
+shuffle on (window, key) like their batch twins.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over parquet files with the events schema.
+
+    (The driver testdata stores ts as TIMESTAMP(NANOS), which the batch
+    catalog handles via nanosAsLong; for streaming tests the input dir is
+    produced by re-writing events through the catalog first, so ts is a
+    plain NTZ column here.)"""
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    # Watermarks require TIMESTAMP (event-time), not NTZ: reinterpret the
+    # wall time in the session zone (UTC under session.py defaults).
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def streaming_tumbling_counts(events: DataFrame) -> DataFrame:
+    """ST1 under streaming: watermark + tumbling window counts."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt")
+    )
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """ST5 under streaming: stateful dropDuplicates bounded by watermark."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def streaming_stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """ST6 under streaming: stream ⋈ broadcast static dimension."""
+    return events.join(broadcast(dim), "event_type").select(
+        "event_id", "event_type", "weight"
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    query_name: str | None = None,
+) -> str:
+    """Drain the stream with availableNow into an in-memory table; returns
+    the table name. Blocks until the source is exhausted."""
+    name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name

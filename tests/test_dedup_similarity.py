@@ -1,0 +1,72 @@
+"""Semantic checks for the approximate operators: planted near-dups must be
+found, and determinism must hold across runs (pinned seeds)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmshadoop_spark.dedup import minhash_lsh_pairs, simhash_candidate_pairs
+from dmshadoop_spark.similarity import brute_force_knn, lsh_knn
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while spark shuffles "
+    "partitions across the cluster and catalyst prunes columns"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near-dup of 0
+        (3, "completely different text about embeddings and lsh buckets"),
+        (4, "another unrelated document mentioning joins aggregates windows"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_dups(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(corpus, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup: jaccard exactly 1
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup caught
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_minhash_deterministic(corpus):
+    a = sorted(map(tuple, minhash_lsh_pairs(corpus, threshold=0.3).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(corpus, threshold=0.3).collect()))
+    assert a == b
+
+
+def test_simhash_identical_docs_zero_hamming(corpus):
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_candidate_pairs(corpus).collect()
+    }
+    assert rows[(0, 1)] == 0
+    near = rows.get((0, 2))
+    assert near is not None and near <= 16
+
+
+def test_knn_exact_duplicate_vector_is_top1(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    bf = brute_force_knn(emb.filter("vec_id != 0"), q, k=3).collect()
+    assert bf[0]["neighbor_id"] == 1 and abs(bf[0]["cosine"] - 1.0) < 1e-12
+
+    approx = lsh_knn(emb.filter("vec_id != 0"), q, dim=4, k=3, planes=2).collect()
+    # identical vector always lands in the query's bucket → still top-1
+    assert approx[0]["neighbor_id"] == 1

@@ -1,0 +1,77 @@
+"""Physical-plan assertions (SURVEY.md §5.2 item 5).
+
+These pin the scale-critical properties Catalyst must deliver: predicate
+pushdown into the Parquet scan, column pruning (blob/text columns never
+read unless referenced), broadcast joins for small dims, and partial
+aggregation. A regression here means a 100 TB run reads or shuffles data
+it shouldn't — even if results stay correct.
+"""
+
+from __future__ import annotations
+
+from dmshadoop_spark import registry
+
+registry.load_all()
+
+
+def plan(spark, sf_dir, qid) -> str:
+    df = registry.QUERIES[qid](spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_point_lookup_pushes_predicate(spark, sf_dir):
+    p = plan(spark, sf_dir, "s3_point_lookup")
+    assert "PushedFilters" in p and "EqualTo(doc_id,42)" in p.replace(" ", "")
+
+
+def test_projection_prunes_text_column(spark, sf_dir):
+    p = plan(spark, sf_dir, "p1_project")
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema, read_schema
+
+
+def test_latest_version_never_reads_text(spark, sf_dir):
+    # The reference fetched whole rows incl. blobs to list versions
+    # (src/DMS.py:375-376); our W1 plan must not touch the text column.
+    p = plan(spark, sf_dir, "w1_latest_per_group")
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema, read_schema
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    p = plan(spark, sf_dir, "j4_broadcast_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    p = plan(spark, sf_dir, "a6_q1_pricing_summary")
+    assert p.count("HashAggregate") >= 2  # partial + final
+    assert "PushedFilters" in p  # shipdate predicate reaches the scan
+
+
+def test_q1_wholestage_codegen(spark, sf_dir):
+    # AQE defers codegen until execution, so inspect with AQE off — the
+    # assertion is about the operators staying codegen-eligible.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.QUERIES["a6_q1_pricing_summary"](spark, sf_dir)
+        p = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in p
+    assert "Found 0 WholeStageCodegen" not in p
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    p = plan(spark, sf_dir, "j1_semi_join")
+    assert "LeftSemi" in p
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
+    p = plan(spark, sf_dir, "x4_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

@@ -1,0 +1,56 @@
+"""Stream/batch parity: the ST* streaming forms must produce exactly the
+rows their oracle-checked batch twins produce on the same input."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmshadoop_spark.catalog import load_table
+from dmshadoop_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    streaming_dedup,
+    streaming_tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory, sf_dir):
+    """Re-write events through the catalog (normalizing the NANOS ts) into a
+    stream-source directory."""
+    out = str(tmp_path_factory.mktemp("events_stream") / "events")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(out)
+    return out
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir, tmp_path):
+    stream = streaming_tumbling_counts(read_events_stream(spark, events_dir))
+    name = run_to_memory(
+        stream, str(tmp_path / "ckpt1"), output_mode="complete"
+    )
+    got = _rows(spark.table(name))
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt")
+    )
+    assert got == _rows(batch)
+
+
+def test_streaming_dedup_matches_batch(spark, events_dir, tmp_path):
+    stream = streaming_dedup(read_events_stream(spark, events_dir)).select(
+        "user_id", "event_type"
+    )
+    name = run_to_memory(stream, str(tmp_path / "ckpt2"))
+    got = _rows(spark.table(name))
+
+    batch = spark.read.parquet(events_dir).select("user_id", "event_type").distinct()
+    assert got == _rows(batch)

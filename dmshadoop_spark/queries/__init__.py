@@ -10,6 +10,7 @@ from dmshadoop_spark.queries import (  # noqa: F401
     events,
     joins,
     llm,
+    sinks,
     text,
     windows,
 )

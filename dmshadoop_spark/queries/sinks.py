@@ -1,0 +1,284 @@
+"""Sources, sinks, DDL, and UDF/UDAF surface — SURVEY.md §2.1 S4/S6-S8/S10
+and §2.11 UD3/UD4, plus TPC-H-style completeness queries (Q5 shape, pivot,
+cube).
+
+The sink queries exercise real write paths (append / rewrite-excluding-
+predicate / upsert) against a scratch directory and verify by re-reading —
+the "indirect oracle" pattern SURVEY §2.1 prescribes, since the oracle can
+only see the source tables.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, pandas_udf
+
+from dmshadoop_spark.catalog import load_table
+from dmshadoop_spark.functions.numeric import dec2, dec4, money
+from dmshadoop_spark.registry import query
+
+
+def _scratch(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"dms_sink_{tag}_")
+
+
+# --------------------------------------------------------------------------
+# §2.1 sources / sinks / DDL
+# --------------------------------------------------------------------------
+
+
+@query("s4_binary_ingest")  # binary source → rows-only per SURVEY §2.1
+def s4_binary_ingest(spark, sf_dir):
+    """Binary blob ingest via the binaryFile source — the Spark-native form
+    of the reference's open().read() + WebHDFS create_file path
+    (src/DMS.py:106-121). Surfaces exactly the FileStatus fields the
+    reference stored (path, modificationTime, length) plus content; here we
+    ingest the sf dir's own parquet files as opaque blobs and emit
+    per-file metadata + a content checksum."""
+    from dmshadoop_spark.multimodal import ingest_binary_dir
+
+    raw = ingest_binary_dir(spark, sf_dir, glob="*.parquet")
+    return raw.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@query(
+    "s6_append_sink",
+    oracle="SELECT 2 * count(*) AS n_rows FROM documents",
+)
+def s6_append_sink(spark, sf_dir):
+    """Append sink (insert-new-version rows, src/DMS.py:125-165): two
+    append writes to a scratch parquet dataset, verified by re-reading."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = os.path.join(_scratch("append"), "t")
+    docs.write.mode("append").parquet(out)
+    docs.write.mode("append").parquet(out)
+    return spark.read.parquet(out).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "s7_delete_sink",
+    oracle="SELECT count(*) AS n_rows FROM documents WHERE lang <> 'en'",
+)
+def s7_delete_sink(spark, sf_dir):
+    """Delete sink as rewrite-excluding-predicate (plain Parquet has no row
+    deletes; src/DMS.py:299,305 deleted row+blob — Delta/Iceberg DELETE is
+    the production path)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = os.path.join(_scratch("delete"), "t")
+    docs.write.parquet(out)
+    kept = spark.read.parquet(out).filter(F.col("lang") != "en")
+    out2 = os.path.join(_scratch("delete"), "t2")
+    kept.write.parquet(out2)
+    return spark.read.parquet(out2).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "s8_overwrite_upsert",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(-1 AS BIGINT) AS updated_n_chars
+    FROM documents
+    """,
+)
+def s8_overwrite_upsert(spark, sf_dir):
+    """Upsert = (old minus key) ∪ new, atomically swapped — the working
+    version of the reference's dead update() (src/DMS.py:202-277, bug).
+    Verifies both the total row count and the updated value round-trip."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = os.path.join(_scratch("upsert"), "t")
+    docs.write.parquet(out)
+    current = spark.read.parquet(out)
+    replacement = spark.createDataFrame(
+        [(1, -1)], "doc_id long, n_chars long"
+    )
+    upserted = current.join(
+        replacement, "doc_id", "left_anti"
+    ).unionByName(replacement)
+    out2 = os.path.join(_scratch("upsert"), "t2")
+    upserted.write.parquet(out2)
+    back = spark.read.parquet(out2)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.when(F.col("doc_id") == 1, F.col("n_chars"))).alias(
+            "updated_n_chars"
+        ),
+    )
+
+
+@query(
+    "s10_catalog_ddl",
+    oracle="SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+)
+def s10_catalog_ddl(spark, sf_dir):
+    """Catalog DDL — the reference's create-if-not-exists table bootstrap
+    (t.exists()/t.create, src/DMS.py:44-45) as view DDL + SQL over the
+    registered relation."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "dms_documents_ddl"
+    )
+    assert spark.catalog.tableExists("dms_documents_ddl")
+    return spark.sql(
+        "SELECT lang, count(*) AS cnt FROM dms_documents_ddl GROUP BY lang"
+    )
+
+
+@query(
+    "p3_regex_predicate",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE regexp_matches(lang, '^(en|de)$')
+    """,
+)
+def p3_regex_predicate(spark, sf_dir):
+    """Standalone regex predicate (RegexStringComparator, src/DMS.py:363)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("lang").rlike("^(en|de)$")).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# §2.11 UD3 (grouped-agg pandas UDAF) / UD4 (vectorized scalar pandas UDF)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ud3_grouped_agg_udaf",
+    oracle="""
+    SELECT c_nationkey, median(c_acctbal) AS median_acctbal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def ud3_grouped_agg_udaf(spark, sf_dir):
+    """Custom UDAF via pandas GROUPED_AGG (Arrow-batched): exact median —
+    an aggregate Spark has no built-in exact form for."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies type hints, which pandas_udf inference can't read.
+    exact_median = pandas_udf(
+        lambda v: float(np.median(v)), "double", PandasUDFType.GROUPED_AGG
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        exact_median("c_acctbal").alias("median_acctbal")
+    )
+
+
+@query(
+    "ud4_pandas_scalar",
+    oracle="""
+    SELECT doc_id, reverse(text) AS text_rev, length(text) AS n
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def ud4_pandas_scalar(spark, sf_dir):
+    """Vectorized scalar pandas UDF (Arrow batches, ~10-100× the row-at-a-
+    time Python UDF) — the pattern every custom text transform uses."""
+    from pyspark.sql.functions import PandasUDFType
+
+    rev = pandas_udf(
+        lambda s: s.map(lambda x: x[::-1]), "string", PandasUDFType.SCALAR
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        rev("text").alias("text_rev"),
+        F.length("text").cast("long").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H completeness: Q5 shape, pivot, cube
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join with a local-supplier equality — facts
+    shuffle on orderkey once; all dims broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+    )
+    revenue = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
+    return joined.groupBy("n_name").agg(money(F.sum(revenue)).alias("revenue"))
+
+
+@query(
+    "a_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def a_pivot(spark, sf_dir):
+    """Pivot (explicit value list keeps the schema static — mandatory for a
+    deterministic contract and for skipping the extra distinct-scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combinations; counts mean 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@query(
+    "a8_cube",
+    oracle="""
+    SELECT lang, source, count(*) AS cnt
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def a8_cube(spark, sf_dir):
+    """CUBE over two dims (all 4 grouping-set combinations)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))

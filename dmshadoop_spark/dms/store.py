@@ -146,6 +146,59 @@ class DocumentStore:
             row_df.write.mode("append").parquet(self._gen_path(gen))
         return version
 
+    def bulk_ingest(self, files: DataFrame) -> int:
+        """Distributed ingest of many documents in ONE job — the scale path
+        the reference structurally lacks (its upload is a per-document HTTP
+        loop with O(versions) scans each, src/DMS.py:94-172).
+
+        ``files`` needs columns (name STRING, content BINARY) — e.g. the
+        output of ``spark.read.format('binaryFile')`` renamed. Version
+        assignment is set-oriented: current max(version) per name from one
+        aggregate, joined in, plus a per-name row_number for batches that
+        carry several documents of the same name. Metadata extraction runs
+        as the Arrow-batched UDF. Returns the number of rows ingested."""
+        from pyspark.sql import Window
+
+        from dmshadoop_spark.dms.extract import with_extracted_meta
+
+        latest = self.df().groupBy("name").agg(
+            F.max("version").alias("_base_version")
+        )
+        w = Window.partitionBy("name").orderBy(F.length("content"), "content")
+        meta = with_extracted_meta("content")
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        rows = (
+            files.join(latest, "name", "left")
+            .withColumn(
+                "version",
+                (
+                    F.coalesce(F.col("_base_version"), F.lit(0))
+                    + F.row_number().over(w)
+                ).cast("int"),
+            )
+            .withColumn("meta", meta)
+            .select(
+                "name",
+                "version",
+                "content",
+                F.col("meta").getItem("sha256").alias("content_hash"),
+                F.length("content").cast("long").alias("length"),
+                F.lit(now).cast(TimestampNTZType()).alias("modification_time"),
+                "meta",
+            )
+        )
+        rows = rows.persist()
+        try:
+            count = rows.count()
+            gen = self._current_gen()
+            if gen is None:
+                self._write_snapshot(rows)
+            else:
+                rows.write.mode("append").parquet(self._gen_path(gen))
+        finally:
+            rows.unpersist()
+        return count
+
     def update(
         self,
         name: str,

@@ -149,3 +149,26 @@ def test_roundtrip_property(spark, tmp_path_factory, content, n_versions):
         assert store.upload("f.bin", content + bytes([i])) == i + 1
     got = store.download("f.bin")
     assert got == content + bytes([n_versions - 1])
+
+
+def test_bulk_ingest_versions_and_metadata(spark, store):
+    """Distributed ingest: one job, set-oriented version assignment that
+    composes with pre-existing versions."""
+    store.upload("a.txt", b"existing v1")
+    batch = spark.createDataFrame(
+        [
+            ("a.txt", b"bulk one"),
+            ("a.txt", b"bulk two longer"),
+            ("b.txt", b"fresh doc"),
+        ],
+        "name string, content binary",
+    )
+    assert store.bulk_ingest(batch) == 3
+    assert store.get_file_version("a.txt") == [1, 2, 3]
+    assert store.get_file_version("b.txt") == [1]
+    meta = store.get_file_meta_data("b.txt")
+    assert meta["content_type"] == "text/plain"
+    assert meta["length"] == "9"
+    # shorter content got the lower version (deterministic ordering)
+    assert store.download("a.txt", 2) == b"bulk one"
+    assert store.download("a.txt", 3) == b"bulk two longer"

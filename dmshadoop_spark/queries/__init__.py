@@ -12,5 +12,6 @@ from dmshadoop_spark.queries import (  # noqa: F401
     llm,
     sinks,
     text,
+    tpch,
     windows,
 )

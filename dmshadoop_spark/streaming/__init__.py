@@ -2,6 +2,7 @@ from dmshadoop_spark.streaming.streams import (
     read_events_stream,
     run_to_memory,
     streaming_dedup,
+    streaming_session_counts,
     streaming_stream_static_join,
     streaming_tumbling_counts,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "read_events_stream",
     "run_to_memory",
     "streaming_dedup",
+    "streaming_session_counts",
     "streaming_stream_static_join",
     "streaming_tumbling_counts",
 ]

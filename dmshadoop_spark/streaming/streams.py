@@ -39,18 +39,29 @@ EVENTS_STREAM_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
     """File-source stream over parquet files with the events schema.
+
+    ``max_files_per_trigger=1`` exercises multi-micro-batch behavior.
+    NOTE on watermarks: files arrive in arbitrary event-time order, so
+    per-file triggers make the watermark drop genuinely late rows — correct
+    streaming semantics, but only order-insensitive aggregations (tumbling
+    windows in complete mode, dedup) stay batch-equivalent under it.
+    Session windows need event-time-ordered arrival (or one batch:
+    ``max_files_per_trigger=None``) for exact batch parity.
 
     (The driver testdata stores ts as TIMESTAMP(NANOS), which the batch
     catalog handles via nanosAsLong; for streaming tests the input dir is
     produced by re-writing events through the catalog first, so ts is a
     plain NTZ column here.)"""
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_dir)
-    )
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir)
     # Watermarks require TIMESTAMP (event-time), not NTZ: reinterpret the
     # wall time in the session zone (UTC under session.py defaults).
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -63,6 +74,20 @@ def streaming_tumbling_counts(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("w_start"), "event_type", "cnt")
+    )
+
+
+def streaming_session_counts(events: DataFrame) -> DataFrame:
+    """ST3 under streaming: watermarked session windows (5-minute gap).
+    State = one open session per user, closed and emitted once the
+    watermark passes session end."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"), "user_id", "n_events"
+        )
     )
 
 

@@ -54,3 +54,46 @@ def test_streaming_dedup_matches_batch(spark, events_dir, tmp_path):
 
     batch = spark.read.parquet(events_dir).select("user_id", "event_type").distinct()
     assert got == _rows(batch)
+
+
+def test_streaming_session_matches_batch(spark, events_dir, tmp_path):
+    from dmshadoop_spark.streaming import streaming_session_counts
+
+    # Sessions need event-time-ordered arrival for exact parity (late rows
+    # beyond the watermark are *correctly* dropped otherwise) → one batch.
+    stream = streaming_session_counts(
+        read_events_stream(spark, events_dir, max_files_per_trigger=None)
+    )
+    name = run_to_memory(
+        stream, str(tmp_path / "ckpt3"), output_mode="complete"
+    )
+    got = _rows(spark.table(name))
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+    assert got == _rows(batch)
+
+
+def test_streaming_static_join_matches_batch(spark, events_dir, tmp_path):
+    from dmshadoop_spark.streaming import streaming_stream_static_join
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5)], "event_type string, weight double"
+    )
+    stream = streaming_stream_static_join(
+        read_events_stream(spark, events_dir), dim
+    )
+    name = run_to_memory(stream, str(tmp_path / "ckpt4"))
+    got = _rows(spark.table(name))
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .join(dim, "event_type")
+        .select("event_id", "event_type", "weight")
+    )
+    assert got == _rows(batch)

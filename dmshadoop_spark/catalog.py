@@ -65,3 +65,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for spark.sql usage)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a *narrow* small-scan DataFrame to cluster
+    width before a CPU-bound expression stage (shingling, hashing,
+    signature folds).
+
+    The driver testdata is one single-row-group parquet file per table, so
+    the scan yields one partition and every narrow expression would run on
+    one core. On a real cluster the scan of a 100 TB table already yields
+    thousands of splits and this is a no-op (partitions >= parallelism), so
+    the extra shuffle of raw text exists only in the degenerate small-file
+    case where it costs nothing.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -5,11 +5,12 @@ families, no RNG at execution time) and expression-only (JVM-side, no
 Python UDFs in the hot path)."""
 
 from dmshadoop_spark.dedup.minhash import minhash_lsh_pairs, minhash_signature
-from dmshadoop_spark.dedup.simhash import simhash, simhash_candidate_pairs
+from dmshadoop_spark.dedup.simhash import simhash, simhash_candidate_pairs, token_hashes
 
 __all__ = [
     "minhash_lsh_pairs",
     "minhash_signature",
     "simhash",
+    "token_hashes",
     "simhash_candidate_pairs",
 ]

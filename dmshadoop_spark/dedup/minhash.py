@@ -22,14 +22,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from dmshadoop_spark.catalog import widen
 from dmshadoop_spark.functions.text import shingles, tokenize
 
 
 def minhash_signature(
-    tokens_col, num_perm: int = 64, shingle_n: int = 3, seed: int = 42
+    shingles_col, num_perm: int = 64, seed: int = 42
 ):
-    """array<bigint> MinHash signature column from a tokens column."""
-    sh = shingles(tokens_col, shingle_n)
+    """array<bigint> MinHash signature from a **materialized** shingle-array
+    column (name or plain reference — see the shingles() performance
+    contract: an inline expression here would be re-evaluated once per
+    permutation)."""
+    sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
     seeds = F.array(*[F.lit(seed * 1_000_003 + i) for i in range(num_perm)])
     # min over shingles of xxhash64(shingle, seed_i); empty shingle set → NULL
     return F.transform(
@@ -59,18 +63,30 @@ def minhash_lsh_pairs(
     rows = num_perm // bands
     assert bands * rows == num_perm, "bands must divide num_perm"
 
-    toks = tokenize(F.col(text_col))
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(toks, shingle_n).alias("sh"),
-        minhash_signature(toks, num_perm, shingle_n, seed).alias("sig"),
-    ).filter(F.size("sh") > 0)
+    # Non-empty-shingle filter expressed on the raw text (≥ n tokens ⇔ at
+    # least one shingle): a `size("sh") > 0` filter here would be pushed
+    # below the projection by PushDownPredicates with the whole shingle
+    # expression substituted in — re-evaluating it per row in the slow
+    # inlined shape. The token-count predicate is one cheap split at the
+    # scan instead.
+    base = (
+        widen(docs).filter(F.size(tokenize(F.col(text_col))) >= shingle_n)
+        .select(
+            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+        )
+        .select("doc_id", shingles("toks", shingle_n).alias("sh"))
+        .select(
+            "doc_id",
+            "sh",
+            minhash_signature("sh", num_perm, seed).alias("sig"),
+        )
+    )
 
     # band_idx → hash of the signature slice; explode to (doc, band, hash)
     band_ids = F.array(*[F.lit(i) for i in range(bands)])
     banded = base.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.transform(
                 band_ids,
                 lambda b: F.struct(
@@ -87,7 +103,9 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    ).filter(F.col("band").isNotNull()).select(
+        "doc_id", "band.band_idx", "band.band_hash"
+    )
 
     # bucket join; drop degenerate buckets (skew cap for the 100 TB path)
     buckets = banded.groupBy("band_idx", "band_hash").agg(
@@ -98,7 +116,7 @@ def minhash_lsh_pairs(
     )
     pairs = (
         small.select(
-            F.explode(
+            F.explode_outer(
                 F.filter(
                     F.flatten(
                         F.transform(
@@ -115,6 +133,7 @@ def minhash_lsh_pairs(
                 )
             ).alias("p")
         )
+        .filter(F.col("p").isNotNull())
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )

@@ -13,12 +13,22 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from dmshadoop_spark.catalog import widen
 from dmshadoop_spark.functions.text import tokenize
 
 
-def simhash(tokens_col: Column, seed: int = 42) -> Column:
-    """64-bit SimHash as BIGINT (bit votes folded per position)."""
-    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t, F.lit(seed)))
+def token_hashes(tokens_col: Column | str, seed: int = 42) -> Column:
+    """array<bigint> of per-token xxhash64 values — materialize this with a
+    ``select`` before folding bits (see the shingles() performance contract
+    in functions.text: the 64 bit-folds each re-reference the array)."""
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return F.transform(c, lambda t: F.xxhash64(t, F.lit(seed)))
+
+
+def simhash(hashes_col: Column | str) -> Column:
+    """64-bit SimHash as BIGINT from a **materialized** token-hash array
+    (token_hashes). Bit votes folded per position."""
+    hashes = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
     # votes[j] = sum over tokens of (bit_j ? +1 : -1); bit j of the result
     # is set when votes[j] > 0. Bit positions are Python ints (shift
     # builtins take literal bit counts), so this unrolls to 64 independent
@@ -47,9 +57,12 @@ def simhash_candidate_pairs(
     """(doc_a, doc_b, hamming) for pairs sharing ≥1 of `chunks` exact
     chunks (catches all pairs with hamming ≤ chunks-1)."""
     width = 64 // chunks
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        simhash(tokenize(F.col(text_col)), seed).alias("sh"),
+    base = (
+        widen(docs).select(
+            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+        )
+        .select("doc_id", token_hashes("toks", seed).alias("hashes"))
+        .select("doc_id", simhash("hashes").alias("sh"))
     )
     chunk_structs = F.array(
         *[

@@ -22,21 +22,31 @@ def tokenize(text: Column | str) -> Column:
     return F.split(c, r"\s+")
 
 
-def shingles(tokens: Column, n: int = 3) -> Column:
+def shingles(tokens: Column | str, n: int = 3) -> Column:
     """Distinct n-gram word shingles as an array<string>.
 
-    Implemented with transform over an index sequence — stays in codegen,
-    no explode until the caller wants one.
+    PERFORMANCE CONTRACT: pass a **materialized** array column (a name or a
+    plain column reference), not a composite expression like
+    ``tokenize(...)``. Higher-order lambdas evaluate interpreted, so every
+    subtree referenced inside the lambda re-runs per element — an inline
+    ``split()`` here turns O(tokens) into O(tokens²) regex calls. Stage the
+    tokens with a prior ``select`` (Catalyst keeps the projections separate
+    because the reference is non-cheap and multiply-used).
+
+    Shape: one ``transform`` over the token array itself (index lambda +
+    ``try_element_at`` lookahead — O(1) per gram, no per-gram ``slice``
+    copies), truncated to the first ``size - n + 1`` grams.
     """
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - n),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-        )
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    gram = lambda x, i: F.concat_ws(  # noqa: E731
+        " ", x, *[F.try_element_at(c, i + k) for k in range(2, n + 1)]
     )
-    # sequence() counts *down* when start > stop, so guard short docs.
-    return F.when(F.size(tokens) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    return F.array_distinct(
+        F.slice(
+            F.transform(c, gram),
+            1,
+            F.greatest(F.size(c) - (n - 1), F.lit(0)),
+        )
     )
 
 

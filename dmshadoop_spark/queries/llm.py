@@ -95,35 +95,66 @@ def x1_exact_dedup(spark, sf_dir):
     """,
 )
 def x2_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs. Candidate generation is the
-    standard shingle-inverted-index self-join: only docs sharing a shingle
-    ever meet, so the shuffle is on shingle hash — at 100 TB add a
-    frequent-shingle cap (drop shingles with df > threshold) to bound the
-    worst bucket; jaccard = |∩| / |∪| as one exact IEEE division."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles(tokenize("text"), 3)).alias("s")
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index pair emission:
+    ONE scan computes the shingle array per doc; each posting carries the
+    doc's set size as a (doc_id, n) struct, so the Jaccard denominator is
+    available at pair-aggregation time with **no join back to the corpus**.
+    Postings group by shingle, drop df=1 shingles immediately (the vast
+    majority — they can't produce a pair), and emit the upper-triangle doc
+    pairs JVM-side with nested ``transform`` over the sorted posting list.
+    Total shuffles: postings on shingle hash, then pair counts on (doc_a,
+    doc_b) — both uniform keys. At 100 TB, cap hot shingles (df > threshold
+    → salted two-level pairing or drop with a documented recall bound) so
+    the worst posting list stays bounded; jaccard = |∩| / |∪| as one exact
+    IEEE division."""
+    from dmshadoop_spark.catalog import widen
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    # Stage tokens → shingle array in separate projections (see the
+    # shingles() performance contract).
+    sh_arr = docs.select(
+        "doc_id", tokenize("text").alias("toks")
+    ).select("doc_id", shingles("toks", 3).alias("sh"))
+    # explode_outer, not explode: InferFiltersFromGenerate would turn an
+    # inner explode into a pushed-down `size(<shingle expr>) > 0` Filter
+    # that re-evaluates the whole expression tree a second time (in the
+    # slow inlined shape). Outer + null-filter on the *generated* column
+    # keeps the expression single-evaluation.
+    sh = sh_arr.select(
+        F.struct(F.col("doc_id"), F.size("sh").alias("n")).alias("d"),
+        F.explode_outer("sh").alias("s"),
+    ).filter(F.col("s").isNotNull())
+    # df>=2 postings only; emit sorted upper-triangle pairs inside the JVM.
+    # Struct sort order is field order, so (doc_id, n) sorts by doc_id.
+    ids = F.array_sort(F.collect_list("d")).alias("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        sh.groupBy("s")
+        .agg(ids)
+        .filter(F.size("ids") >= 2)
+        .select(F.explode_outer(pair_structs).alias("p"))
+        .filter(F.col("p").isNotNull())
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
-        (F.col("sa.n") + F.col("sb.n") - F.col("n_common")).cast("double")
+        (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
     )
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.05)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.05
     )
 
 

@@ -19,11 +19,15 @@ QUERY_TERMS = ("spark", "join", "window")
 
 
 def tokens_df(spark, sf_dir):
-    """(doc_id, term) exploded token stream — the T2 building block."""
+    """(doc_id, term) exploded token stream — the T2 building block.
+
+    explode_outer + null-filter on the generated column: an inner explode
+    makes InferFiltersFromGenerate push a `size(split(text)) > 0` filter to
+    the scan, re-running the split per row."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.explode(tokenize("text")).alias("term")
-    )
+        "doc_id", F.explode_outer(tokenize("text")).alias("term")
+    ).filter(F.col("term").isNotNull())
 
 
 @query(

@@ -30,8 +30,8 @@ def build_inverted_index(
     """
     tokens = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokenize(F.col(text_col))).alias("term"),
-    )
+        F.explode_outer(tokenize(F.col(text_col))).alias("term"),
+    ).filter(F.col("term").isNotNull())
     postings = tokens.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).alias("tf")
     )

@@ -5,12 +5,13 @@ families, no RNG at execution time) and expression-only (JVM-side, no
 Python UDFs in the hot path)."""
 
 from dmshadoop_spark.dedup.minhash import minhash_lsh_pairs, minhash_signature
-from dmshadoop_spark.dedup.simhash import simhash, simhash_candidate_pairs, token_hashes
+from dmshadoop_spark.dedup.simhash import simhash, simhash_candidate_pairs, simhash_df, token_hashes
 
 __all__ = [
     "minhash_lsh_pairs",
     "minhash_signature",
     "simhash",
+    "simhash_df",
     "token_hashes",
     "simhash_candidate_pairs",
 ]

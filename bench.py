@@ -24,6 +24,8 @@ registry.load_all()
 
 HEADLINE = [
     "a6_q1_pricing_summary",   # multi-key hash agg over the fact table
+    "q6_forecast_revenue",     # pure scan+pushdown (no join, one agg row)
+    "q10_returned_items",      # 4-table join with broadcast dims
     "j3_inner_join",           # fact⋈fact⋈dim join + agg
     "j4_broadcast_join",       # broadcast star join
     "j7_asof_join",            # union-trick as-of join

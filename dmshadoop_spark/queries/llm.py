@@ -303,17 +303,26 @@ def x4_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k for a small query set: broadcast the queries,
     stream the candidate corpus once (the 100 TB baseline path; the LSH
     variant in dmshadoop_spark.similarity prunes candidates first)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from dmshadoop_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    ).select("vec_id", "v", F.sqrt(norm_sq(F.col("v"))).alias("nv"))
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     pairs = emb.crossJoin(broadcast(q)).filter(
         F.col("vec_id") != F.col("query_id")
     )
+    # Norms staged once per side; per-pair work = one zip_with dot fold.
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine(as_double("q_emb"), as_double("embedding")).alias("cosine"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -341,9 +350,13 @@ def x4_cosine_topk(spark, sf_dir):
 def x5_knn_search(spark, sf_dir):
     """Single-query k-NN: one broadcast row against the corpus, ranked
     top-10 (TakeOrderedAndProject — no global sort)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from dmshadoop_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    ).select("vec_id", "label", "v", F.sqrt(norm_sq(F.col("v"))).alias("nv"))
     q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb")
+        F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     return (
         emb.filter(F.col("vec_id") != 0)
@@ -351,7 +364,9 @@ def x5_knn_search(spark, sf_dir):
         .select(
             F.col("vec_id").alias("neighbor_id"),
             "label",
-            cosine(as_double("q_emb"), as_double("embedding")).alias("cosine"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias(
+                "cosine"
+            ),
         )
         .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
         .limit(10)

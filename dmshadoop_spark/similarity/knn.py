@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from dmshadoop_spark.functions.vectors import as_double, cosine, dot
+from dmshadoop_spark.catalog import widen
+from dmshadoop_spark.functions.vectors import as_double, dot, norm_sq
 
 
 def brute_force_knn(
@@ -33,11 +34,27 @@ def brute_force_knn(
     query_vec_col: str = "q_emb",
     k: int = 10,
 ) -> DataFrame:
-    """(query_id, neighbor_id, cosine) — exact top-k per query."""
-    scored = corpus.crossJoin(broadcast(queries)).select(
+    """(query_id, neighbor_id, cosine) — exact top-k per query.
+
+    Both sides stage the double-cast and the L2 norm in materialized
+    columns (one computation each, vs re-deriving them inside every
+    pairwise cosine), so the per-pair work is exactly one zip_with dot
+    fold."""
+    corpus2 = (
+        widen(corpus)
+        .select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v"))
+        .select("neighbor_id", "_v", F.sqrt(norm_sq(F.col("_v"))).alias("_nv"))
+    )
+    queries2 = (
+        queries.select(F.col(query_id_col), as_double(query_vec_col).alias("_qv"))
+        .select(query_id_col, "_qv", F.sqrt(norm_sq(F.col("_qv"))).alias("_nq"))
+    )
+    scored = corpus2.crossJoin(broadcast(queries2)).select(
         F.col(query_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        cosine(as_double(query_vec_col), as_double(vec_col)).alias("cosine"),
+        "neighbor_id",
+        (dot(F.col("_qv"), F.col("_v")) / (F.col("_nq") * F.col("_nv"))).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -49,13 +66,15 @@ def brute_force_knn(
     )
 
 
-def _bucket_expr(vec_col: str, planes: np.ndarray):
-    """Sign-pattern bucket id: bit i = (v · plane_i) >= 0."""
+def _bucket_expr(vec, planes: np.ndarray):
+    """Sign-pattern bucket id over a **materialized** double-array column:
+    bit i = (v · plane_i) >= 0."""
+    v = F.col(vec) if isinstance(vec, str) else vec
     bits = []
     for i, plane in enumerate(planes):
         plane_lit = F.array(*[F.lit(float(x)) for x in plane])
         bits.append(
-            F.when(dot(as_double(vec_col), plane_lit) >= 0, F.lit(1 << i)).otherwise(
+            F.when(dot(v, plane_lit) >= 0, F.lit(1 << i)).otherwise(
                 F.lit(0)
             )
         )
@@ -86,14 +105,31 @@ def lsh_knn(
     rng = np.random.RandomState(seed)
     hyperplanes = rng.randn(planes, dim)
 
-    c_bucketed = corpus.withColumn("bucket", _bucket_expr(vec_col, hyperplanes))
-    q_bucketed = queries.withColumn(
-        "bucket", _bucket_expr(query_vec_col, hyperplanes)
+    c_bucketed = (
+        widen(corpus)
+        .select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v"))
+        .select(
+            "neighbor_id",
+            "_v",
+            F.sqrt(norm_sq(F.col("_v"))).alias("_nv"),
+            _bucket_expr("_v", hyperplanes).alias("bucket"),
+        )
+    )
+    q_bucketed = (
+        queries.select(F.col(query_id_col), as_double(query_vec_col).alias("_qv"))
+        .select(
+            query_id_col,
+            "_qv",
+            F.sqrt(norm_sq(F.col("_qv"))).alias("_nq"),
+            _bucket_expr("_qv", hyperplanes).alias("bucket"),
+        )
     )
     cand = c_bucketed.join(broadcast(q_bucketed), "bucket").select(
         F.col(query_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        cosine(as_double(query_vec_col), as_double(vec_col)).alias("cosine"),
+        "neighbor_id",
+        (dot(F.col("_qv"), F.col("_v")) / (F.col("_nq") * F.col("_nv"))).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

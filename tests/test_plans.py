@@ -75,3 +75,50 @@ def test_semi_join_stays_semi(spark, sf_dir):
 def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
     p = plan(spark, sf_dir, "x4_cosine_topk")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_shingle_pipeline_single_evaluation(spark, sf_dir):
+    """Regression guard for the higher-order-expression recompute bugs:
+
+    1. InferFiltersFromGenerate must not re-materialize the shingle
+       expression as a pushed-down Filter (we use explode_outer + a
+       null-filter on the generated column to prevent it);
+    2. PushDownPredicates must not substitute the shingle expression into
+       a size()>0 predicate below the projection.
+
+    Either regression shows up as the expensive lambda chain (element_at
+    inside concat_ws) appearing in a Filter node, or as more than two
+    split() calls in the whole plan (one per staged projection branch is
+    legitimate; per-lambda-element inlining multiplies them)."""
+    p = plan(spark, sf_dir, "x2_ngram_jaccard")
+    for line in p.splitlines():
+        stripped = line.strip()
+        if stripped.startswith("Condition") and "element_at" in stripped:
+            raise AssertionError(
+                f"shingle expression inlined into a Filter: {stripped[:200]}"
+            )
+
+
+def test_simhash_votes_are_compiled_aggregates(spark, sf_dir):
+    """SimHash fingerprints must come from the explode + SUM-aggregate
+    shape (codegen, partial agg) — not interpreted per-row array folds."""
+    p = plan(spark, sf_dir, "x2_simhash")
+    assert "HashAggregate" in p
+    assert "aggregate(" not in p, "interpreted array fold back in simhash plan"
+
+
+def test_knn_stages_norms_once(spark, sf_dir):
+    """Cosine scoring must reference staged norm columns: the corpus-side
+    norm fold appears once in a projection, not inside every pairwise
+    cosine (which would re-fold per query row)."""
+    p = plan(spark, sf_dir, "x4_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p
+    # zip_with appears only in the final dot product projection, never in
+    # a Filter / Join condition.
+    for line in p.splitlines():
+        stripped = line.strip()
+        if (
+            stripped.startswith("Condition")
+            or stripped.startswith("Join condition")
+        ) and "zip_with" in stripped:
+            raise AssertionError(f"dot fold in a condition: {stripped[:200]}")

@@ -457,3 +457,90 @@ def x6_feature_extract(spark, sf_dir):
     return feats.select(
         "path", "content_type", "length", F.size("feature").alias("feature_dim")
     )
+
+
+@query(
+    "x2_embedding_neardup",
+    oracle=f"""
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+               / (sqrt({DUCK_NORM_SQ.format(v='a.embedding')})
+                  * sqrt({DUCK_NORM_SQ.format(v='b.embedding')})) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.35
+    """,
+)
+def x2_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by `label` (the
+    coarse class key): vectors only compare within their block, so the
+    work is sum-over-blocks k² instead of corpus². Per block, the sorted
+    vector list is collected once and upper-triangle pairs emit with the
+    cosine ALREADY computed inside the emission lambda — exposing it as a
+    generated-struct field means the threshold filter reads a field
+    instead of re-deriving the dot fold (predicate pushdown through the
+    projection would otherwise evaluate it twice). At 100 TB the blocking
+    key is finer (LSH bucket / shard-of-class) so blocks stay bounded;
+    this plan's shuffles are one groupBy(label) and nothing else."""
+    from dmshadoop_spark.functions.vectors import dot
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double("embedding").alias("v"))
+        .select(
+            "vec_id", "label", "v", F.sqrt(norm_sq(F.col("v"))).alias("nv")
+        )
+    )
+    grouped = emb.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v", "nv"))).alias(
+            "vecs"
+        )
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("vecs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("vecs"), i + 2, F.size(F.col("vecs"))),
+                lambda y: F.struct(
+                    x["vec_id"].alias("vec_a"),
+                    y["vec_id"].alias("vec_b"),
+                    (dot(x["v"], y["v"]) / (x["nv"] * y["nv"])).alias(
+                        "cosine"
+                    ),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode_outer(pair_structs).alias("p"))
+        .filter(F.col("p").isNotNull() & (F.col("p.cosine") >= 0.35))
+        .select("p.vec_a", "p.vec_b", "p.cosine")
+    )
+
+
+@query(
+    "x3_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+               AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def x3_token_count(spark, sf_dir):
+    """Token counting two ways: whitespace (the tokenizer contract used
+    corpus-wide) and a BPE-ish regex (letter runs | digit runs | single
+    punctuation) — the pre-tokenizer split rule BPE vocabularies assume.
+    Both are scan-local projections; no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)
+            )
+        ).alias("bpe_ish_tokens"),
+    )

@@ -114,3 +114,154 @@ def t4b_index_search(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     index = build_inverted_index(docs)
     return tfidf_search(index, n_docs=docs.count(), query="scan merge", k=10)
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS as a left-semi join with a correlated
+    non-equi conjunct. Spark keeps only o_orderkey/o_orderdate on the
+    probe side and builds the lineitem key set — no payload duplication,
+    one shuffle on orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped_late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return shipped_late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(ROUND(
+               100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END)
+               / SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4)
+           AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregate over a fact⋈dim join. The
+    CASE runs map-side inside the partial aggregate; the final exchange
+    carries two decimal sums. Decimal division keeps the ratio exact
+    until one terminal round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        money(
+            F.lit(100.00)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered IN-subquery as a pre-aggregated
+    semi join. The quantity rollup happens BEFORE joining customer/orders
+    (the aggregate shrinks lineitem by ~4×; joining first would shuffle
+    the fat side twice). Top-100 via TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    joined = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q19_disjunctive_filter",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive mixed-table predicates. Catalyst
+    factors the single-table conjuncts out of the OR (l_quantity range
+    and p_size/p_brand ranges reach their scans as pushed filters); the
+    residual OR evaluates post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    b = F.col("p_brand")
+    s = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#13") & s.between(10, 30) & q.between(10, 30))
+        | ((b == "Brand#20") & s.between(20, 50) & q.between(20, 40))
+    )
+    rev = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
+    return j.filter(cond).agg(
+        money(F.sum(rev)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -3,6 +3,7 @@ from dmshadoop_spark.streaming.streams import (
     run_to_memory,
     streaming_dedup,
     streaming_session_counts,
+    streaming_sliding_counts,
     streaming_stream_static_join,
     streaming_tumbling_counts,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "run_to_memory",
     "streaming_dedup",
     "streaming_session_counts",
+    "streaming_sliding_counts",
     "streaming_stream_static_join",
     "streaming_tumbling_counts",
 ]

@@ -77,6 +77,21 @@ def streaming_tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_sliding_counts(events: DataFrame) -> DataFrame:
+    """ST2 under streaming: watermarked sliding windows (10-minute window,
+    5-minute slide) — each event contributes to window_len/slide windows;
+    state is bounded by the watermark."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
 def streaming_session_counts(events: DataFrame) -> DataFrame:
     """ST3 under streaming: watermarked session windows (5-minute gap).
     State = one open session per user, closed and emitted once the

@@ -1,0 +1,63 @@
+"""Custom operators: as-of join is covered via the j7 oracle; here the
+skew-mitigation helpers are proven semantics-preserving (salting must
+never change results, only the shuffle layout)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from dmshadoop_spark.operators import salted_agg
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = df.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    salted = salted_agg(
+        df,
+        ["l_returnflag"],
+        [F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("n")],
+        [F.sum("sq").alias("sq"), F.sum("n").alias("n")],
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from dmshadoop_spark.operators import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    plain = li.join(orders, ["l_orderkey"])
+    salted = salted_join(li, orders, ["l_orderkey"])
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_left_join_keeps_unmatched(spark, sf_dir):
+    from dmshadoop_spark.operators import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    # dim with half the keys missing → left join must keep nulls
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    plain = li.join(orders, ["l_orderkey"], "left")
+    salted = salted_join(li, orders, ["l_orderkey"], how="left")
+    assert sorted(map(lambda r: tuple(str(x) for x in r), plain.collect())) == sorted(
+        map(lambda r: tuple(str(x) for x in r), salted.collect())
+    )

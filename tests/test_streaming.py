@@ -97,3 +97,22 @@ def test_streaming_static_join_matches_batch(spark, events_dir, tmp_path):
         .select("event_id", "event_type", "weight")
     )
     assert got == _rows(batch)
+
+
+def test_streaming_sliding_matches_batch(spark, events_dir, tmp_path):
+    from dmshadoop_spark.streaming import streaming_sliding_counts
+
+    stream = streaming_sliding_counts(read_events_stream(spark, events_dir))
+    name = run_to_memory(
+        stream, str(tmp_path / "ckpt5"), output_mode="complete"
+    )
+    got = _rows(spark.table(name))
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    assert got == _rows(batch)

@@ -30,9 +30,12 @@ def j1_semi_join(spark, sf_dir):
     """Left-semi join — the upload existence probe (src/DMS.py:114) done as
     one set-oriented pass instead of a per-row fetch loop."""
     orders = load_table(spark, sf_dir, "orders")
+    # customer scales with SF — no broadcast hint; the semi join builds
+    # only the key set and AQE picks broadcast when the filtered side is
+    # actually small at runtime.
     rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
     return orders.join(
-        broadcast(rich), orders.o_custkey == rich.c_custkey, "left_semi"
+        rich, orders.o_custkey == rich.c_custkey, "left_semi"
     ).select("o_orderkey", "o_custkey")
 
 

@@ -544,3 +544,17 @@ def x3_token_count(spark, sf_dir):
             )
         ).alias("bpe_ish_tokens"),
     )
+
+
+@query("x5_knn_ivf")  # centroid sample + probe order are engine-specific → rows-only
+def x5_knn_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (similarity.knn.ivf_knn): coarse-quantize to cells,
+    probe nprobe nearest, exact rerank. The third ANN strategy next to
+    brute force (x4/x5 oracles) and hyperplane LSH (x5_knn_lsh)."""
+    from dmshadoop_spark.similarity import ivf_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_knn(emb, queries_df, k=5, n_centroids=16, nprobe=4)

@@ -229,9 +229,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     region = load_table(spark, sf_dir, "region")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )

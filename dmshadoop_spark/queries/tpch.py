@@ -65,16 +65,18 @@ def q6_forecast_revenue(spark, sf_dir):
 )
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: returned-item revenue per customer. The returnflag
-    filter prunes the fact scan before the join; nation broadcasts."""
+    filter prunes the fact scan before the join; nation broadcasts,
+    customer joins unhinted (it scales with SF)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     )
     nation = load_table(spark, sf_dir, "nation")
+    # customer scales with SF: unhinted (AQE decides); nation is fixed-size.
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     revenue = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))

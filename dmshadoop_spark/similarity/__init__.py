@@ -1,3 +1,3 @@
-from dmshadoop_spark.similarity.knn import brute_force_knn, lsh_knn
+from dmshadoop_spark.similarity.knn import brute_force_knn, ivf_knn, lsh_knn
 
-__all__ = ["brute_force_knn", "lsh_knn"]
+__all__ = ["brute_force_knn", "ivf_knn", "lsh_knn"]

@@ -139,3 +139,108 @@ def lsh_knn(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_emb",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into `n_centroids` cells,
+    probe each query's `nprobe` nearest cells, exact-rerank candidates.
+
+    Centroids here are a deterministic hash-ordered sample of corpus
+    vectors (the degenerate no-training coarse quantizer); production IVF
+    trains them with k-means offline on a sample and ships them exactly
+    the same way — as literals/broadcast, so the assignment stage below
+    (argmin over centroid distances, a per-row constant amount of work) is
+    unchanged. Expected candidates per query: |corpus| * nprobe /
+    n_centroids; the cell id is the only join key, so the corpus never
+    shuffles on anything wider than one int.
+    """
+    corpus2 = (
+        widen(corpus)
+        .select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v"))
+        .select("neighbor_id", "_v", F.sqrt(norm_sq(F.col("_v"))).alias("_nv"))
+    )
+    # Deterministic centroid sample: order by seeded hash of the id.
+    cents = (
+        corpus2.select("neighbor_id", "_v")
+        .orderBy(
+            F.xxhash64(F.col("neighbor_id"), F.lit(seed)).asc(),
+            F.col("neighbor_id").asc(),
+        )
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_lits = [
+        F.array(*[F.lit(float(x)) for x in row["_v"]]) for row in cents
+    ]
+
+    def l2sq(v, cent):
+        return F.aggregate(
+            F.zip_with(v, cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def dist_arr(v):
+        return F.array(*[l2sq(v, c) for c in cent_lits])
+
+    # Stage the distance array once; argmin reads the staged column.
+    c_cells = corpus2.select(
+        "neighbor_id", "_v", "_nv", dist_arr(F.col("_v")).alias("_d")
+    ).select(
+        "neighbor_id",
+        "_v",
+        "_nv",
+        F.array_position(F.col("_d"), F.array_min(F.col("_d"))).alias("cell"),
+    )
+    q_staged = (
+        queries.select(F.col(query_id_col), as_double(query_vec_col).alias("_qv"))
+        .select(query_id_col, "_qv", F.sqrt(norm_sq(F.col("_qv"))).alias("_nq"))
+        .select(
+            query_id_col,
+            "_qv",
+            "_nq",
+            F.array_sort(
+                F.zip_with(
+                    dist_arr(F.col("_qv")),
+                    F.sequence(F.lit(1), F.lit(len(cent_lits))),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+                )
+            ).alias("ranked"),
+        )
+    )
+    q_probed = q_staged.select(
+        query_id_col,
+        "_qv",
+        "_nq",
+        F.explode(
+            F.transform(
+                F.slice(F.col("ranked"), 1, nprobe), lambda s: s["cell"]
+            )
+        ).alias("cell"),
+    )
+    cand = c_cells.join(broadcast(q_probed), "cell").select(
+        F.col(query_id_col),
+        "neighbor_id",
+        (dot(F.col("_qv"), F.col("_v")) / (F.col("_nq") * F.col("_nv"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -70,3 +70,22 @@ def test_knn_exact_duplicate_vector_is_top1(spark):
     approx = lsh_knn(emb.filter("vec_id != 0"), q, dim=4, k=3, planes=2).collect()
     # identical vector always lands in the query's bucket → still top-1
     assert approx[0]["neighbor_id"] == 1
+
+
+def test_ivf_knn_recall_vs_exact(spark, sf_dir):
+    from dmshadoop_spark.similarity import brute_force_knn, ivf_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = brute_force_knn(emb, queries, k=5)
+    approx = ivf_knn(emb, queries, k=5, n_centroids=8, nprobe=4)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # Deterministic pipeline: re-running yields the identical set.
+    ap2 = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert ap == ap2
+    assert len(ap) == 25  # k rows per query
+    # probing half the cells must recover a reasonable share of true top-k
+    assert len(ex & ap) / len(ex) >= 0.3, (len(ex & ap), len(ex))

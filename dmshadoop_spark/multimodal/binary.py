@@ -91,3 +91,87 @@ def with_binary_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("path", "content").mapInPandas(
         extract, schema=FEATURES_SCHEMA
     )
+
+
+THUMBNAIL_SCHEMA = (
+    "path string, width int, height int, thumbnail binary"
+)
+
+FRAMES_SCHEMA = (
+    "path string, frame_idx int, ts_sec double, frame binary"
+)
+
+
+def fake_thumbnail(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→encode: a pseudo-pixel
+    buffer of exactly width*height*3 bytes streamed from sha256(content).
+    Replaces `decode_image` + real resampling in production."""
+    need = width * height * 3
+    digest = hashlib.sha256(content).digest()
+    return (digest * (need // len(digest) + 1))[:need]
+
+
+def resize_images(
+    binary_df: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """mapInPandas resize over a binaryFile-shaped input → one thumbnail
+    row per image. Arrow batches in/out; the decode/resample call is the
+    stubbed seam (fake_thumbnail ↔ Pillow's Image.resize in production) —
+    schema, batching, and output sizing are the real contract."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "width": np.full(len(pdf), width, dtype="int32"),
+                    "height": np.full(len(pdf), height, dtype="int32"),
+                    "thumbnail": pdf["content"].map(
+                        lambda c: fake_thumbnail(bytes(c), width, height)
+                    ),
+                }
+            )
+
+    return binary_df.select("path", "content").mapInPandas(
+        work, schema=THUMBNAIL_SCHEMA
+    )
+
+
+def sample_frames(
+    binary_df: DataFrame, every_s: float = 1.0, bytes_per_s: int = 1000
+) -> DataFrame:
+    """mapInPandas frame sampling over video payloads: one output row per
+    sampled frame — the UDTF-shaped (1 row → N rows) multimodal pattern.
+
+    The container demuxer is stubbed deterministically: duration :=
+    length / bytes_per_s, frames at every_s intervals, each frame a
+    sha256(content || idx) pseudo-payload. A real implementation swaps in
+    pyav/ffmpeg keyframe extraction; partitioning, batch fan-out, and the
+    (path, frame_idx, ts_sec, frame) contract stay identical."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_path, out_idx, out_ts, out_frame = [], [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                duration = len(raw) / bytes_per_s
+                n_frames = int(duration / every_s) + 1
+                for i in range(n_frames):
+                    out_path.append(path)
+                    out_idx.append(i)
+                    out_ts.append(i * every_s)
+                    out_frame.append(
+                        hashlib.sha256(raw + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "path": out_path,
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "ts_sec": pd.Series(out_ts, dtype="float64"),
+                    "frame": out_frame,
+                }
+            )
+
+    return binary_df.select("path", "content").mapInPandas(
+        work, schema=FRAMES_SCHEMA
+    )

@@ -558,3 +558,38 @@ def x5_knn_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     return ivf_knn(emb, queries_df, k=5, n_centroids=16, nprobe=4)
+
+
+@query("x6_resize_thumbnails")  # stubbed codec → rows-only
+def x6_resize_thumbnails(spark, sf_dir):
+    """Image resize plumbing: mapInPandas thumbnail pass (stubbed codec,
+    real Arrow batch/schema contract). Emits sizes, not pixels, so the
+    rows-only check is stable."""
+    from dmshadoop_spark.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    binary_shaped = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    thumbs = resize_images(binary_shaped, width=16, height=16)
+    return thumbs.select(
+        "path", "width", "height", F.length("thumbnail").alias("thumb_bytes")
+    )
+
+
+@query("x6_frame_sample")  # stubbed demuxer → rows-only
+def x6_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: the 1-row→N-rows mapInPandas fan-out
+    (stubbed demuxer with deterministic frame count = f(payload length))."""
+    from dmshadoop_spark.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    binary_shaped = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    frames = sample_frames(binary_shaped, every_s=0.5)
+    return frames.select(
+        "path", "frame_idx", "ts_sec", F.length("frame").alias("frame_bytes")
+    )

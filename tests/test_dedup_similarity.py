@@ -89,3 +89,28 @@ def test_ivf_knn_recall_vs_exact(spark, sf_dir):
     assert len(ap) == 25  # k rows per query
     # probing half the cells must recover a reasonable share of true top-k
     assert len(ex & ap) / len(ex) >= 0.3, (len(ex & ap), len(ex))
+
+
+def test_resize_and_frame_sample_plumbing(spark, sf_dir):
+    from dmshadoop_spark.multimodal import resize_images, sample_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    binary_shaped = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    thumbs = resize_images(binary_shaped, width=8, height=8).collect()
+    assert len(thumbs) == 20
+    assert all(len(r["thumbnail"]) == 8 * 8 * 3 for r in thumbs)
+
+    frames = sample_frames(binary_shaped, every_s=1.0, bytes_per_s=100)
+    rows = frames.collect()
+    # one input row fans out to floor(len/100)+1 frames, deterministically
+    lengths = {r["path"]: r for r in binary_shaped.collect()}
+    import collections
+
+    per_path = collections.Counter(r["path"] for r in rows)
+    for path, row in lengths.items():
+        assert per_path[path] == len(bytes(row["content"])) // 100 + 1
+    again = frames.collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))

@@ -207,7 +207,11 @@ def a9_map_key_count(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     meta = F.from_json("props", "map<string,string>")
     return (
-        ev.select(F.explode(F.map_keys(meta)).alias("meta_key"))
+        # explode_outer: an inner explode makes InferFiltersFromGenerate
+        # push size(map_keys(from_json(props)))>0 to the scan — parsing
+        # every props JSON twice per row.
+        ev.select(F.explode_outer(F.map_keys(meta)).alias("meta_key"))
+        .filter(F.col("meta_key").isNotNull())
         .groupBy("meta_key")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -267,3 +267,514 @@ def q19_disjunctive_filter(spark, sf_dir):
         money(F.sum(rev)).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    Both nation joins broadcast (25 rows, SF-invariant); their name filters
+    then prune the supplier/customer build sides BEFORE the two fact-side
+    shuffles, so only ~2/25 of each dim participates. The disjunctive
+    nation-pair predicate evaluates post-join (references both sides)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = li.schema["l_shipdate"].dataType
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(ts))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast(ts))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2")))
+    n2 = broadcast(nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2")))
+    j = (
+        li.join(supp.join(n1, supp.s_nationkey == F.col("s_nkey")),
+                li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust.join(n2, cust.c_nationkey == F.col("c_nkey")),
+              orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    rev = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
+    return (
+        j.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(money(F.sum(rev)).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region    ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of regional market volume by
+    year. Region membership prunes the customer side through two
+    broadcast hops (region→nation→customer) before the fact shuffle; the
+    share ratio divides two exact decimal sums as one IEEE double op
+    (decimal÷decimal would hit engine-specific scale truncation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    ts = orders.schema["o_orderdate"].dataType
+    orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast(ts))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast(ts))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = broadcast(
+        nation.join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp.join(n1, supp.s_nationkey == F.col("s_nkey")),
+              li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust.join(n2, cust.c_nationkey == F.col("c_nkey")),
+              orders.o_custkey == cust.c_custkey)
+    )
+    vol = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        j.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, EXTRACT(year FROM l_shipdate) AS o_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: the testdata has no partsupp, so profit
+    omits the supplycost term — documented deviation). Part-name LIKE
+    prunes the fact rows at the first join; supplier nation arrives by
+    broadcast. Group by (nation, year) over the surviving ~1/6 of
+    lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    rev = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+            rev.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(money(F.sum("profit")).alias("sum_profit"))
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: no l_shipmode column — grouped by
+    l_linestatus instead, same conditional-count structure). The
+    shipdate filter reaches the lineitem scan; the CASE counts fold
+    map-side so the final exchange carries 2 longs per group."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = li.schema["l_shipdate"].dataType
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(ts))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast(ts))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: two-level aggregation — orders per customer
+    (left outer join keeps order-less customers as count 0), then the
+    histogram of those counts. First agg shuffles on custkey; the
+    second input is |customers| rows, one tiny exchange."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+    The revenue CTE reduces lineitem to |suppliers| rows once and is
+    reused for both the max (a 1-row broadcast) and the final join —
+    no second fact scan. Equality compares exact decimals, so ties are
+    engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = li.schema["l_shipdate"].dataType
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(ts))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast(ts))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    top = broadcast(rev.agg(F.max("total_revenue").alias("max_revenue")))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(top, rev.total_revenue == top.max_revenue)
+        .join(broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            money(F.col("total_revenue")).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#2' AND p_type <> 'ECONOMY'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: lineitem stands in for the absent
+    partsupp as the part↔supplier relation; the excluded-supplier
+    predicate keys on negative acctbal instead of the comment column).
+    NOT IN on a never-null key = left-anti join against a broadcast
+    exclusion set; count(DISTINCT) expands to the standard two-phase
+    distinct aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar-aggregate subquery (per-part
+    average quantity) decorrelated into an aggregate + equi-join. The
+    per-part averages shrink lineitem to |parts| rows and broadcast;
+    only the brand's parts survive into the threshold comparison.
+    l_quantity is integral, so the double average is exact and
+    order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    per_part_avg = (
+        li.join(broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("avg_pkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(broadcast(per_part_avg), li.l_partkey == F.col("avg_pkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return j.agg(
+        (F.sum(dec2("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+    ).select(F.round("avg_yearly", 2).cast("double").alias("avg_yearly"))
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND n_name = 'NATION_3'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: l_returnflag='R' proxies the absent
+    receipt-after-commit "late" predicate): suppliers who were the SOLE
+    late supplier on a multi-supplier finalized order. EXISTS/NOT
+    EXISTS over lineitem self-joins on l_orderkey — all three legs
+    share one shuffle key, so Spark co-partitions them in a single
+    exchange chain rather than re-shuffling per leg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    j = (
+        l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+        .join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        j.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "q22_global_sales",
+    oracle="""
+    WITH eligible AS (
+        SELECT c_custkey, c_acctbal, c_nationkey % 5 AS cntrycode
+        FROM customer
+        WHERE c_nationkey IN (1, 2, 11, 12, 21)
+    )
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS totacctbal
+    FROM eligible e
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)
+        FROM eligible WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = e.c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    GROUP BY cntrycode
+    """,
+)
+def q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: cntrycode derives from c_nationkey, and
+    the "no orders" test is scoped to orders after 2000 — every testdata
+    customer has SOME order): above-average-balance customers with no
+    recent orders. The scalar average broadcasts as a 1-row join; the
+    anti join's build side is pre-filtered by the pushed orderdate
+    predicate. Average = exact decimal sum ÷ count in one IEEE double
+    division (identical in DuckDB)."""
+    cust = load_table(spark, sf_dir, "customer")
+    eligible = cust.filter(
+        F.col("c_nationkey").isin(1, 2, 11, 12, 21)
+    ).select(
+        "c_custkey", "c_acctbal", (F.col("c_nationkey") % 5).alias("cntrycode")
+    )
+    avg_bal = broadcast(
+        eligible.filter(F.col("c_acctbal") > 0).agg(
+            (
+                F.sum(dec2("c_acctbal")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bal")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    ts = orders.schema["o_orderdate"].dataType
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast(ts)
+    ).select("o_custkey")
+    return (
+        eligible.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, eligible.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money(F.sum(dec2("c_acctbal"))).alias("totacctbal"),
+        )
+    )

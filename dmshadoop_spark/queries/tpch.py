@@ -535,10 +535,18 @@ def q13_customer_distribution(spark, sf_dir):
 )
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
-    The revenue CTE reduces lineitem to |suppliers| rows once and is
-    reused for both the max (a 1-row broadcast) and the final join —
-    no second fact scan. Equality compares exact decimals, so ties are
-    engine-independent."""
+    The revenue aggregate reduces lineitem to |suppliers| rows ONCE;
+    the scalar max comes from a global window over that result rather
+    than a second aggregate branch. (The obvious crossJoin(max) form
+    scans lineitem twice: the join side's partial aggregate picks up an
+    inferred isnotnull(l_suppkey) the max side lacks, so the two
+    exchanges never canonicalize equal and ReuseExchange/AQE stage
+    reuse both miss — measured, see SCALE.md.) The unpartitioned window
+    funnels only |suppliers| rows through one task, which is bounded
+    (SF×10k) while lineitem is not. Equality compares exact decimals,
+    so ties are engine-independent."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     ts = li.schema["l_shipdate"].dataType
     rev = (
@@ -553,11 +561,12 @@ def q15_top_supplier(spark, sf_dir):
             )
         )
     )
-    top = broadcast(rev.agg(F.max("total_revenue").alias("max_revenue")))
+    top = rev.withColumn(
+        "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_revenue"))
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        rev.join(top, rev.total_revenue == top.max_revenue)
-        .join(broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        top.join(broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",

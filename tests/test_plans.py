@@ -122,3 +122,57 @@ def test_knn_stages_norms_once(spark, sf_dir):
             or stripped.startswith("Join condition")
         ) and "zip_with" in stripped:
             raise AssertionError(f"dot fold in a condition: {stripped[:200]}")
+
+
+def test_q7_broadcasts_nations(spark, sf_dir):
+    # Nation joins must broadcast (25 rows, SF-invariant) so only the
+    # matching dim slices reach the fact-side shuffles.
+    p = plan(spark, sf_dir, "q7_volume_shipping")
+    assert "BroadcastHashJoin" in p
+
+
+def test_q15_single_fact_scan(spark, sf_dir):
+    """The scalar-max must come from a window over the supplier-level
+    aggregate, not a second aggregate branch — the crossJoin(max) form
+    scans lineitem twice (inferred join-key isnotnull breaks exchange
+    canonical equality; see SCALE.md)."""
+    p = plan(spark, sf_dir, "q15_top_supplier")
+    li_scans = [
+        l for l in p.splitlines()
+        if "Location" in l and "lineitem.parquet" in l
+    ]
+    assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}×"
+
+
+def test_q18_preaggregates_before_join(spark, sf_dir):
+    # The quantity rollup must shrink lineitem BEFORE customer/orders
+    # join; top-100 via TakeOrderedAndProject, never a global sort.
+    p = plan(spark, sf_dir, "q18_large_orders")
+    assert "TakeOrderedAndProject" in p
+    # Node ids number bottom-up: the lineitem rollup's HashAggregate must
+    # carry a lower id than every join (i.e. it executes below them).
+    import re
+
+    ids = {}
+    for line in p.splitlines():
+        m = re.match(r"^[\s:+-]*(\w[\w ]*?) [^\n]*\((\d+)\)\s*$", line)
+        if m:
+            ids.setdefault(m.group(1).strip(), []).append(int(m.group(2)))
+    aggs = ids.get("HashAggregate", [])
+    joins = ids.get("BroadcastHashJoin", []) + ids.get("SortMergeJoin", [])
+    assert aggs and joins, f"operators missing: {sorted(ids)}"
+    assert min(aggs) < min(joins), (aggs, joins)
+
+
+def test_q21_semi_and_anti_joins(spark, sf_dir):
+    p = plan(spark, sf_dir, "q21_waiting_supplier")
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_q22_anti_join_with_pushed_date(spark, sf_dir):
+    # The "no recent orders" anti join's build side must carry the
+    # orderdate predicate down to the orders scan.
+    p = plan(spark, sf_dir, "q22_global_sales")
+    assert "LeftAnti" in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l and "o_orderdate" in l]
+    assert pushed, "orderdate predicate not pushed into orders scan"

@@ -184,3 +184,45 @@ def st6_stream_static_join(spark, sf_dir):
             money(F.sum(dec2("value") * dec2("weight"))).alias("weighted_value")
         )
     )
+
+
+@query(
+    "st7_stateful_user_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def st7_stateful_user_totals(spark, sf_dir):
+    """ST7: custom stateful operator — this entry runs the REAL
+    Structured Streaming path (file source → applyInPandasWithState →
+    availableNow drain), then keeps each user's final emission. The
+    oracle is the batch groupBy the cumulative state must converge to;
+    an actual stream execution hash-matching a SQL aggregate is the
+    strongest statefulness check the driver contract allows."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from dmshadoop_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_user_totals_stateful,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="st7_")
+    src = f"{workdir}/events"
+    # Re-write through the catalog so the stream source sees plain NTZ
+    # (the raw testdata stores TIMESTAMP(NANOS); see read_events_stream).
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    stream = streaming_user_totals_stateful(
+        read_events_stream(spark, src, max_files_per_trigger=None)
+    )
+    name = run_to_memory(stream, f"{workdir}/ckpt", output_mode="update")
+    emissions = spark.table(name)
+    last = Window.partitionBy("user_id").orderBy(F.desc("n_updates"))
+    return (
+        emissions.withColumn("rn", F.row_number().over(last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "max_value")
+    )

@@ -6,6 +6,7 @@ from dmshadoop_spark.streaming.streams import (
     streaming_sliding_counts,
     streaming_stream_static_join,
     streaming_tumbling_counts,
+    streaming_user_totals_stateful,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "streaming_sliding_counts",
     "streaming_stream_static_join",
     "streaming_tumbling_counts",
+    "streaming_user_totals_stateful",
 ]

@@ -120,6 +120,59 @@ def streaming_stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame
     )
 
 
+def streaming_user_totals_stateful(events: DataFrame) -> DataFrame:
+    """ST7: custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for per-key streaming logic Spark's built-in windowed
+    aggregations can't express (SURVEY.md §2.10 has no reference
+    counterpart; the brief's "custom stateful operators" slot).
+
+    Keeps one cumulative (n_events, max_value, n_updates) state row per
+    user and emits the running totals each micro-batch the user appears
+    in; the LAST emission per user (max n_updates — monotone) therefore
+    equals the batch groupBy over the full input, which is what makes
+    this oracle-checkable despite being a stateful stream. State is one
+    tiny tuple per key, Arrow-batched per group — at scale the shuffle
+    key is user_id (uniform), and state size is O(distinct users), the
+    same bound as the built-in aggregations.
+
+    Only order-insensitive accumulators (count, max) — a running double
+    sum would depend on batch arrival order and break exact parity."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_events bigint, max_value double, n_updates int"
+    )
+    state_schema = "n bigint, mx double, upd int"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, mx, upd = state.get if state.exists else (0, None, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = pdf["value"].max()
+            if batch_max is not None and not pd.isna(batch_max):
+                mx = float(batch_max) if mx is None else max(mx, float(batch_max))
+        upd += 1
+        state.update((n, mx, upd))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [mx],
+                "n_updates": [upd],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     df: DataFrame,
     checkpoint_dir: str,

@@ -116,3 +116,41 @@ def test_streaming_sliding_matches_batch(spark, events_dir, tmp_path):
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
     assert got == _rows(batch)
+
+
+def test_stateful_user_totals_accumulates_across_batches(
+    spark, events_dir, tmp_path
+):
+    """ST7: applyInPandasWithState must carry state across micro-batches —
+    maxFilesPerTrigger=1 over the 4-file source forces 4 batches, so any
+    state loss (or per-batch reset) shows up as undercounted totals. The
+    final emission per user must equal the batch groupBy over everything."""
+    from pyspark.sql import Window
+
+    from dmshadoop_spark.streaming import streaming_user_totals_stateful
+
+    stream = streaming_user_totals_stateful(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    )
+    name = run_to_memory(
+        stream, str(tmp_path / "ckpt_st7"), output_mode="update"
+    )
+    emissions = spark.table(name)
+    # Multi-batch proof: at least one user must have been emitted more
+    # than once (otherwise this test degenerates to single-batch).
+    assert emissions.groupBy("user_id").count().filter("count > 1").count() > 0
+    last = Window.partitionBy("user_id").orderBy(F.desc("n_updates"))
+    got = _rows(
+        emissions.withColumn("rn", F.row_number().over(last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "max_value")
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    assert got == _rows(batch)

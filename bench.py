@@ -25,7 +25,11 @@ registry.load_all()
 HEADLINE = [
     "a6_q1_pricing_summary",   # multi-key hash agg over the fact table
     "q6_forecast_revenue",     # pure scan+pushdown (no join, one agg row)
+    "q8_market_share",         # 8-table star join, conditional share agg
     "q10_returned_items",      # 4-table join with broadcast dims
+    "q13_customer_distribution",  # outer join + two-level aggregation
+    "q18_large_orders",        # pre-aggregated semi join + top-100
+    "q21_waiting_supplier",    # EXISTS/NOT-EXISTS lineitem self-joins
     "j3_inner_join",           # fact⋈fact⋈dim join + agg
     "j4_broadcast_join",       # broadcast star join
     "j7_asof_join",            # union-trick as-of join

@@ -110,18 +110,31 @@ def t3_term_lookup(spark, sf_dir):
 def t4_tfidf_topk(spark, sf_dir):
     """TF-IDF ranked top-k — the deterministic stand-in for Solr's relevance
     ranking (SURVEY §2.9 T4). Ordering uses the *rounded* score plus the
-    unique doc_id so the cut is stable across engines."""
+    unique doc_id so the cut is stable across engines.
+
+    ONE tokenize pass: document frequency derives from the tf aggregate
+    (a count window over each query term's group) instead of a second
+    tokenize→distinct branch — an un-cached second branch re-scans and
+    re-tokenizes the whole corpus (the q15 exchange-reuse lesson,
+    SCALE.md #5). The window partitions are per *query term*, bounded by
+    that term's posting-list length — the same bound t2's index build
+    carries; corpora where that explodes use the materialized-index path
+    (t4b). The n_docs scalar still scans, but prunes to a single column
+    and broadcasts one row."""
+    from pyspark.sql import Window
+
     tok = tokens_df(spark, sf_dir)
     qtok = tok.filter(F.col("term").isin(*QUERY_TERMS))
     tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfq = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("dfreq"))
+    tf = tf.withColumn(
+        "dfreq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     n_docs = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
     idf = F.log(F.col("n_docs").cast("double") / F.col("dfreq").cast("double"))
     scored = (
-        tf.join(broadcast(dfq), "term")
-        .crossJoin(broadcast(n_docs))
+        tf.crossJoin(broadcast(n_docs))
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("tf") * idf), 4).cast("double").alias("score"))
     )

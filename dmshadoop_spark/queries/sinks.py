@@ -282,3 +282,89 @@ def a8_cube(spark, sf_dir):
     """CUBE over two dims (all 4 grouping-set combinations)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.cube("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "s12_partitioned_sink",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def s12_partitioned_sink(spark, sf_dir):
+    """Partitioned physical layout + partition-pruned read-back (SURVEY
+    §4.2 "partition pruning"). Writes orders Hive-partitioned by
+    o_orderpriority, then reads it back with a partition predicate — the
+    scan's PartitionFilters prune entire directories before any I/O
+    happens, the layout move that makes date/tenant-scoped queries on a
+    100 TB table touch only their slice (asserted in
+    tests/test_plans.py::test_partitioned_readback_prunes). One shuffle
+    on the partition column before the write keeps it one file per
+    partition instead of num_tasks files per partition — the small-files
+    discipline a 1000-executor writer needs."""
+    out = _scratch("part")
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.repartition("o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum(dec2("o_totalprice"))).alias("total_price"),
+    )
+
+
+@query(
+    "s13_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def s13_bucketed_join(spark, sf_dir):
+    """Bucketed co-located fact⋈fact join (the brief's "bucketing for
+    co-located joins"). Both tables are written CLUSTERED BY the join key
+    into the same bucket count, so the join needs NO exchange on either
+    side — at 100 TB that deletes the two largest shuffles in the
+    pipeline in exchange for one-time bucketed layout
+    (tests/test_plans.py::test_bucketed_join_has_no_shuffle asserts the
+    exchange-free plan). Bucket pruning and AQE still apply on top."""
+    base = _scratch("bucket")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    for name, df, key in (
+        ("bkt_orders", orders, "o_orderkey"),
+        ("bkt_lineitem", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o = spark.table("bkt_orders")
+    l = spark.table("bkt_lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money(F.sum(dec2("l_extendedprice"))).alias("total_price"),
+        )
+    )

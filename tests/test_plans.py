@@ -176,3 +176,39 @@ def test_q22_anti_join_with_pushed_date(spark, sf_dir):
     assert "LeftAnti" in p
     pushed = [l for l in p.splitlines() if "PushedFilters" in l and "o_orderdate" in l]
     assert pushed, "orderdate predicate not pushed into orders scan"
+
+
+def test_partitioned_readback_prunes(spark, sf_dir):
+    """The partitioned layout's read-back must prune at the directory
+    level: the partition predicate shows up as PartitionFilters (and
+    matched partitions < total), not as a post-scan Filter."""
+    p = plan(spark, sf_dir, "s12_partitioned_sink")
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert pf and "o_orderpriority" in pf[0], pf
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Bucketed co-located join: with broadcast off, the orderkey join
+    must run exchange-free — both sides read pre-bucketed."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(spark, sf_dir, "s13_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    join_pos = p.find("SortMergeJoin")
+    assert join_pos >= 0, "expected a sort-merge join over bucketed scans"
+    # The only exchange allowed is the post-join aggregation's; nothing
+    # below the join may shuffle. Node ids number bottom-up, so every
+    # Exchange id must be GREATER than the join's id.
+    import re
+
+    join_id = min(
+        int(m) for m in re.findall(r"SortMergeJoin[^(]*\((\d+)\)", p)
+    )
+    exchange_ids = [
+        int(m) for m in re.findall(r"Exchange[^(]*\((\d+)\)", p)
+    ]
+    assert all(e > join_id for e in exchange_ids), (join_id, exchange_ids)
+    assert "SELECTED BUCKETS" in p or "Bucketed: true" in p, "scan not bucketed"

@@ -38,6 +38,7 @@ HEADLINE = [
     "t4_tfidf_topk",           # ranked retrieval
     "x1_exact_dedup",          # hash dedup
     "x2_ngram_jaccard",        # near-dup candidate join
+    "x7_training_pipeline",    # lang gate → quality → dedup → accounting
     "x4_cosine_topk",          # embedding similarity
     "st1_tumbling_window",     # event-time window agg
     "st3_session_window",      # session windows

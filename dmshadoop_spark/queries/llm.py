@@ -15,6 +15,7 @@ from pyspark.sql.functions import broadcast
 
 from dmshadoop_spark.catalog import load_table
 from dmshadoop_spark.functions.text import (
+    STOPWORDS,
     doc_fingerprint,
     langid_score,
     mean_token_length,
@@ -592,4 +593,94 @@ def x6_frame_sample(spark, sf_dir):
     frames = sample_frames(binary_shaped, every_s=0.5)
     return frames.select(
         "path", "frame_idx", "ts_sec", F.length("frame").alias("frame_bytes")
+    )
+
+
+# --------------------------------------------------------------------------
+# X7 — end-to-end training-data pipeline (composition of X1/X3 stages)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "x7_training_pipeline",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source, text, string_split(text, ' ') AS t
+        FROM documents
+    ),
+    gated AS (
+        SELECT *,
+               CAST(len(list_filter(t,
+                        x -> x IN ('the','a','of','and','is','to','in')))
+                    AS DOUBLE) / CAST(len(t) AS DOUBLE) AS sr
+        FROM base
+        WHERE len(list_filter(t,
+                  x -> x IN ('the','a','of','and','is','to','in'))) > 0
+          AND len(t) >= 20
+    ),
+    quality AS (SELECT * FROM gated WHERE sr <= 0.15),
+    dedup AS (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM quality
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           SUM(len(t)) AS ws_tokens,
+           SUM(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS bpe_ish_tokens
+    FROM dedup WHERE rn = 1
+    GROUP BY source
+    """,
+)
+def x7_training_pipeline(spark, sf_dir):
+    """End-to-end training-corpus preparation — the composition the brief
+    frames this engine around: language gate → quality gate → exact
+    dedup → per-source token accounting, in ONE declarative plan.
+
+    Stage shapes (all scan-local until the dedup shuffle):
+      1. tokenize once into a named column (the §SCALE expression-staging
+         rule — every downstream stage references `toks`, nothing
+         re-splits);
+      2. language gate (stopword evidence) + min-length gate as cheap
+         pushable-ish predicates; quality gate (stopword ratio band) on
+         the staged array;
+      3. exact dedup = row_number over content hash (uniform 128-bit
+         shuffle key, no skew) keeping the smallest doc_id —
+         deterministic winner;
+      4. per-source token accounting (whitespace + BPE-ish counts) —
+         partial aggregates collapse each partition before the final
+         source-keyed exchange.
+    At 100 TB: two shuffles total (hash dedup, source agg); everything
+    else is embarrassingly parallel over the corpus scan. The near-dup
+    stage (MinHash/SimHash) chains after this as a candidate join over
+    the survivors — kept separate here so the pipeline stays
+    oracle-checkable end to end."""
+    from dmshadoop_spark.catalog import widen
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id", "source", "text", tokenize("text").alias("toks")
+    )
+    n_stops = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS)))
+    gated = staged.filter((n_stops > 0) & (F.size("toks") >= 20))
+    quality = gated.filter(
+        stopword_ratio(F.col("toks")) <= 0.15
+    )
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        "doc_id"
+    )
+    deduped = quality.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("ws_tokens"),
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    "text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)
+                )
+            )
+        ).alias("bpe_ish_tokens"),
     )

@@ -787,3 +787,59 @@ def q22_global_sales(spark, sf_dir):
             money(F.sum(dec2("c_acctbal"))).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q20_promotion_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_6')
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'PROMO'
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(l_quantity) > 50
+      )
+    ORDER BY s_name
+    """,
+)
+def q20_promotion_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: lineitem⋈part stands in for the absent
+    partsupp availability relation): suppliers in two nations who moved
+    more than a threshold quantity of any PROMO part in 1996. The inner
+    block aggregates lineitem down to (suppkey, partkey) BEFORE the
+    HAVING filter, and the outer IN is a left-semi join against just the
+    surviving suppkeys — supplier rows never duplicate, and the fact
+    table is touched exactly once."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_6")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = li.schema["l_shipdate"].dataType
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    )
+    movers = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(ts))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast(ts))
+        )
+        .join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(movers, supp.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

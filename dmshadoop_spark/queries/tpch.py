@@ -843,3 +843,105 @@ def q20_promotion_suppliers(spark, sf_dir):
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@query(
+    "q2_top_supplier_per_nation",
+    oracle="""
+    WITH ranked AS (
+        SELECT n_name, s_name, s_acctbal,
+               max(s_acctbal) OVER (PARTITION BY n_nationkey) AS best
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT n_name, s_name, s_acctbal
+    FROM ranked WHERE s_acctbal = best
+    ORDER BY n_name, s_name
+    """,
+)
+def q2_top_supplier_per_nation(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp, so the correlated-min-cost
+    subquery becomes correlated-max-acctbal per nation within a region —
+    the identical decorrelation problem). One pass: the per-group scalar
+    comes from a window over the region-pruned supplier slice, never a
+    second aggregate branch (SCALE.md finding #5). Region→nation prune by
+    broadcast before any supplier rows move."""
+    from pyspark.sql import Window
+
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    dims = broadcast(
+        nation.join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    sliced = supp.join(dims, supp.s_nationkey == dims.n_nationkey)
+    w = Window.partitionBy("n_nationkey")
+    return (
+        sliced.withColumn("best", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("best"))
+        .select("n_name", "s_name", "s_acctbal")
+        .orderBy("n_name", "s_name")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    ),
+    with_total AS (
+        SELECT l_partkey, part_value,
+               SUM(part_value) OVER () AS total_value
+        FROM per_part
+    )
+    SELECT l_partkey,
+           CAST(ROUND(part_value, 2) AS DOUBLE) AS part_value
+    FROM with_total
+    WHERE CAST(part_value AS DOUBLE) > CAST(total_value AS DOUBLE) * 0.002
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: lineitem value flow stands in for the
+    absent partsupp stock value): parts whose value through one nation's
+    suppliers exceeds a fraction of that nation's total. The
+    HAVING-vs-global-scalar comparison uses a window over the per-part
+    aggregate — lineitem is scanned once, and the unpartitioned window
+    sees only |parts| already-reduced rows (SCALE.md finding #5). The
+    fraction comparison casts both exact decimal sums to double and
+    multiplies by the same literal — one identical IEEE op per engine,
+    so the threshold cut is bit-stable."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    national = supp.join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    per_part = (
+        li.join(national.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec2("l_extendedprice")).alias("part_value"))
+    )
+    w = Window.partitionBy()
+    return (
+        per_part.withColumn("total_value", F.sum("part_value").over(w))
+        .filter(
+            F.col("part_value").cast("double")
+            > F.col("total_value").cast("double") * F.lit(0.002)
+        )
+        .select("l_partkey", money(F.col("part_value")).alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )

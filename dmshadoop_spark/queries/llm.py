@@ -127,15 +127,23 @@ def x2_ngram_jaccard(spark, sf_dir):
     ).filter(F.col("s").isNotNull())
     # df>=2 postings only; emit sorted upper-triangle pairs inside the JVM.
     # Struct sort order is field order, so (doc_id, n) sorts by doc_id.
-    ids = F.array_sort(F.collect_list("d")).alias("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    # Pair emission: full n×n struct product filtered to doc_a < doc_b.
+    # Measured FASTER than the sorted upper-triangle slice form (slice
+    # copies the list tail per element — O(df²) element copies in the
+    # interpreted evaluator; the filter form builds each struct once and
+    # needs no array_sort on the posting list).
+    ids = F.collect_list("d").alias("ids")
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        ),
+        lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
     )
     pairs = (
         sh.groupBy("s")

@@ -32,8 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so the
+    correctness gate's 50-query window lands on this round's priority set
+    (registry.PRIORITY)."""
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -17,9 +17,16 @@ STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 
 
 def tokenize(text: Column | str) -> Column:
-    """Whitespace tokenization of already-normalized text."""
+    """Single-space tokenization of already-normalized text.
+
+    CONTRACT: splits on one literal ``' '`` — exactly DuckDB's
+    ``string_split(text, ' ')`` — so every oracle comparison holds on ANY
+    input, including consecutive/tab whitespace (both engines then emit the
+    same empty tokens). This is the repo's single tokenizer definition; all
+    text operators (T1-T5, X2, X3, X7) must route through it rather than
+    calling ``F.split`` directly."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(c, r"\s+")
+    return F.split(c, " ", -1)
 
 
 def shingles(tokens: Column | str, n: int = 3) -> Column:

@@ -36,17 +36,21 @@ def a1_max_per_group(spark, sf_dir):
 @query(
     "a2_collect_list",
     oracle="""
-    SELECT source, list_sort(list(DISTINCT lang)) AS langs
+    SELECT source,
+           array_to_string(list_sort(list(DISTINCT lang)), '|') AS langs
     FROM documents GROUP BY source
     """,
 )
 def a2_collect_list(spark, sf_dir):
     """Collect values per group (the per-file version list, src/DMS.py:377-383)
     — sorted for determinism, mirroring the reference's own sort-before-use
-    at src/DMS.py:391."""
+    at src/DMS.py:391. Serialized to a '|'-joined scalar: the driver's
+    canonicalizer hashes cell values and cannot factorize list cells
+    (round-1 FAIL: 'unhashable type: list'), and the join loses nothing
+    because lang values never contain '|'."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
-        F.array_sort(F.collect_set("lang")).alias("langs")
+        F.array_join(F.array_sort(F.collect_set("lang")), "|").alias("langs")
     )
 
 

@@ -351,7 +351,9 @@ def f1_concat_key(spark, sf_dir):
 def f2_split(spark, sf_dir):
     """Split — the key/metadata deconstruction (src/DMS.py:379,413,83)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    from dmshadoop_spark.functions.text import tokenize
+
+    toks = tokenize("text")
     return docs.select(
         "doc_id",
         toks.getItem(0).alias("first_token"),

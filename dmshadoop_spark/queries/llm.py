@@ -546,7 +546,7 @@ def x3_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(tokenize("text")).alias("ws_tokens"),
         F.size(
             F.regexp_extract_all(
                 "text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)

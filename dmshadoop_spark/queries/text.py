@@ -33,13 +33,21 @@ def tokens_df(spark, sf_dir):
 @query(
     "t1_tokenize",
     oracle="""
-    SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    SELECT doc_id,
+           array_to_string(string_split(text, ' '), '|') AS tokens
+    FROM documents
     """,
 )
 def t1_tokenize(spark, sf_dir):
-    """Tokenization as a first-class operator (Solr did this internally)."""
+    """Tokenization as a first-class operator (Solr did this internally).
+    Output serialized to a '|'-joined scalar: the driver's canonicalizer
+    cannot hash list cells (the round-1 a2 failure mode), and the corpus
+    vocabulary contains no '|'. Routes through the repo-wide tokenize()
+    contract (functions/text.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    return docs.select(
+        "doc_id", F.array_join(tokenize("text"), "|").alias("tokens")
+    )
 
 
 @query(

@@ -32,6 +32,12 @@ from dmshadoop_spark.functions.vectors import (
 )
 from dmshadoop_spark.registry import query
 
+# Hot-shingle df cap for x2_ngram_jaccard (see its docstring). Chosen three
+# orders of magnitude above the max df observed at any test SF (25 at sf0.1)
+# so test/oracle results are identical, while bounding a degenerate
+# boilerplate shingle's pair emission at 100 TB.
+JACCARD_DF_CAP = 1000
+
 # --------------------------------------------------------------------------
 # X1 — exact dedup
 # --------------------------------------------------------------------------
@@ -104,10 +110,18 @@ def x2_ngram_jaccard(spark, sf_dir):
     majority — they can't produce a pair), and emit the upper-triangle doc
     pairs JVM-side with nested ``transform`` over the sorted posting list.
     Total shuffles: postings on shingle hash, then pair counts on (doc_a,
-    doc_b) — both uniform keys. At 100 TB, cap hot shingles (df > threshold
-    → salted two-level pairing or drop with a documented recall bound) so
-    the worst posting list stays bounded; jaccard = |∩| / |∪| as one exact
-    IEEE division."""
+    doc_b) — both uniform keys.
+
+    SKEW GUARD (the 100 TB path): postings with df > JACCARD_DF_CAP are
+    dropped — same policy as ``max_bucket`` in dedup/minhash.py and
+    dedup/simhash.py. A boilerplate shingle shared by df docs would emit
+    O(df²) pairs from ONE key on ONE executor; the cap bounds the worst
+    posting at CAP²/2 transient structs. Recall bound: a pair is missed
+    only if EVERY shingle it shares is hotter than the cap — i.e. the pair
+    shares nothing but boilerplate, which is exactly the non-signal case
+    MinHash pipelines (Gopher/RefinedWeb) also discard. The cap is far
+    above any test SF's max df (25 at sf0.1), so oracle results are
+    unchanged; jaccard = |∩| / |∪| as one exact IEEE division."""
     from dmshadoop_spark.catalog import widen
 
     docs = widen(load_table(spark, sf_dir, "documents"))
@@ -148,7 +162,7 @@ def x2_ngram_jaccard(spark, sf_dir):
     pairs = (
         sh.groupBy("s")
         .agg(ids)
-        .filter(F.size("ids") >= 2)
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= JACCARD_DF_CAP))
         .select(F.explode_outer(pair_structs).alias("p"))
         .filter(F.col("p").isNotNull())
         .groupBy(

@@ -91,6 +91,27 @@ def test_ivf_knn_recall_vs_exact(spark, sf_dir):
     assert len(ex & ap) / len(ex) >= 0.3, (len(ex & ap), len(ex))
 
 
+def test_jaccard_df_cap_guards_hot_shingles(spark, sf_dir, monkeypatch):
+    """Pin the x2_ngram_jaccard skew guard: postings hotter than
+    JACCARD_DF_CAP emit no pairs, and the production cap is far enough above
+    any test-SF df that capped and uncapped results are identical."""
+    from dmshadoop_spark.queries import llm
+
+    q = llm.x2_ngram_jaccard
+
+    default = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert default  # the synthetic corpus has planted near-dups
+
+    # Production cap must not change results at test SF (df max ≈ 25).
+    monkeypatch.setattr(llm, "JACCARD_DF_CAP", 10**9)
+    uncapped = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert default == uncapped
+
+    # A cap of 1 excludes every df>=2 posting → no pair survives.
+    monkeypatch.setattr(llm, "JACCARD_DF_CAP", 1)
+    assert q(spark, sf_dir).count() == 0
+
+
 def test_resize_and_frame_sample_plumbing(spark, sf_dir):
     from dmshadoop_spark.multimodal import resize_images, sample_frames
 

@@ -38,6 +38,12 @@ from dmshadoop_spark.registry import query
 # boilerplate shingle's pair emission at 100 TB.
 JACCARD_DF_CAP = 1000
 
+# Triangle-shard count for x2_embedding_neardup: a label block's collected
+# rows hold <= 2/S of the block's vectors. Exactness holds for ANY value
+# (see the query docstring), so test SF runs the same code path production
+# would; raise it with block size (memory per row shrinks linearly).
+NEARDUP_SHARDS = 4
+
 # --------------------------------------------------------------------------
 # X1 — exact dedup
 # --------------------------------------------------------------------------
@@ -497,47 +503,87 @@ def x6_feature_extract(spark, sf_dir):
 )
 def x2_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, blocked by `label` (the
-    coarse class key): vectors only compare within their block, so the
-    work is sum-over-blocks k² instead of corpus². Per block, the sorted
-    vector list is collected once and upper-triangle pairs emit with the
-    cosine ALREADY computed inside the emission lambda — exposing it as a
-    generated-struct field means the threshold filter reads a field
-    instead of re-deriving the dot fold (predicate pushdown through the
-    projection would otherwise evaluate it twice). At 100 TB the blocking
-    key is finer (LSH bucket / shard-of-class) so blocks stay bounded;
-    this plan's shuffles are one groupBy(label) and nothing else."""
+    coarse class key) and triangle-sharded inside each block so collected
+    arrays stay bounded no matter how big a label gets.
+
+    EXACT all-pairs at bounded memory: each vector hashes to one of
+    NEARDUP_SHARDS shards; every unordered shard pair {i, j} (including
+    i == j) is a group, and a vector in shard s replicates to the S groups
+    it can meet a partner in. A group holds at most 2k/S vectors, so one
+    degenerate label can no longer build a k-vector row (the round-1 OOM
+    risk) — worst-row memory shrinks S× and the product emission S²×,
+    for an S× shuffle-replication cost. Results are IDENTICAL for any S
+    (each pair lands in exactly one group: cross-shard pairs in their
+    {i, j} group, intra-shard pairs in (s, s)), so the production shape is
+    the tested shape — no recall bound to document, unlike LSH bucketing.
+    The cosine is computed inside the emission lambda and exposed as a
+    generated-struct field so the threshold filter reads a field instead
+    of re-deriving the dot fold. Shuffles: one groupBy(label, i, j)."""
     from dmshadoop_spark.functions.vectors import dot
 
+    S = NEARDUP_SHARDS
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "label", as_double("embedding").alias("v"))
         .select(
-            "vec_id", "label", "v", F.sqrt(norm_sq(F.col("v"))).alias("nv")
+            "vec_id",
+            "label",
+            "v",
+            F.sqrt(norm_sq(F.col("v"))).alias("nv"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(S)).cast("int").alias("s"),
         )
     )
-    grouped = emb.groupBy("label").agg(
-        F.array_sort(F.collect_list(F.struct("vec_id", "v", "nv"))).alias(
-            "vecs"
-        )
+    memberships = F.array(
+        *[
+            F.struct(
+                F.least(F.col("s"), F.lit(t)).alias("i"),
+                F.greatest(F.col("s"), F.lit(t)).alias("j"),
+            )
+            for t in range(S)
+        ]
     )
+    sharded = emb.select(
+        "label",
+        F.struct("vec_id", "v", "nv", "s").alias("d"),
+        F.explode(memberships).alias("g"),
+    )
+    grouped = sharded.groupBy("label", "g.i", "g.j").agg(
+        F.collect_list("d").alias("vecs")
+    )
+    # Side A = shard-i members, side B = shard-j members (for a diagonal
+    # group both sides are the whole list). The A×B product emits each
+    # cross-shard pair exactly once with no wasted cosine; diagonal groups
+    # contain both orientations plus self-pairs, so the `lt` flag keeps
+    # only vec_id-ascending pairs there. least/greatest orient the output
+    # pair by vec_id (cosine is symmetric).
+    side_a = F.filter(F.col("vecs"), lambda d: d["s"] == F.col("i"))
+    side_b = F.filter(F.col("vecs"), lambda d: d["s"] == F.col("j"))
     pair_structs = F.flatten(
         F.transform(
-            F.col("vecs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("vecs"), i + 2, F.size(F.col("vecs"))),
+            side_a,
+            lambda x: F.transform(
+                side_b,
                 lambda y: F.struct(
-                    x["vec_id"].alias("vec_a"),
-                    y["vec_id"].alias("vec_b"),
+                    F.least(x["vec_id"], y["vec_id"]).alias("vec_a"),
+                    F.greatest(x["vec_id"], y["vec_id"]).alias("vec_b"),
                     (dot(x["v"], y["v"]) / (x["nv"] * y["nv"])).alias(
                         "cosine"
                     ),
+                    (x["vec_id"] < y["vec_id"]).alias("lt"),
                 ),
             ),
         )
     )
     return (
-        grouped.select(F.explode_outer(pair_structs).alias("p"))
-        .filter(F.col("p").isNotNull() & (F.col("p.cosine") >= 0.35))
+        grouped.select(
+            (F.col("i") == F.col("j")).alias("intra"),
+            F.explode_outer(pair_structs).alias("p"),
+        )
+        .filter(
+            F.col("p").isNotNull()
+            & (F.col("p.lt") | ~F.col("intra"))
+            & (F.col("p.cosine") >= 0.35)
+        )
         .select("p.vec_a", "p.vec_b", "p.cosine")
     )
 

@@ -112,6 +112,27 @@ def test_jaccard_df_cap_guards_hot_shingles(spark, sf_dir, monkeypatch):
     assert q(spark, sf_dir).count() == 0
 
 
+def test_embedding_neardup_shard_invariant(spark, sf_dir, monkeypatch):
+    """Pin the triangle-sharding exactness claim: x2_embedding_neardup
+    must return the identical pair set for any NEARDUP_SHARDS value —
+    sharding bounds memory, never results."""
+    from dmshadoop_spark.queries import llm
+
+    q = llm.x2_embedding_neardup
+
+    def rows(df):
+        return sorted(
+            (r["vec_a"], r["vec_b"], round(r["cosine"], 12))
+            for r in df.collect()
+        )
+
+    base = rows(q(spark, sf_dir))
+    assert base  # planted near-dups exist
+    for s in (1, 7):
+        monkeypatch.setattr(llm, "NEARDUP_SHARDS", s)
+        assert rows(q(spark, sf_dir)) == base, f"shards={s}"
+
+
 def test_resize_and_frame_sample_plumbing(spark, sf_dir):
     from dmshadoop_spark.multimodal import resize_images, sample_frames
 

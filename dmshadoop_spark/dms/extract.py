@@ -9,6 +9,10 @@ truncates values containing ':' (bug B4: "Creation date: 2014-04-25
   * sniffs container formats by magic bytes and pulls image dimensions with
     pure-stdlib parsing (hachoir is Python-2-dead; Pillow isn't in the
     container) — JPEG SOF scan and PNG IHDR;
+  * walks the JPEG APP1/Exif TIFF IFDs for the camera/date fields the
+    reference's hachoir emitted (Make, Model, DateTime[Original], ISO,
+    exposure, focal length, pixel dims; src/DMS.py:70-91) — both byte
+    orders, bounds-checked, never raising on malformed input;
   * always emits the ingest metadata the reference stored from WebHDFS
     FileStatus (length; src/DMS.py:122,146-155) plus a content hash.
 
@@ -72,6 +76,113 @@ def _png_dimensions(content: bytes) -> tuple[int, int] | None:
     return None
 
 
+# EXIF/TIFF IFD walk (pure stdlib) — parity with the reference's hachoir
+# metadata on real images (src/DMS.py:70-91), which surfaced creation
+# date / camera fields. Tag names follow the EXIF spec; values render as
+# strings for the flat map contract.
+_EXIF_TAGS = {
+    0x010F: "exif_make",
+    0x0110: "exif_model",
+    0x0112: "exif_orientation",
+    0x0131: "exif_software",
+    0x0132: "exif_datetime",
+    0x013B: "exif_artist",
+    0x8827: "exif_iso",
+    0x829A: "exif_exposure_time",
+    0x829D: "exif_f_number",
+    0x9003: "exif_datetime_original",
+    0x9004: "exif_datetime_digitized",
+    0x920A: "exif_focal_length",
+    0xA002: "exif_pixel_x",
+    0xA003: "exif_pixel_y",
+}
+_EXIF_IFD_POINTER = 0x8769
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _render_tiff_value(endian: str, typ: int, count: int, raw: bytes) -> str:
+    if typ == 2:  # ASCII, NUL-terminated
+        return raw.split(b"\x00")[0].decode("utf-8", "replace")
+    if typ == 7:  # UNDEFINED
+        return raw.hex()
+    fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}.get(typ)
+    if fmt is not None:
+        vals = struct.unpack(endian + fmt * count, raw)
+        return ",".join(str(v) for v in vals)
+    # RATIONAL / SRATIONAL: (numerator, denominator) pairs
+    fmt = "II" if typ == 5 else "ii"
+    vals = struct.unpack(endian + fmt * count, raw)
+    return ",".join(
+        f"{vals[i]}/{vals[i + 1]}" for i in range(0, len(vals), 2)
+    )
+
+
+def _walk_ifd(data: bytes, endian: str, off: int, out: dict[str, str]) -> int | None:
+    """Parse one IFD at `off`, recording known tags into `out`; returns the
+    Exif-sub-IFD pointer if present. Bounds-checked throughout — malformed
+    entries are skipped, never raised."""
+    exif_ptr = None
+    if off < 0 or off + 2 > len(data):
+        return None
+    (n_entries,) = struct.unpack_from(endian + "H", data, off)
+    pos = off + 2
+    for _ in range(n_entries):
+        if pos + 12 > len(data):
+            break
+        tag, typ, count = struct.unpack_from(endian + "HHI", data, pos)
+        unit = _TIFF_TYPE_SIZE.get(typ, 0)
+        size = unit * count
+        if 0 < size and count <= 65536:
+            if size <= 4:
+                voff = pos + 8
+            else:
+                (voff,) = struct.unpack_from(endian + "I", data, pos + 8)
+            if voff + size <= len(data):
+                raw = data[voff : voff + size]
+                if tag == _EXIF_IFD_POINTER and typ == 4:
+                    (exif_ptr,) = struct.unpack(endian + "I", raw)
+                elif tag in _EXIF_TAGS:
+                    try:
+                        out[_EXIF_TAGS[tag]] = _render_tiff_value(
+                            endian, typ, count, raw
+                        )
+                    except struct.error:
+                        pass
+        pos += 12
+    return exif_ptr
+
+
+def _parse_tiff_exif(data: bytes) -> dict[str, str]:
+    """TIFF container walk: header → IFD0 → Exif sub-IFD (both endians)."""
+    out: dict[str, str] = {}
+    if len(data) < 8:
+        return out
+    endian = {b"II": "<", b"MM": ">"}.get(data[:2])
+    if endian is None or struct.unpack(endian + "H", data[2:4])[0] != 42:
+        return out
+    (ifd0_off,) = struct.unpack(endian + "I", data[4:8])
+    exif_ptr = _walk_ifd(data, endian, ifd0_off, out)
+    if exif_ptr is not None:
+        _walk_ifd(data, endian, exif_ptr, out)
+    return out
+
+
+def _jpeg_exif(content: bytes) -> dict[str, str]:
+    """Find the APP1/Exif segment in a JPEG and parse its TIFF block."""
+    i, n = 2, len(content)
+    while i + 4 <= n and content[i] == 0xFF:
+        marker = content[i + 1]
+        if marker in (0xD8, 0xD9, 0xDA):  # SOI/EOI/scan start: no APP1 left
+            break
+        seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+        if seg_len < 2:
+            break
+        if marker == 0xE1 and content[i + 4 : i + 10] == b"Exif\x00\x00":
+            return _parse_tiff_exif(content[i + 10 : i + 2 + seg_len])
+        i += 2 + seg_len
+    return {}
+
+
 def extract_metadata(content: bytes) -> dict[str, str]:
     """Binary content → flat string→string metadata map (UD1 contract)."""
     meta: dict[str, str] = {
@@ -83,6 +194,7 @@ def extract_metadata(content: bytes) -> dict[str, str]:
     dims = None
     if ctype == "image/jpeg":
         dims = _jpeg_dimensions(content)
+        meta.update(_jpeg_exif(content))
     elif ctype == "image/png":
         dims = _png_dimensions(content)
     if dims:

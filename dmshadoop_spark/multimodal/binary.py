@@ -2,11 +2,13 @@
 
 Design: image/audio/video travel as opaque BINARY columns plus typed
 metadata (content_type, width/height from dms.extract). Decode and
-feature-extraction run as Arrow-batched functions over ``mapInPandas`` —
-the batch shape, schema, and partitioning are real and tested; the codec
-call itself is stubbed because no image/audio library ships in this
-container (clearly marked NotImplementedError + a deterministic fake
-used by tests and the feature pipeline).
+feature-extraction run as Arrow-batched functions over ``mapInPandas``.
+PNG is a REAL end-to-end codec (stdlib zlib decode → unfilter → resample
+→ re-encode, see decode_png/encode_png); JPEG gets a real EXIF/metadata
+encoder (encode_exif_jpeg) but entropy decode is stubbed because no
+image/audio library ships in this container (clearly marked
+NotImplementedError + a deterministic fake used by tests and the feature
+pipeline).
 
 ``ingest_binary_dir`` is the reference's blob-ingest path
 (open().read() + create_file, src/DMS.py:106-121) as Spark's binaryFile
@@ -18,6 +20,8 @@ src/DMS.py:122,146-155).
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -41,15 +45,207 @@ def ingest_binary_dir(
     return reader.load(path)
 
 
+def _tiff_ifd_bytes(entries: list[tuple[int, int, int, bytes]], base: int) -> bytes:
+    """Serialize one TIFF IFD at absolute offset `base` (little-endian).
+    Payloads over 4 bytes are appended after the entry table with their
+    offsets patched in; entries must be pre-sorted by tag (TIFF rule)."""
+
+    n = len(entries)
+    head_len = 2 + 12 * n + 4
+    head = struct.pack("<H", n)
+    extra = b""
+    for tag, typ, count, payload in entries:
+        if len(payload) <= 4:
+            val = payload.ljust(4, b"\x00")
+        else:
+            val = struct.pack("<I", base + head_len + len(extra))
+            extra += payload
+        head += struct.pack("<HHI", tag, typ, count) + val
+    return head + struct.pack("<I", 0) + extra
+
+
+def encode_exif_jpeg(
+    width: int,
+    height: int,
+    make: str | None = None,
+    model: str | None = None,
+    datetime: str | None = None,
+    iso: int | None = None,
+) -> bytes:
+    """Deterministic minimal JPEG with a real APP1/Exif TIFF block: SOI +
+    APP1(IFD0: Make/Model/DateTime + Exif sub-IFD: DateTimeOriginal/ISO/
+    pixel dims) + SOF0(height, width) + EOI. The encode-side counterpart
+    of dms.extract's EXIF walk — exercised by the x6_exif_meta round-trip
+    gate. `datetime` uses the EXIF convention 'YYYY:MM:DD HH:MM:SS'."""
+
+    ascii_ = lambda s: s.encode("utf-8") + b"\x00"  # noqa: E731
+    ifd0: list[tuple[int, int, int, bytes]] = []
+    exif: list[tuple[int, int, int, bytes]] = []
+    if make is not None:
+        ifd0.append((0x010F, 2, len(make) + 1, ascii_(make)))
+    if model is not None:
+        ifd0.append((0x0110, 2, len(model) + 1, ascii_(model)))
+    if datetime is not None:
+        ifd0.append((0x0132, 2, len(datetime) + 1, ascii_(datetime)))
+        exif.append((0x9003, 2, len(datetime) + 1, ascii_(datetime)))
+    if iso is not None:
+        exif.append((0x8827, 3, 1, struct.pack("<H", iso)))
+    exif.append((0xA002, 4, 1, struct.pack("<I", width)))
+    exif.append((0xA003, 4, 1, struct.pack("<I", height)))
+    exif.sort()
+    # The Exif-pointer payload is always 4 bytes inline, so IFD0's size is
+    # independent of the pointer's value: size first, then patch.
+    ifd0_with_ptr = sorted(ifd0 + [(0x8769, 4, 1, b"\x00\x00\x00\x00")])
+    exif_off = 8 + len(_tiff_ifd_bytes(ifd0_with_ptr, 8))
+    ifd0_with_ptr = sorted(ifd0 + [(0x8769, 4, 1, struct.pack("<I", exif_off))])
+    tiff = (
+        b"II*\x00"
+        + struct.pack("<I", 8)
+        + _tiff_ifd_bytes(ifd0_with_ptr, 8)
+        + _tiff_ifd_bytes(exif, exif_off)
+    )
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + 6 + len(tiff)) + b"Exif\x00\x00" + tiff
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app1 + sof0 + b"\xff\xd9"
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(data: bytes):
+    i = 8
+    while i + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        ctype = data[i + 4 : i + 8]
+        yield ctype, data[i + 8 : i + 8 + length]
+        if ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + payload + crc
+
+
+def decode_png(content: bytes) -> "np.ndarray":
+    """Real PNG decode with stdlib zlib: chunk walk → IDAT inflate →
+    per-scanline unfilter (all five filter types) → HxWx3 uint8 array.
+    Supports 8-bit gray/RGB/RGBA, non-interlaced (gray replicates to 3
+    channels, alpha is dropped); anything else raises NotImplementedError
+    so callers can fall back."""
+
+    data = bytes(content)
+    if not data.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    width = height = channels = None
+    idat: list[bytes] = []
+    for ctype, chunk in _png_chunks(data):
+        if ctype == b"IHDR":
+            width, height, bitd, color, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", chunk)
+            )
+            if bitd != 8 or interlace != 0 or color not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"PNG bitdepth={bitd} color={color} interlace={interlace}"
+                )
+            channels = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up (uint8 arithmetic wraps mod 256 as specified)
+            line += prev
+        elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x - channels]
+            for c in range(channels):
+                np.add.accumulate(line[c::channels], out=line[c::channels])
+        elif ftype == 3:  # Average — sequential by definition
+            for x in range(stride):
+                left = int(line[x - channels]) if x >= channels else 0
+                line[x] = (int(line[x]) + (left + int(prev[x])) // 2) % 256
+        elif ftype == 4:  # Paeth — sequential by definition
+            for x in range(stride):
+                a = int(line[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[y] = line
+        prev = line
+    arr = out.reshape(height, width, channels)
+    if channels == 1:
+        return np.repeat(arr, 3, axis=2)
+    return arr[:, :, :3]
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """Real PNG encode: HxWx3 uint8 → 8-bit truecolor, filter 0 scanlines,
+    one zlib-deflated IDAT. Deterministic for a given input (fixed
+    compression level), valid per the PNG spec (CRC'd chunks)."""
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_png expects an HxWx3 uint8 array")
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(arr: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Deterministic nearest-neighbor resample (pure numpy indexing)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return arr[ys][:, xs]
+
+
 def decode_image(content: bytes) -> "np.ndarray":
     """Decode an image payload to an HxWx3 array.
 
-    STUB: no imaging library (Pillow/opencv) is available in this
-    container. The Spark-side plumbing (schema, batching, partitioning) is
-    real; swap this function for a real decoder in production.
+    PNG decodes for real (stdlib zlib — see decode_png). Other formats
+    raise: JPEG entropy decoding needs a real codec library (Pillow/
+    opencv), which this container doesn't ship. The Spark-side plumbing
+    (schema, batching, partitioning) is identical either way; production
+    swaps this dispatch for a full decoder.
     """
+    if bytes(content[:8]) == _PNG_MAGIC:
+        return decode_png(content)
     raise NotImplementedError(
-        "image decoding requires Pillow/opencv, not present in this container"
+        "non-PNG decoding requires Pillow/opencv, not present in this container"
     )
 
 
@@ -115,9 +311,20 @@ def resize_images(
     binary_df: DataFrame, width: int = 32, height: int = 32
 ) -> DataFrame:
     """mapInPandas resize over a binaryFile-shaped input → one thumbnail
-    row per image. Arrow batches in/out; the decode/resample call is the
-    stubbed seam (fake_thumbnail ↔ Pillow's Image.resize in production) —
-    schema, batching, and output sizing are the real contract."""
+    row per image. Arrow batches in/out. Supported PNG payloads go through
+    the REAL codec path (decode_png → nearest resample → encode_png, all
+    stdlib/numpy); everything else falls back to the deterministic fake
+    (the seam a full Pillow decoder would replace). Schema, batching, and
+    partitioning are identical on both paths."""
+
+    def one(c: bytes) -> bytes:
+        raw = bytes(c)
+        if raw[:8] == _PNG_MAGIC:
+            try:
+                return encode_png(resize_nearest(decode_png(raw), width, height))
+            except (NotImplementedError, ValueError):
+                pass  # exotic PNG variant → fake path
+        return fake_thumbnail(raw, width, height)
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -126,9 +333,7 @@ def resize_images(
                     "path": pdf["path"],
                     "width": np.full(len(pdf), width, dtype="int32"),
                     "height": np.full(len(pdf), height, dtype="int32"),
-                    "thumbnail": pdf["content"].map(
-                        lambda c: fake_thumbnail(bytes(c), width, height)
-                    ),
+                    "thumbnail": pdf["content"].map(one),
                 }
             )
 

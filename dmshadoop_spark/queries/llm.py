@@ -9,6 +9,8 @@ against a broadcast query set.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -471,6 +473,74 @@ def x6_multimodal_meta(spark, sf_dir):
     )
 
 
+@query(
+    "x6_exif_meta",
+    oracle="""
+    SELECT doc_id,
+           'dmshadoop' AS exif_make,
+           'cam-' || lang AS exif_model,
+           '2014:04:' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+               || ' 12:00:00' AS exif_datetime,
+           CAST(100 + (doc_id % 8) * 100 AS VARCHAR) AS exif_iso,
+           CAST(64 + (doc_id % 32) AS VARCHAR) AS width,
+           CAST(48 + (doc_id % 24) AS VARCHAR) AS height
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def x6_exif_meta(spark, sf_dir):
+    """EXIF round-trip parity gate: per row, ENCODE a real JPEG with a real
+    APP1/Exif TIFF block from row-derived fields (multimodal.encode_exif_jpeg,
+    Arrow-batched), then DECODE it with the pure-stdlib EXIF/TIFF IFD walk in
+    dms.extract — the camera/date fields the reference's hachoir pulled from
+    real images (src/DMS.py:70-91). Because every output field is a pure
+    function of (doc_id, lang), the DuckDB oracle recomputes them directly:
+    any defect in either the encoder or the IFD parser breaks the hash
+    match, so this is a full value-checked row, not a rows-only check."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from dmshadoop_spark.dms import with_extracted_meta
+    from dmshadoop_spark.multimodal import encode_exif_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 500
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [
+                        encode_exif_jpeg(
+                            64 + int(d) % 32,
+                            48 + int(d) % 24,
+                            make="dmshadoop",
+                            model=f"cam-{lang}",
+                            datetime=f"2014:04:{int(d) % 28 + 1:02d} 12:00:00",
+                            iso=100 + (int(d) % 8) * 100,
+                        )
+                        for d, lang in zip(pdf["doc_id"], pdf["lang"])
+                    ],
+                }
+            )
+
+    jpegs = docs.select("doc_id", "lang").mapInPandas(
+        encode, schema="doc_id bigint, content binary"
+    )
+    meta = with_extracted_meta(F.col("content"))
+    return jpegs.select(
+        "doc_id",
+        meta.getItem("exif_make").alias("exif_make"),
+        meta.getItem("exif_model").alias("exif_model"),
+        meta.getItem("exif_datetime").alias("exif_datetime"),
+        meta.getItem("exif_iso").alias("exif_iso"),
+        meta.getItem("width").alias("width"),
+        meta.getItem("height").alias("height"),
+    )
+
+
 @query("x6_feature_extract")  # fake featurizer stub → rows-only
 def x6_feature_extract(spark, sf_dir):
     """mapInPandas feature extraction over binary payloads (multimodal
@@ -644,6 +714,69 @@ def x6_resize_thumbnails(spark, sf_dir):
     thumbs = resize_images(binary_shaped, width=16, height=16)
     return thumbs.select(
         "path", "width", "height", F.length("thumbnail").alias("thumb_bytes")
+    )
+
+
+@query("x6_png_roundtrip")  # real codec; pixel hashes not SQL-expressible → rows-only
+def x6_png_roundtrip(spark, sf_dir):
+    """REAL image codec end-to-end (no stubs on this path): synthesize a
+    WxH RGB gradient per doc (pure numpy from doc_id), encode a spec-valid
+    PNG (multimodal.encode_png — CRC'd chunks, deflated scanlines), push it
+    through resize_images' real decode→unfilter→resample→re-encode branch,
+    then decode the emitted thumbnail and fingerprint its pixels. Every
+    stage is Arrow-batched mapInPandas; outputs are deterministic and
+    pinned in tests/test_dedup_similarity.py (the codec itself is
+    bit-exact-tested against hand-filtered scanlines there)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import decode_png, encode_png, resize_images
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 24 + d % 8, 32 + d % 16
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (xx * 7 + d) % 256,
+                        (yy * 11 + d * 3) % 256,
+                        (xx + yy + d * 5) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                paths.append(f"png://{d}")
+                blobs.append(encode_png(img))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    pngs = docs.select("doc_id").mapInPandas(
+        synth, schema="path string, content binary"
+    )
+    thumbs = resize_images(pngs, width=12, height=10)
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pix = pdf["thumbnail"].map(lambda t: decode_png(bytes(t)))
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "thumb_w": pix.map(lambda a: a.shape[1]).astype("int32"),
+                    "thumb_h": pix.map(lambda a: a.shape[0]).astype("int32"),
+                    "pixel_sha256": pix.map(
+                        lambda a: hashlib.sha256(a.tobytes()).hexdigest()
+                    ),
+                }
+            )
+
+    return thumbs.mapInPandas(
+        fingerprint,
+        schema="path string, thumb_w int, thumb_h int, pixel_sha256 string",
     )
 
 

@@ -111,10 +111,11 @@ PRIORITY: list[str] = [
     "j6_range_join",
     "j7_asof_join",
     "j8_cross_join",
-    # UDF tiers + sinks
+    # UDF tiers + the new EXIF round-trip gate (s6_append_sink rotates to
+    # the round-3 window to make room — the window holds 50 exactly)
     "ud3_grouped_agg_udaf",
     "ud4_pandas_scalar",
-    "s6_append_sink",
+    "x6_exif_meta",
 ]
 
 

@@ -133,6 +133,120 @@ def test_embedding_neardup_shard_invariant(spark, sf_dir, monkeypatch):
         assert rows(q(spark, sf_dir)) == base, f"shards={s}"
 
 
+def _png_with_filter(img, ftype):
+    """Independent filter-side encoder: apply PNG filter `ftype` to every
+    scanline with numpy int arithmetic, then frame spec-valid chunks. Lets
+    the tests drive decode_png's unfilter paths with bytes our own
+    encoder (filter 0 only) never produces."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dmshadoop_spark.multimodal.binary import _png_chunk
+
+    h, w, _ = img.shape
+    stride = w * 3
+    flat = img.reshape(h, stride).astype(np.int32)
+    z = np.zeros(3, dtype=np.int32)
+    raw = b""
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        left = np.concatenate([z, line[:-3]])
+        upleft = np.concatenate([z, prev[:-3]])
+        if ftype == 0:
+            f = line
+        elif ftype == 1:
+            f = line - left
+        elif ftype == 2:
+            f = line - prev
+        elif ftype == 3:
+            f = line - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            f = line - pred
+        raw += bytes([ftype]) + (f % 256).astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_codec_all_filter_types():
+    """decode_png must invert every PNG filter type bit-exactly, and
+    encode_png→decode_png must be lossless."""
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    for ftype in range(5):
+        assert (decode_png(_png_with_filter(img, ftype)) == img).all(), ftype
+    assert (decode_png(encode_png(img)) == img).all()
+    assert encode_png(img) == encode_png(img)  # deterministic
+
+
+def test_resize_images_real_png_path(spark):
+    """PNG payloads go through the real decode→resample→encode branch:
+    the emitted thumbnail decodes to exactly resize_nearest(original)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dmshadoop_spark.multimodal import (
+        decode_png,
+        encode_png,
+        resize_images,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 30, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [Row(path="a.png", content=bytearray(encode_png(img)))]
+    )
+    out = resize_images(df, width=8, height=6).collect()[0]
+    got = decode_png(bytes(out["thumbnail"]))
+    assert (got == resize_nearest(img, 8, 6)).all()
+
+
+def test_png_roundtrip_query_pinned(spark, sf_dir):
+    """x6_png_roundtrip is deterministic and its fingerprints match an
+    independent recomputation of the synth→resize pipeline."""
+    import hashlib
+
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import resize_nearest
+    from dmshadoop_spark.queries.llm import x6_png_roundtrip
+
+    rows = {r["path"]: r for r in x6_png_roundtrip(spark, sf_dir).collect()}
+    assert rows and all(
+        (r["thumb_w"], r["thumb_h"]) == (12, 10) for r in rows.values()
+    )
+
+    def expected(d):
+        h, w = 24 + d % 8, 32 + d % 16
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 7 + d) % 256, (yy * 11 + d * 3) % 256, (xx + yy + d * 5) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        return hashlib.sha256(resize_nearest(img, 12, 10).tobytes()).hexdigest()
+
+    for d in (0, 7, 123):
+        assert rows[f"png://{d}"]["pixel_sha256"] == expected(d), d
+
+
 def test_resize_and_frame_sample_plumbing(spark, sf_dir):
     from dmshadoop_spark.multimodal import resize_images, sample_frames
 

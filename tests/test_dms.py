@@ -92,6 +92,62 @@ def test_binary_ingest_and_image_dimensions(store):
     assert (meta2["width"], meta2["height"]) == ("640", "480")
 
 
+def test_exif_roundtrip_all_fields():
+    """encode_exif_jpeg → extract_metadata recovers every written field,
+    including the colon-bearing datetime (the B4 class of value)."""
+    from dmshadoop_spark.multimodal import encode_exif_jpeg
+
+    jpg = encode_exif_jpeg(
+        640, 480, make="dmshadoop", model="cam-es",
+        datetime="2014:04:25 14:22:33", iso=400,
+    )
+    meta = extract_metadata(jpg)
+    assert meta["content_type"] == "image/jpeg"
+    assert (meta["width"], meta["height"]) == ("640", "480")
+    assert meta["exif_make"] == "dmshadoop"
+    assert meta["exif_model"] == "cam-es"
+    assert meta["exif_datetime"] == "2014:04:25 14:22:33"
+    assert meta["exif_datetime_original"] == "2014:04:25 14:22:33"
+    assert meta["exif_iso"] == "400"
+    assert (meta["exif_pixel_x"], meta["exif_pixel_y"]) == ("640", "480")
+    # deterministic encoder (the x6_exif_meta oracle depends on it)
+    assert jpg == encode_exif_jpeg(
+        640, 480, make="dmshadoop", model="cam-es",
+        datetime="2014:04:25 14:22:33", iso=400,
+    )
+
+
+def test_exif_big_endian_tiff():
+    """The IFD walk honors MM byte order (hand-built: one Make entry)."""
+    from dmshadoop_spark.dms.extract import _parse_tiff_exif
+
+    make = b"bigend\x00"
+    tiff = (
+        b"MM\x00\x2a" + struct.pack(">I", 8)           # header → IFD0 at 8
+        + struct.pack(">H", 1)                          # 1 entry
+        + struct.pack(">HHI", 0x010F, 2, len(make))     # Make, ASCII
+        + struct.pack(">I", 8 + 2 + 12 + 4)             # value offset
+        + struct.pack(">I", 0)                          # next IFD
+        + make
+    )
+    assert _parse_tiff_exif(tiff) == {"exif_make": "bigend"}
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=200, deadline=None)
+def test_exif_parser_never_raises_on_junk(junk):
+    """Malformed APP1 payloads must degrade to partial/empty maps, never
+    exceptions — the extraction UDF runs on arbitrary ingested bytes."""
+    framed = (
+        b"\xff\xd8\xff\xe1"
+        + struct.pack(">H", len(junk) + 8)
+        + b"Exif\x00\x00"
+        + junk
+    )
+    extract_metadata(framed)
+    extract_metadata(b"\xff\xd8" + junk)
+
+
 def test_update_works_and_bumps_content(store):
     """The reference's update() is dead code (undefined t, src/DMS.py:228);
     ours must actually replace content in place."""

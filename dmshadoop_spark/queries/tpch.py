@@ -110,12 +110,15 @@ def q10_returned_items(spark, sf_dir):
 )
 def t4b_index_search(spark, sf_dir):
     """Search answered FROM the materialized inverted index (search/index.py)
-    — the library path, vs t4's inline pipeline."""
+    — the library path, vs t4's inline pipeline. The corpus count folds
+    into the plan as a 1-row broadcast (metadata-only parquet count), so
+    the whole query is ONE job with no driver-side action."""
     from dmshadoop_spark.search import build_inverted_index, tfidf_search
 
     docs = load_table(spark, sf_dir, "documents")
     index = build_inverted_index(docs)
-    return tfidf_search(index, n_docs=docs.count(), query="scan merge", k=10)
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return tfidf_search(index, n_docs=n, query="scan merge", k=10)
 
 
 @query(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from dmshadoop_spark.catalog import load_table
 from dmshadoop_spark.functions.numeric import dec2, money
@@ -142,10 +143,52 @@ def w5_running_sum(spark, sf_dir):
     """,
 )
 def w6_ntile(spark, sf_dir):
-    """ntile quartiles over a unique total order. (Single-partition window —
-    fine for ranking output-sized data; at 100 TB use approx quantiles.)"""
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
-        "c_custkey", F.ntile(4).over(w).cast("long").alias("quartile")
+    """Exact ntile(4) WITHOUT the single-partition global window (the
+    round-1 registration funneled the whole table through one task's
+    sort): range-repartition on the unique sort key, row_number per range
+    partition in parallel, then reconstruct each row's GLOBAL rank by
+    adding broadcast per-partition offsets (two-phase global row_number;
+    the offsets table is one tiny P-row aggregate). The quartile is then
+    pure arithmetic on (rank, N) replicating ntile's uneven-tile rule —
+    the first N%4 tiles get one extra row. Bit-identical to
+    ntile(4) OVER (ORDER BY ...) for any partition count: range
+    boundaries shift with sampling, but local-rank + offset reconstructs
+    the same total order, so the oracle is unchanged."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    n_parts = 8  # scale with cluster width; result is invariant to it
+    ranged = cust.repartitionByRange(
+        n_parts, "c_acctbal", "c_custkey"
+    ).withColumn("pid", F.spark_partition_id())
+    local_w = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    local = ranged.withColumn("lr", F.row_number().over(local_w))
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # P-row bookkeeping window: cumulative offset + grand total. Tiny by
+    # construction (one row per range partition), so the single-partition
+    # window here is over P rows, never the table.
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    tot_w = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off"),
+        F.sum("cnt").over(tot_w).alias("n_total"),
+    )
+    ranked = local.join(broadcast(offsets), "pid").withColumn(
+        "rnk", F.col("off") + F.col("lr")
+    )
+    # ntile(4) arithmetic: base = N div 4, rem = N % 4; tiles 1..rem have
+    # base+1 rows. CASE short-circuits, so base = 0 (N < 4) never divides.
+    quartile = F.expr(
+        """CASE WHEN rnk <= (n_total % 4) * ((n_total div 4) + 1)
+                THEN (rnk - 1) div ((n_total div 4) + 1) + 1
+                ELSE (n_total % 4)
+                     + (rnk - (n_total % 4) * ((n_total div 4) + 1) - 1)
+                       div (n_total div 4) + 1
+           END"""
+    )
+    return ranked.select(
+        "c_custkey", quartile.cast("long").alias("quartile")
     )

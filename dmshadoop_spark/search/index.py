@@ -28,6 +28,8 @@ def build_inverted_index(
     production use; rebuilding is one batch job (freshness = snapshot
     cadence, SURVEY §4.2).
     """
+    from pyspark.sql import Window
+
     tokens = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(tokenize(F.col(text_col))).alias("term"),
@@ -35,19 +37,29 @@ def build_inverted_index(
     postings = tokens.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    dfreq = postings.groupBy("term").agg(
-        F.count(F.lit(1)).alias("doc_freq")
+    # doc_freq as a window over the postings aggregate, NOT a second
+    # aggregate branch joined back: the join form duplicates the whole
+    # scan→explode→agg subtree because the inferred isnotnull(term) breaks
+    # exchange-reuse canonical equality (SCALE.md finding #5). This form
+    # is one scan, one agg exchange, one term-hash window exchange.
+    return postings.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
-    return postings.join(dfreq, "term")
 
 
 def tfidf_search(
     index: DataFrame,
-    n_docs: int,
+    n_docs: int | DataFrame,
     query: str,
     k: int = 10,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a whitespace query, TF-IDF scored.
+
+    ``n_docs`` is either a plain int or a 1-row DataFrame with an
+    ``n_docs`` column (e.g. ``docs.agg(count(*))``): the DataFrame form
+    folds the corpus count into the plan as a broadcast cross join — one
+    job, no driver-side action — and on parquet that count branch is
+    metadata-only (reads zero data columns).
 
     Deterministic: score rounded to 4 decimals before ranking, ties broken
     on doc_id — the same contract as query t4.
@@ -58,7 +70,12 @@ def tfidf_search(
             "score", F.lit(0.0)
         )
     matched = index.filter(F.col("term").isin(*terms))
-    idf = F.log(F.lit(float(n_docs)) / F.col("doc_freq").cast("double"))
+    if isinstance(n_docs, DataFrame):
+        matched = matched.crossJoin(broadcast(n_docs))
+        n_expr = F.col("n_docs").cast("double")
+    else:
+        n_expr = F.lit(float(n_docs))
+    idf = F.log(n_expr / F.col("doc_freq").cast("double"))
     scored = matched.groupBy("doc_id").agg(
         F.round(F.sum(F.col("tf") * idf), 4).cast("double").alias("score")
     )

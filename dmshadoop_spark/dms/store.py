@@ -8,12 +8,15 @@ content lives exactly once as a BINARY column — Parquet is the single
 source of truth (SURVEY.md §1.3).
 
 Storage layout: MVCC generation snapshots. ``base/gen=N/`` holds the table
-at generation N; uploads append files to the current generation (parquet
-append = new row-groups, no rewrite); deletes/updates write generation N+1
-excluding/replacing the affected keys, then a marker makes it current. This
-is the job-level-commit answer to the reference's non-atomic two-store write
-(bug B5) — on a production cluster the same API binds to Delta/Iceberg and
-deletes become MERGE/DELETE.
+at generation N and is IMMUTABLE once marked. Inserts build generation N+1
+by hardlinking gen=N's part-files plus the new ones (no data rewrite — see
+``_append_commit``); deletes/updates write generation N+1 excluding/
+replacing the affected keys. Either way the ``_SUCCESS`` marker
+materializes last and ``_generations()`` only admits marked directories,
+so every commit is all-or-nothing and readers always see a complete
+snapshot. This is the job-level-commit answer to the reference's
+non-atomic two-store write (bug B5) — on a production cluster the same
+API binds to Delta/Iceberg and deletes become MERGE/DELETE.
 
 Fixed reference bugs (SURVEY.md §2 notes):
   B1 — latest version is numeric max(version), not a string sort
@@ -102,6 +105,51 @@ class DocumentStore:
         new_gen = 0 if gen is None else gen + 1
         df.write.mode("overwrite").parquet(self._gen_path(new_gen))
 
+    def _append_commit(self, rows: DataFrame) -> None:
+        """Insert rows as a NEW generation without rewriting existing data:
+        stage the new part-files to a dot-dir no reader matches, build
+        gen=N+1 by hardlinking gen=N's files plus the staged files (data is
+        never copied; O(files) metadata ops), and materialize the _SUCCESS
+        marker LAST. ``_generations()`` only admits marked directories, so
+        a crash at ANY point leaves gen=N intact and gen=N+1 invisible —
+        the atomic-commit guarantee the module header claims (vs the
+        reference's torn two-store write, bug B5). Debris from a crashed
+        commit is swept on the next insert. Single-writer, like the
+        reference's DMS facade; concurrent writers need a real table
+        format (Delta/Iceberg), as documented above."""
+        import shutil
+        import uuid
+
+        gen = self._current_gen()
+        new_gen = 0 if gen is None else gen + 1
+        staging = os.path.join(self.base_dir, f".staging-{uuid.uuid4().hex}")
+        rows.write.mode("overwrite").parquet(staging)
+        target = self._gen_path(new_gen)
+        if os.path.exists(target):  # crashed earlier commit: no _SUCCESS
+            shutil.rmtree(target)
+        os.makedirs(target)
+
+        def link_parts(src_dir: str) -> None:
+            # Every visible data file; names are kept (Spark part files
+            # carry a fresh job UUID, so base and staged names can't
+            # collide) and markers/hidden files are skipped.
+            for fn in os.listdir(src_dir):
+                if fn.startswith(("_", ".")):
+                    continue
+                src = os.path.join(src_dir, fn)
+                dst = os.path.join(target, fn)
+                try:
+                    os.link(src, dst)
+                except OSError:  # cross-device fallback
+                    shutil.copy2(src, dst)
+
+        if gen is not None:
+            link_parts(self._gen_path(gen))
+        link_parts(staging)
+        shutil.rmtree(staging)
+        with open(os.path.join(target, "_SUCCESS"), "w"):
+            pass
+
     # -- write path --------------------------------------------------------
 
     def _make_row_df(
@@ -139,11 +187,7 @@ class DocumentStore:
         latest = self.get_lastest_version(name)
         version = (latest or 0) + 1
         row_df = self._make_row_df(name, version, content, extra_meta)
-        gen = self._current_gen()
-        if gen is None:
-            self._write_snapshot(row_df)
-        else:
-            row_df.write.mode("append").parquet(self._gen_path(gen))
+        self._append_commit(row_df)
         return version
 
     def bulk_ingest(self, files: DataFrame) -> int:
@@ -190,11 +234,7 @@ class DocumentStore:
         rows = rows.persist()
         try:
             count = rows.count()
-            gen = self._current_gen()
-            if gen is None:
-                self._write_snapshot(rows)
-            else:
-                rows.write.mode("append").parquet(self._gen_path(gen))
+            self._append_commit(rows)
         finally:
             rows.unpersist()
         return count

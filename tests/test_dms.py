@@ -92,6 +92,34 @@ def test_binary_ingest_and_image_dimensions(store):
     assert (meta2["width"], meta2["height"]) == ("640", "480")
 
 
+def test_append_commit_is_crash_atomic(store, tmp_path):
+    """Inserts are generation commits: an unmarked gen dir (simulated
+    crash) is invisible to readers and swept by the next insert; old
+    generations stay immutable so in-flight readers are never torn."""
+    import os
+
+    store.upload("a.txt", b"v1")
+    base = store.base_dir
+    gen0_files = sorted(os.listdir(os.path.join(base, "gen=0")))
+
+    # Simulate a crash mid-commit: gen=1 exists but has no _SUCCESS.
+    torn = os.path.join(base, "gen=1")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-torn.parquet"), "wb") as f:
+        f.write(b"\x00garbage")
+    assert store.get_file_version("a.txt") == [1]  # torn gen invisible
+    assert store.download("a.txt") == b"v1"
+
+    # Next insert sweeps the debris and commits a complete gen=1.
+    assert store.upload("a.txt", b"v2") == 2
+    assert store.download("a.txt") == b"v2"
+    assert store.download("a.txt", 1) == b"v1"
+    assert os.path.exists(os.path.join(base, "gen=1", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(base, "gen=1", "part-torn.parquet"))
+    # gen=0 untouched by the insert (snapshot immutability)
+    assert sorted(os.listdir(os.path.join(base, "gen=0"))) == gen0_files
+
+
 def test_exif_roundtrip_all_fields():
     """encode_exif_jpeg → extract_metadata recovers every written field,
     including the colon-bearing datetime (the B4 class of value)."""

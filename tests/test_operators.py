@@ -7,6 +7,36 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+def test_asof_join_row_consistency_and_null_propagation(spark):
+    """All _asof columns must come from the SAME latest right row: a right
+    row carrying a NULL field propagates that NULL rather than mixing in
+    an older row's non-NULL value (standard ASOF semantics; regression
+    for the per-column last() form)."""
+    from dmshadoop_spark.operators import asof_join
+
+    right = spark.createDataFrame(
+        [
+            ("k", 1, 0, 10, "ten"),
+            ("k", 2, 0, 20, None),  # latest before ts=3: b is genuinely NULL
+        ],
+        "key string, ts int, seq int, a int, b string",
+    )
+    left = spark.createDataFrame(
+        [("k", 3, 1), ("k", 1, 1), ("k", 0, 1)],
+        "key string, ts int, seq int",
+    )
+    rows = {
+        r["ts"]: (r["a_asof"], r["b_asof"])
+        for r in asof_join(
+            left, right, on=["key"], ts="ts", seq="seq",
+            value_cols=["a", "b"],
+        ).collect()
+    }
+    assert rows[3] == (20, None)  # one row: NULL b NOT backfilled from ts=1
+    assert rows[1] == (10, "ten")
+    assert rows[0] == (None, None)  # no preceding right row at all
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     from dmshadoop_spark.operators import salted_agg
 

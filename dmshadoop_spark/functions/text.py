@@ -87,6 +87,35 @@ def doc_fingerprint(tokens: Column, mod: int = 1_000_000_007) -> Column:
     )
 
 
+def stem(token: Column) -> Column:
+    """Light deterministic suffix stripper (the spirit of Solr/Lucene's
+    EnglishMinimalStemFilter — the analyzer layer the reference's Solr
+    search would have provided, src/DMS.py:350): strip ``-ing`` (len>5),
+    else ``-ed`` (len>4), else plural ``-s`` (len>3, not ``-ss``).
+    Deliberately simple enough to restate verbatim as an ANSI CASE for the
+    DuckDB oracles (see STEM_SQL)."""
+    n = F.length(token)
+    return (
+        F.when((n > 5) & token.endswith("ing"), token.substr(F.lit(1), n - 3))
+        .when((n > 4) & token.endswith("ed"), token.substr(F.lit(1), n - 2))
+        .when(
+            (n > 3) & token.endswith("s") & ~token.endswith("ss"),
+            token.substr(F.lit(1), n - 1),
+        )
+        .otherwise(token)
+    )
+
+
+# The identical stemmer as DuckDB SQL over a token expression {t} — keep in
+# lockstep with stem() above.
+STEM_SQL = (
+    "CASE WHEN len({t}) > 5 AND {t} LIKE '%ing' THEN left({t}, len({t}) - 3) "
+    "WHEN len({t}) > 4 AND {t} LIKE '%ed' THEN left({t}, len({t}) - 2) "
+    "WHEN len({t}) > 3 AND {t} LIKE '%s' AND {t} NOT LIKE '%ss' "
+    "THEN left({t}, len({t}) - 1) ELSE {t} END"
+)
+
+
 def langid_score(tokens: Column) -> Column:
     """Toy language-ID heuristic: 'en' when English stopwords appear, else
     'und'. (Real n-gram LM scoring would be a Pandas UDF; the testdata text

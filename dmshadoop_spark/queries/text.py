@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from dmshadoop_spark.catalog import load_table
-from dmshadoop_spark.functions.text import tokenize
+from dmshadoop_spark.functions.text import STEM_SQL, tokenize
 from dmshadoop_spark.registry import query
 
 QUERY_TERMS = ("spark", "join", "window")
@@ -163,4 +163,111 @@ def t5_search_numfound(spark, sf_dir):
         tokens_df(spark, sf_dir)
         .filter(F.col("term").isin(*QUERY_TERMS))
         .agg(F.countDistinct("doc_id").alias("num_found"))
+    )
+
+
+# --------------------------------------------------------------------------
+# T6-T8 — analyzer features the reference deferred to Solr and never shipped
+# (src/DMS.py:350, README.md:24): phrase match, boolean query, stemming.
+# --------------------------------------------------------------------------
+
+PHRASE = ("big", "order", "scan")
+BOOL_MUST = ("scan", "join")
+BOOL_NOT = ("slow",)
+
+
+@query(
+    "t6_phrase_search",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               len(list_filter(
+                   generate_series(1, len(toks)),
+                   i -> toks[i] = '{PHRASE[0]}'
+                        AND toks[i + 1] = '{PHRASE[1]}'
+                        AND toks[i + 2] = '{PHRASE[2]}'
+               )) AS n_hits
+        FROM t
+    )
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+    FROM h WHERE n_hits > 0
+    ORDER BY n_hits DESC, doc_id LIMIT 10
+    """,
+)
+def t6_phrase_search(spark, sf_dir):
+    """Exact phrase query answered FROM the positional index
+    (search.phrase_search): shift each term's postings by its phrase
+    offset and intersect — candidates are the phrase terms' postings
+    only. The oracle recomputes hits with a token-window scan, so the two
+    radically different implementations must agree on values."""
+    from dmshadoop_spark.search import phrase_search, positional_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(positional_index(docs), " ".join(PHRASE), k=10)
+
+
+@query(
+    "t7_boolean_search",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x = '{BOOL_MUST[0]}'))
+                + len(list_filter(toks, x -> x = '{BOOL_MUST[1]}'))
+                AS BIGINT) AS score
+    FROM t
+    WHERE list_contains(toks, '{BOOL_MUST[0]}')
+      AND list_contains(toks, '{BOOL_MUST[1]}')
+      AND NOT list_contains(toks, '{BOOL_NOT[0]}')
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def t7_boolean_search(spark, sf_dir):
+    """Boolean AND/NOT query from the positional index: one aggregation
+    over the matching postings (NOT terms ride the same groupBy — no
+    anti-join), scored by total tf of the must terms."""
+    from dmshadoop_spark.search import boolean_search, positional_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boolean_search(
+        positional_index(docs), list(BOOL_MUST), list(BOOL_NOT), k=10
+    )
+
+
+@query(
+    "t8_stemmed_lookup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
+    FROM t WHERE {STEM_SQL.format(t='tok')} = 'order'
+    GROUP BY doc_id ORDER BY tf DESC, doc_id LIMIT 20
+    """,
+)
+def t8_stemmed_lookup(spark, sf_dir):
+    """Stemmed term lookup: the analyzer normalizes BOTH index terms and
+    the query term with the same light stemmer (functions.text.stem ==
+    STEM_SQL, kept in lockstep), so 'orders'/'ordered'/'ordering' all hit
+    the 'order' postings. The stem CASE runs over every corpus token on
+    both engines — any divergence in the stemmer breaks the hash gate."""
+    from dmshadoop_spark.functions.text import stem, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode_outer(tokenize("text")).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    # stem the query term with the same expression (constant-folds)
+    qstem = F.lit("orders")
+    return (
+        toks.filter(stem(F.col("tok")) == stem(qstem))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("doc_id", F.col("tf").cast("long").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(20)
     )

@@ -47,6 +47,119 @@ def build_inverted_index(
     )
 
 
+def positional_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id, positions) — the phrase-capable index variant.
+    Positions are 0-based token offsets, sorted for deterministic arrays.
+    Same build cost profile as build_inverted_index: one scan, one
+    explode, one shuffle on (term, doc_id)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(tokenize(F.col(text_col))).alias("pos", "term"),
+    ).filter(F.col("term").isNotNull())
+    return toks.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_search(index: DataFrame, phrase: str, k: int = 10) -> DataFrame:
+    """Exact phrase match FROM the positional index (the feature the
+    reference deferred to Solr, src/DMS.py:350): join the k phrase terms
+    (a broadcast literal), shift each term's positions back by its phrase
+    offset, and intersect — a position p survives iff term_i appears at
+    p+i for every i, i.e. the full phrase starts at p. Candidate set is
+    only the postings of the phrase's terms; the corpus is never
+    rescanned. Returns (doc_id, n_hits) ranked by hits then doc_id."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        return index.select("doc_id").limit(0).withColumn(
+            "n_hits", F.lit(0).cast("long")
+        )
+    spark = index.sparkSession
+    qdf = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("offset"), F.lit(t).alias("term")
+                    )
+                    for i, t in enumerate(terms)
+                ]
+            )
+        ).alias("q")
+    ).select("q.offset", "q.term")
+    cand = index.join(broadcast(qdf), "term").select(
+        "doc_id",
+        F.transform(
+            F.col("positions"), lambda p: p - F.col("offset")
+        ).alias("shifted"),
+    )
+    per_doc = (
+        cand.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.collect_list("shifted").alias("arrs"),
+        )
+        # every (offset, term) slot must have matched a posting
+        .filter(F.col("n_parts") == len(terms))
+    )
+    hits = F.size(
+        F.aggregate(
+            F.slice(F.col("arrs"), 2, F.size("arrs") - 1),
+            F.element_at("arrs", 1),
+            lambda acc, a: F.array_intersect(acc, a),
+        )
+    )
+    return (
+        per_doc.select("doc_id", hits.cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def boolean_search(
+    index: DataFrame,
+    must: list[str],
+    must_not: list[str] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Boolean AND/NOT query FROM the inverted/positional index: one
+    groupBy over the (few) matching postings — presence of every `must`
+    term, absence of every `must_not` term, scored by total tf of the
+    `must` terms. No corpus rescans, no joins; the NOT terms ride the
+    same aggregation instead of an anti-join."""
+    must_not = must_not or []
+    tf = (
+        F.size("positions")
+        if "positions" in index.columns
+        else F.col("tf")
+    )
+    cand = index.filter(F.col("term").isin(*(must + must_not)))
+    agg = cand.groupBy("doc_id").agg(
+        F.count_distinct(
+            F.when(F.col("term").isin(*must), F.col("term"))
+        ).alias("n_must"),
+        F.max(
+            F.when(F.col("term").isin(*must_not), 1).otherwise(0)
+            if must_not
+            else F.lit(0)
+        ).alias("has_neg"),
+        F.sum(
+            F.when(F.col("term").isin(*must), tf).otherwise(0)
+        ).alias("score"),
+    )
+    return (
+        agg.filter(
+            (F.col("n_must") == len(must)) & (F.col("has_neg") == 0)
+        )
+        .select("doc_id", F.col("score").cast("long").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def tfidf_search(
     index: DataFrame,
     n_docs: int | DataFrame,

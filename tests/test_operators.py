@@ -37,6 +37,79 @@ def test_asof_join_row_consistency_and_null_propagation(spark):
     assert rows[0] == (None, None)  # no preceding right row at all
 
 
+def test_stem_variants(spark):
+    """The light stemmer folds -ing/-ed/-s variants to the base form and
+    leaves short/-ss words alone; Spark stem() and STEM_SQL (the DuckDB
+    twin) must agree token-for-token."""
+    import duckdb
+
+    from dmshadoop_spark.functions.text import STEM_SQL, stem
+
+    words = [
+        "orders", "ordered", "ordering", "order", "scans", "scanning",
+        "pass", "is", "as", "bed", "sing", "string", "miss", "tables",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["s"] for r in df.select("w", stem(F.col("w")).alias("s")).collect()}
+    assert got["orders"] == "order"
+    assert got["ordered"] == "order"
+    assert got["ordering"] == "order"
+    assert got["scans"] == "scan"
+    assert got["scanning"] == "scann"  # minimal stemmer: no double-consonant rule
+    assert got["pass"] == "pass"  # -ss protected
+    assert got["is"] == "is" and got["as"] == "as"  # too short
+    assert got["bed"] == "bed" and got["sing"] == "sing"  # length guards
+    expr = STEM_SQL.format(t="w")
+    for w in words:
+        (dd,) = duckdb.sql(
+            f"SELECT {expr} FROM (SELECT '{w}' AS w)"
+        ).fetchone()
+        assert dd == got[w], w
+
+
+def test_phrase_search_positions(spark):
+    """Positional-index phrase match: counts every occurrence, handles
+    repeated-term phrases and overlapping candidates, never matches
+    scrambled word order."""
+    from dmshadoop_spark.search import phrase_search, positional_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big order scan x big order scan"),   # 2 hits
+            (2, "order big scan"),                     # words present, wrong order
+            (3, "big order x scan"),                   # gap breaks the phrase
+            (4, "go go go"),                           # repeated-term phrase fodder
+        ],
+        "doc_id long, text string",
+    )
+    idx = positional_index(docs)
+    hits = {r["doc_id"]: r["n_hits"] for r in phrase_search(idx, "big order scan").collect()}
+    assert hits == {1: 2}
+    rep = {r["doc_id"]: r["n_hits"] for r in phrase_search(idx, "go go").collect()}
+    assert rep == {4: 2}  # overlapping occurrences at positions 0 and 1
+
+
+def test_boolean_search_and_not(spark):
+    from dmshadoop_spark.search import boolean_search, positional_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "scan join scan"),        # matches, score 3
+            (2, "scan join slow"),        # excluded by NOT
+            (3, "scan scan scan"),        # missing 'join'
+            (4, "join scan"),             # matches, score 2
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in boolean_search(
+            positional_index(docs), ["scan", "join"], ["slow"]
+        ).collect()
+    ]
+    assert got == [(1, 3), (4, 2)]
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     from dmshadoop_spark.operators import salted_agg
 

@@ -76,6 +76,14 @@ def _png_dimensions(content: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _gif_dimensions(content: bytes) -> tuple[int, int] | None:
+    """GIF logical screen descriptor: two little-endian u16 at offset 6."""
+    if len(content) >= 10:
+        width, height = struct.unpack("<HH", content[6:10])
+        return width, height
+    return None
+
+
 # EXIF/TIFF IFD walk (pure stdlib) — parity with the reference's hachoir
 # metadata on real images (src/DMS.py:70-91), which surfaced creation
 # date / camera fields. Tag names follow the EXIF spec; values render as
@@ -197,6 +205,8 @@ def extract_metadata(content: bytes) -> dict[str, str]:
         meta.update(_jpeg_exif(content))
     elif ctype == "image/png":
         dims = _png_dimensions(content)
+    elif ctype == "image/gif":
+        dims = _gif_dimensions(content)
     if dims:
         meta["width"], meta["height"] = str(dims[0]), str(dims[1])
     if ctype == "text/plain":

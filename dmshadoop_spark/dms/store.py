@@ -93,12 +93,22 @@ class DocumentStore:
     def _gen_path(self, gen: int) -> str:
         return os.path.join(self.base_dir, f"gen={gen}")
 
-    def df(self) -> DataFrame:
-        """The current table snapshot (empty, schema-stable, if no data)."""
-        gen = self._current_gen()
+    def df(self, generation: int | None = None) -> DataFrame:
+        """A table snapshot (empty, schema-stable, if no data).
+
+        ``generation`` time-travels to an older committed snapshot —
+        generations are immutable once marked, so historical reads are
+        exact and stable (the Delta/Iceberg ``VERSION AS OF`` analogue)."""
+        gen = self._current_gen() if generation is None else generation
         if gen is None:
             return self.spark.createDataFrame([], DOCUMENT_SCHEMA)
+        if generation is not None and generation not in self._generations():
+            raise ValueError(f"no committed generation {generation}")
         return self.spark.read.schema(DOCUMENT_SCHEMA).parquet(self._gen_path(gen))
+
+    def history(self) -> list[int]:
+        """All committed generation numbers, oldest first."""
+        return self._generations()
 
     def _write_snapshot(self, df: DataFrame) -> None:
         gen = self._current_gen()

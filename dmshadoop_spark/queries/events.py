@@ -226,3 +226,47 @@ def st7_stateful_user_totals(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "max_value")
     )
+
+
+@query(
+    "st8_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def st8_interval_join(spark, sf_dir):
+    """ST8 batch twin: event-time interval join — purchases attribute to
+    same-user clicks within the preceding 10 minutes. Equi-join on
+    user_id carries the shuffle; the time-range rides as a residual
+    predicate on the sort-merge join (never a nested-loop range join).
+    The streaming form (streaming.streaming_interval_join) watermarks
+    both sides so join state expires; tests/test_streaming.py proves the
+    two produce identical rows on the same input."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond).select(
+        "user_id", "click_id", "purchase_id"
+    )

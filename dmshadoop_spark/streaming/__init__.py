@@ -4,6 +4,7 @@ from dmshadoop_spark.streaming.streams import (
     streaming_dedup,
     streaming_session_counts,
     streaming_sliding_counts,
+    streaming_interval_join,
     streaming_stream_static_join,
     streaming_tumbling_counts,
     streaming_user_totals_stateful,
@@ -15,6 +16,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_session_counts",
     "streaming_sliding_counts",
+    "streaming_interval_join",
     "streaming_stream_static_join",
     "streaming_tumbling_counts",
     "streaming_user_totals_stateful",

@@ -120,6 +120,36 @@ def streaming_stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame
     )
 
 
+def streaming_interval_join(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """ST8: stream⋈stream event-time interval join — each purchase
+    attributes to clicks by the same user within the preceding 10
+    minutes. Watermarks on BOTH sides let Spark expire join state: a
+    click older than watermark - 10min can never match again and is
+    dropped. This is the canonical attribution join; state is bounded by
+    (watermark delay + interval) × arrival rate per side."""
+    c = clicks.withWatermark("ts", "10 minutes").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", "10 minutes").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
+        )
+    )
+    return c.join(p, cond).select("user_id", "click_id", "purchase_id")
+
+
 def streaming_user_totals_stateful(events: DataFrame) -> DataFrame:
     """ST7: custom stateful operator via ``applyInPandasWithState`` — the
     escape hatch for per-key streaming logic Spark's built-in windowed

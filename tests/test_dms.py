@@ -120,6 +120,27 @@ def test_append_commit_is_crash_atomic(store, tmp_path):
     assert sorted(os.listdir(os.path.join(base, "gen=0"))) == gen0_files
 
 
+def test_gif_dimensions():
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    meta = extract_metadata(gif)
+    assert meta["content_type"] == "image/gif"
+    assert (meta["width"], meta["height"]) == ("320", "200")
+
+
+def test_time_travel_generations(store):
+    """df(generation=N) reads the immutable historical snapshot; history()
+    lists committed generations only."""
+    store.upload("t.txt", b"v1")          # gen 0
+    store.upload("t.txt", b"v2")          # gen 1
+    assert store.delete("t.txt", 1)       # gen 2 (v1 removed)
+    assert store.history() == [0, 1, 2]
+    assert store.df(0).count() == 1
+    assert store.df(1).count() == 2
+    assert sorted(r["version"] for r in store.df(2).collect()) == [2]
+    with pytest.raises(ValueError):
+        store.df(99)
+
+
 def test_exif_roundtrip_all_fields():
     """encode_exif_jpeg → extract_metadata recovers every written field,
     including the colon-bearing datetime (the B4 class of value)."""

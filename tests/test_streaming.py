@@ -154,3 +154,39 @@ def test_stateful_user_totals_accumulates_across_batches(
         )
     )
     assert got == _rows(batch)
+
+
+def test_streaming_interval_join_matches_batch(spark, events_dir, tmp_path):
+    """ST8: the watermarked stream-stream interval join emits exactly the
+    batch join's rows when the source drains in one availableNow batch."""
+    from dmshadoop_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_interval_join,
+    )
+
+    src = read_events_stream(spark, events_dir, max_files_per_trigger=None)
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    stream = streaming_interval_join(clicks, purchases)
+    name = run_to_memory(stream, str(tmp_path / "ckpt_ij"))
+    got = _rows(spark.table(name))
+
+    ev = spark.read.parquet(events_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("user_id", "click_id", "purchase_id")
+    assert got == _rows(batch)
+    assert got  # non-degenerate: the testdata produces matches

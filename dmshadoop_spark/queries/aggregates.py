@@ -219,3 +219,63 @@ def a9_map_key_count(spark, sf_dir):
         .groupBy("meta_key")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query("a7b_hll_sketch_union")  # sketch estimates are engine-specific → rows-only
+def a7b_hll_sketch_union(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built into
+    Spark). Distinct counts don't re-aggregate — sum(per-month distincts)
+    overcounts — so the scale pattern is: keep a PARTIAL SKETCH per coarse
+    bucket (month), then union sketches for any coarser rollup without
+    touching raw data again. At 100 TB the monthly sketch table is KBs and
+    answers every what's-the-distinct-over-window question that would
+    otherwise rescan the fact table. Union-vs-global equivalence and error
+    vs exact are pinned in tests/test_operators.py."""
+    ev = load_table(spark, sf_dir, "events")
+    monthly = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk")
+    )
+    return monthly.agg(
+        F.count(F.lit(1)).alias("n_partials"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
+    )
+
+
+@query(
+    "a10_percentile",
+    oracle="""
+    SELECT c_mktsegment,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS median_bal,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS p90_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def a10_percentile(spark, sf_dir):
+    """Exact discrete percentiles per group. percentile_disc picks an actual
+    data value (no interpolation arithmetic), so Spark and DuckDB agree
+    bit-for-bit on doubles. Exact percentile state is O(distinct values per
+    group) — fine for bounded groups; the unbounded-cardinality scale path
+    is a10b_approx_percentile."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").alias(
+            "median_bal"
+        ),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal)").alias(
+            "p90_bal"
+        ),
+    )
+
+
+@query("a10b_approx_percentile")  # approximation is engine-specific → rows-only
+def a10b_approx_percentile(spark, sf_dir):
+    """KLL/GK-style approximate percentiles — constant memory per group
+    regardless of value cardinality; the 100 TB default when groups are
+    unbounded (accuracy parameter trades memory for rank error)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10000)
+        .cast("array<double>")
+        .cast("string")  # stringified: the gate cannot hash array cells
+        .alias("price_quantiles")
+    )

@@ -15,6 +15,7 @@ from pyspark.sql.functions import broadcast
 from dmshadoop_spark.catalog import load_table
 from dmshadoop_spark.functions.numeric import dec2, dec4, money
 from dmshadoop_spark.operators.asof import asof_join
+from dmshadoop_spark.operators.rangejoin import binned_range_join
 from dmshadoop_spark.registry import query
 
 
@@ -168,6 +169,43 @@ def j6_range_join(spark, sf_dir):
     return joined.groupBy(F.col("label").alias("bracket")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         money(F.sum(dec2("o_totalprice"))).alias("total_price"),
+    )
+
+
+@query(
+    "j6b_binned_range_join",
+    oracle="""
+    SELECT s_suppkey,
+           count(*) AS n_close,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_bal
+    FROM supplier s JOIN customer c
+      ON c.c_acctbal >= s.s_acctbal - 50 AND c.c_acctbal < s.s_acctbal + 50
+    GROUP BY s_suppkey
+    """,
+)
+def j6b_binned_range_join(spark, sf_dir):
+    """Large×large range join — every customer within ±50 account balance of
+    each supplier. BOTH sides scale with SF, so the broadcast trick of
+    j6_range_join is unavailable; binned_range_join (operators/rangejoin.py)
+    turns the interval predicate into one equi shuffle on a bin key with
+    replication factor ≤ 2 (bin_width = interval span), instead of the
+    planner's O(n·m) broadcast-nested-loop fallback."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            (F.col("s_acctbal") - 50).alias("lo"),
+            (F.col("s_acctbal") + 50).alias("hi"),
+        )
+    )
+    pairs = binned_range_join(
+        cust, supp, point_on="c_acctbal", lower="lo", upper="hi", bin_width=100.0
+    )
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_close"),
+        money(F.sum(dec2("c_acctbal"))).alias("sum_bal"),
     )
 
 

@@ -164,3 +164,95 @@ def test_salted_left_join_keeps_unmatched(spark, sf_dir):
     assert sorted(map(lambda r: tuple(str(x) for x in r), plain.collect())) == sorted(
         map(lambda r: tuple(str(x) for x in r), salted.collect())
     )
+
+
+def test_binned_range_join_matches_theta_join(spark, sf_dir):
+    from dmshadoop_spark.operators.rangejoin import binned_range_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 500).alias("lo"),
+        (F.col("s_acctbal") + 500).alias("hi"),
+    )
+    naive = cust.join(
+        supp, (cust.c_acctbal >= supp.lo) & (cust.c_acctbal < supp.hi)
+    ).select("c_custkey", "s_suppkey")
+    expected = sorted(map(tuple, naive.collect()))
+    assert expected, "theta-join fixture matched nothing — widen the interval"
+    # result must be identical for ANY bin width (coarse, matched, fine)
+    for w in (100.0, 1000.0, 7777.0):
+        got = binned_range_join(
+            cust, supp, point_on="c_acctbal", lower="lo", upper="hi", bin_width=w
+        ).select("c_custkey", "s_suppkey")
+        assert sorted(map(tuple, got.collect())) == expected, f"bin_width={w}"
+
+
+def test_binned_range_join_closed_conventions(spark):
+    from dmshadoop_spark.operators.rangejoin import binned_range_join
+
+    pts = spark.createDataFrame([(1, 0.0), (2, 10.0), (3, 20.0)], "pid int, v double")
+    iv = spark.createDataFrame([(7, 0.0, 20.0)], "iid int, lo double, hi double")
+    def match(closed):
+        rows = binned_range_join(
+            pts, iv, point_on="v", lower="lo", upper="hi",
+            bin_width=6.0, closed=closed,
+        ).select("pid").collect()
+        return sorted(r.pid for r in rows)
+    assert match("left") == [1, 2]
+    assert match("right") == [2, 3]
+    assert match("both") == [1, 2, 3]
+    # degenerate interval (hi < lo) matches nothing
+    bad = spark.createDataFrame([(9, 5.0, 1.0)], "iid int, lo double, hi double")
+    assert (
+        binned_range_join(
+            pts, bad, point_on="v", lower="lo", upper="hi", bin_width=6.0
+        ).count()
+        == 0
+    )
+
+
+def test_binned_range_join_is_equi_join(spark, sf_dir):
+    """The whole point: the plan must be an equi join on the bin key, never
+    the O(n·m) BroadcastNestedLoopJoin Spark would pick for a raw theta."""
+    from dmshadoop_spark.operators.rangejoin import binned_range_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 50).alias("lo"),
+        (F.col("s_acctbal") + 50).alias("hi"),
+    )
+    df = binned_range_join(
+        cust, supp, point_on="c_acctbal", lower="lo", upper="hi", bin_width=100.0
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_hll_union_matches_global_sketch(spark, sf_dir):
+    """Register-wise union of per-month HLL sketches must estimate exactly
+    what one global sketch estimates (same lgK), and land within the
+    published HLL error bound of the exact distinct count."""
+    from dmshadoop_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    monthly = ev.groupBy(F.date_trunc("month", "ts").alias("m")).agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk")
+    )
+    unioned = monthly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0].est
+    global_est = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("est")
+    ).collect()[0].est
+    exact = ev.select("user_id").distinct().count()
+    assert unioned == global_est
+    assert abs(unioned - exact) / exact < 0.05

@@ -18,6 +18,7 @@ from pyspark.sql.functions import broadcast, pandas_udf
 
 from dmshadoop_spark.catalog import load_table
 from dmshadoop_spark.functions.numeric import dec2, dec4, money
+from dmshadoop_spark.operators.zorder import zorder_write
 from dmshadoop_spark.registry import query
 
 
@@ -318,6 +319,38 @@ def s12_partitioned_sink(spark, sf_dir):
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     )
     return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum(dec2("o_totalprice"))).alias("total_price"),
+    )
+
+
+@query(
+    "s14_zorder_layout",
+    oracle="""
+    SELECT count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200
+      AND o_totalprice BETWEEN 100000 AND 200000
+    """,
+)
+def s14_zorder_layout(spark, sf_dir):
+    """Z-order clustered layout + 2-D pruned read-back. Writes orders
+    Morton-clustered on (o_custkey, o_totalprice) — operators/zorder.py —
+    then answers a box predicate over BOTH dimensions from the re-read
+    table. Row-group stats stay narrow in every z-dimension, so at 100 TB
+    the footer min/max check skips most files for any selective box; the
+    skipping advantage over a linear sort is measured in
+    tests/test_operators.py::test_zorder_skips_more_than_linear_sort."""
+    out = os.path.join(_scratch("zorder"), "t")
+    orders = load_table(spark, sf_dir, "orders")
+    zorder_write(orders, ["o_custkey", "o_totalprice"], out, n_files=8)
+    back = spark.read.parquet(out).filter(
+        F.col("o_custkey").between(100, 200)
+        & F.col("o_totalprice").between(100000, 200000)
+    )
+    return back.agg(
         F.count(F.lit(1)).alias("n_orders"),
         money(F.sum(dec2("o_totalprice"))).alias("total_price"),
     )

@@ -30,6 +30,14 @@ _SCALE_CONF = {
     # Broadcast small dimensions aggressively (region/nation/supplier are
     # tiny at any scale factor; real dims at 100 TB still fit <64 MB).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime bloom-filter join pruning: when a dim side carries a selective
+    # filter, Spark builds a bloom filter from it and prunes the fact side
+    # BEFORE its shuffle — at 100 TB that's shuffling the matching fraction
+    # instead of the whole fact table. Size thresholds stay at production
+    # defaults (creation side <10 MB, application side >10 GB scan), which
+    # never fire at test SF; tests/test_plans.py lowers them to pin that
+    # injection works.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Input split sizing: 128 MB parquet splits.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",

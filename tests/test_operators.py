@@ -256,3 +256,73 @@ def test_hll_union_matches_global_sketch(spark, sf_dir):
     exact = ev.select("user_id").distinct().count()
     assert unioned == global_est
     assert abs(unioned - exact) / exact < 0.05
+
+
+def _files_matching_box(path, preds):
+    """Count parquet files whose footer min/max stats overlap every
+    (col, lo, hi) box side — the stats-level skipping decision."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n_match, n_total = 0, 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        n_total += 1
+        md = pq.ParquetFile(f).metadata
+        overlap = True
+        for col, lo, hi in preds:
+            col_lo, col_hi = None, None
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    c = rgm.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        col_lo = s.min if col_lo is None else min(col_lo, s.min)
+                        col_hi = s.max if col_hi is None else max(col_hi, s.max)
+            if col_lo is None or col_hi < lo or col_lo > hi:
+                overlap = False
+                break
+        n_match += overlap
+    return n_match, n_total
+
+
+def test_zorder_roundtrip_and_skipping(spark, sf_dir, tmp_path):
+    """Z-ordered layout must (a) preserve the row multiset and (b) keep
+    per-file stats narrow on BOTH clustered dimensions, so a thin slice on
+    the SECOND dimension skips files a linear (custkey-sorted) layout
+    cannot skip."""
+    from dmshadoop_spark.operators.zorder import zorder_write
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n, total = orders.count(), orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    ).collect()[0][0]
+
+    zdir = str(tmp_path / "zorder")
+    zorder_write(orders, ["o_custkey", "o_totalprice"], zdir, n_files=16)
+    back = spark.read.parquet(zdir)
+    assert back.count() == n
+    assert back.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    ).collect()[0][0] == total
+
+    ldir = str(tmp_path / "linear")
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+    # Thin slice on the NON-leading dimension, away from the domain middle
+    # (a slab straddling the top-bit boundary overlaps every z-range by
+    # construction — the curve's one discontinuity-free axis crossing).
+    lo, hi = orders.approxQuantile("o_totalprice", [0.05, 0.10], 0.0)
+    box = [("o_totalprice", lo, hi)]
+    z_hit, z_total = _files_matching_box(zdir, box)
+    l_hit, l_total = _files_matching_box(ldir, box)
+    assert z_total == 16 and l_total == 16
+    # linear-by-custkey leaves totalprice unclustered: every file overlaps
+    assert l_hit == l_total
+    # z-order must actually skip at the stats level
+    assert z_hit < l_hit, (z_hit, l_hit)

@@ -9,6 +9,8 @@ it shouldn't — even if results stay correct.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from dmshadoop_spark import registry
 
 registry.load_all()
@@ -212,3 +214,40 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     ]
     assert all(e > join_id for e in exchange_ids), (join_id, exchange_ids)
     assert "SELECTED BUCKETS" in p or "Bucketed: true" in p, "scan not bucketed"
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime bloom-filter join pruning (on in session.py): a selective
+    dim-side filter must inject might_contain(bloom_filter_agg(...)) on the
+    fact side so the fact shuffle carries only plausibly-matching rows. The
+    size thresholds are production-scale, so the test lowers them to prove
+    the session posture actually injects."""
+    restore = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in p, "bloom filter was not injected"

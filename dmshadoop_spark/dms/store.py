@@ -110,6 +110,41 @@ class DocumentStore:
         """All committed generation numbers, oldest first."""
         return self._generations()
 
+    def diff(self, from_gen: int, to_gen: int) -> DataFrame:
+        """Change-data feed between two committed generations — the
+        Delta CHANGE DATA FEED analogue, derivable here because snapshots
+        are immutable. Returns (change_type ∈ insert|delete|update, name,
+        version); rows identical in both snapshots are omitted. One full
+        outer join on the document key; row identity is fingerprinted from
+        (content_hash, length, sorted meta entries) so carried-over rows
+        never read their content column, and modification_time churn does
+        not produce false updates."""
+
+        def fp(df: DataFrame) -> DataFrame:
+            return df.select(
+                "name",
+                "version",
+                F.concat_ws(
+                    ":",
+                    "content_hash",
+                    F.col("length").cast("string"),
+                    F.coalesce(
+                        F.to_json(F.sort_array(F.map_entries("meta"))), F.lit("")
+                    ),
+                ).alias("fp"),
+            )
+
+        a, b = fp(self.df(from_gen)).alias("a"), fp(self.df(to_gen)).alias("b")
+        j = a.join(b, ["name", "version"], "full_outer")
+        return j.select(
+            F.when(F.col("a.fp").isNull(), F.lit("insert"))
+            .when(F.col("b.fp").isNull(), F.lit("delete"))
+            .when(F.col("a.fp") != F.col("b.fp"), F.lit("update"))
+            .alias("change_type"),
+            "name",
+            "version",
+        ).filter(F.col("change_type").isNotNull())
+
     def _write_snapshot(self, df: DataFrame) -> None:
         gen = self._current_gen()
         new_gen = 0 if gen is None else gen + 1

@@ -47,6 +47,34 @@ def build_inverted_index(
     )
 
 
+def merge_postings(index: DataFrame, delta_docs: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Incrementally fold new documents into an existing inverted index
+    without re-tokenizing the old corpus.
+
+    Tokenize ONLY the delta, union with the existing (term, doc_id, tf)
+    postings, re-sum tf per key (a re-ingested doc_id merges instead of
+    duplicating), and recompute doc_freq as the usual window over the
+    merged postings. Cost is O(delta tokens) + one shuffle over the merged
+    postings — at 100 TB the index refresh touches the day's new documents
+    plus the (much smaller, already-aggregated) postings table, not the
+    corpus. Result is row-identical to a full rebuild over old∪new docs
+    (pinned by tests/test_operators.py::test_merge_postings_equals_rebuild).
+    """
+    from pyspark.sql import Window
+
+    delta = build_inverted_index(delta_docs, id_col, text_col)
+    merged = (
+        index.select("term", "doc_id", "tf")
+        .unionByName(delta.select("term", "doc_id", "tf"))
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    return merged.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+
+
 def positional_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

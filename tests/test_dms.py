@@ -277,3 +277,32 @@ def test_bulk_ingest_versions_and_metadata(spark, store):
     # shorter content got the lower version (deterministic ordering)
     assert store.download("a.txt", 2) == b"bulk one"
     assert store.download("a.txt", 3) == b"bulk two longer"
+
+
+def test_generation_diff(store):
+    """diff(gen_a, gen_b) is the change-data feed between two immutable
+    snapshots: inserts/deletes/updates by document key, no false updates
+    from carried-over rows."""
+    store.upload("a.txt", b"one")             # gen 0
+    store.upload("b.txt", b"bee")             # gen 1
+    g1 = store.history()[-1]
+    assert store.update("a.txt", b"ONE", version=1)   # gen 2
+    assert store.delete("b.txt", 1)           # gen 3
+    store.upload("c.txt", b"sea")             # gen 4
+    g2 = store.history()[-1]
+    changes = {
+        (r.change_type, r.name, r.version)
+        for r in store.diff(g1, g2).collect()
+    }
+    assert changes == {
+        ("update", "a.txt", 1),
+        ("delete", "b.txt", 1),
+        ("insert", "c.txt", 1),
+    }
+    assert store.diff(g2, g2).count() == 0
+    # reverse direction flips insert/delete
+    rev = {
+        (r.change_type, r.name, r.version)
+        for r in store.diff(g2, g1).collect()
+    }
+    assert ("insert", "b.txt", 1) in rev and ("delete", "c.txt", 1) in rev

@@ -326,3 +326,21 @@ def test_zorder_roundtrip_and_skipping(spark, sf_dir, tmp_path):
     assert l_hit == l_total
     # z-order must actually skip at the stats level
     assert z_hit < l_hit, (z_hit, l_hit)
+
+
+def test_merge_postings_equals_rebuild(spark, sf_dir):
+    """Incremental index maintenance: folding a delta corpus into an
+    existing index must be row-identical to a full rebuild over the union."""
+    from dmshadoop_spark.search.index import build_inverted_index, merge_postings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    assert old.count() and delta.count()
+    full = build_inverted_index(docs)
+    merged = merge_postings(build_inverted_index(old), delta)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )

@@ -4,10 +4,13 @@ queries/llm.py). All implementations are deterministic (seeded hash
 families, no RNG at execution time) and expression-only (JVM-side, no
 Python UDFs in the hot path)."""
 
+from dmshadoop_spark.dedup.components import connected_components, dedup_survivors
 from dmshadoop_spark.dedup.minhash import minhash_lsh_pairs, minhash_signature
 from dmshadoop_spark.dedup.simhash import simhash, simhash_candidate_pairs, simhash_df, token_hashes
 
 __all__ = [
+    "connected_components",
+    "dedup_survivors",
     "minhash_lsh_pairs",
     "minhash_signature",
     "simhash",

@@ -1,0 +1,93 @@
+"""Connected components over near-duplicate pair graphs.
+
+Pair emission (exact Jaccard, MinHash LSH, SimHash) yields EDGES; dedup
+needs CLUSTERS — transitively closed groups with one canonical survivor
+(A≈B and B≈C must collapse to one cluster even when A≉C directly). This
+is the last stage of every production near-dup pipeline.
+
+Algorithm: iterative min-label propagation with pointer jumping.
+Each round does (1) propagate: every node takes the minimum label among
+itself and its neighbors — one join + one min-aggregate; (2) jump:
+``comp(node) := comp(comp(node))`` — one self-join, halving label-chain
+depth. Plain propagation needs O(diameter) rounds; the jump step makes
+long chains collapse in O(log n), the same doubling trick as the
+large-star/small-star MapReduce formulation (Kiveris et al.) and classic
+parallel union-find. Near-dup graphs are dense clique-ish clusters with
+tiny diameters, so practical round counts are 2-4.
+
+Scale posture per round: two shuffles on node id (uniform — ids, not
+content) plus one convergence aggregate. Lineage is truncated every
+round with ``localCheckpoint`` (iterative plans otherwise grow an
+exponentially deep DAG); convergence is detected by the label-sum
+invariant — labels only ever decrease, so an unchanged sum means a
+fixed point, one cheap aggregate instead of a full old-vs-new join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Return (node, component) for every node appearing in ``edges``;
+    ``component`` is the minimum node id in the node's connected component
+    — deterministic, no RNG. Nodes must be integral and non-null."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            und.join(
+                labels.select(F.col("node").alias("b"), "comp"), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(
+            nbr.select(F.col("a").alias("node"), "nbr_comp"), "node", "left"
+        ).select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+        )
+        # pointer jumping: follow the label one hop (labels are node ids)
+        jumped = stepped.join(
+            stepped.select(
+                F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
+            ),
+            stepped["comp"] == F.col("pnode"),
+            "left",
+        ).select("node", F.coalesce("pcomp", "comp").alias("comp"))
+        labels = jumped.localCheckpoint(eager=True)
+        cur_sum = labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse each near-dup cluster to its canonical (min-id) document:
+    docs not in any component survive as-is; within a component only the
+    node equal to the component label survives."""
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("comp").alias("__comp")
+    )
+    joined = docs.join(comp, id_col, "left")
+    return joined.filter(
+        F.col("__comp").isNull() | (F.col(id_col) == F.col("__comp"))
+    ).drop("__comp")

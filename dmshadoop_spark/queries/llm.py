@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from dmshadoop_spark.catalog import load_table
+from dmshadoop_spark.dedup.components import connected_components
 from dmshadoop_spark.functions.text import (
     STOPWORDS,
     doc_fingerprint,
@@ -177,6 +178,61 @@ def x2_ngram_jaccard(spark, sf_dir):
     )
     return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= 0.05
+    )
+
+
+@query(
+    "x2c_dedup_components",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        FROM tok
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sel AS (
+        SELECT doc_a, doc_b FROM prs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM sel
+        UNION SELECT doc_b, doc_a FROM sel
+    ),
+    reach(a, r) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT reach.a, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT a AS doc_id, least(a, min(r)) AS component
+    FROM reach GROUP BY a
+    """,
+)
+def x2c_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERING — the stage after pair emission that every
+    production dedup pipeline needs: A≈B and B≈C must collapse into one
+    cluster even when A≉C directly. Edges are the exact-Jaccard pairs at
+    threshold 0.5; clusters come from distributed min-label propagation
+    with pointer jumping (dedup/components.py — O(log n) rounds, two
+    uniform node-id shuffles per round). The oracle closes the same edge
+    set with a recursive CTE — an iterative Spark algorithm checked
+    against a declarative transitive closure."""
+    pairs = x2_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
 
 

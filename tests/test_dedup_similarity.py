@@ -270,3 +270,57 @@ def test_resize_and_frame_sample_plumbing(spark, sf_dir):
         assert per_path[path] == len(bytes(row["content"])) // 100 + 1
     again = frames.collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def _union_find_components(edges):
+    """Reference implementation: python union-find, min-id labels."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (10, 11)],                      # two components
+        [(i, i + 1) for i in range(1, 40)],              # long path: needs jumping
+        [(1, 2), (3, 4), (5, 6), (2, 3), (4, 5)],        # chain built out of order
+        [(7, 7)],                                        # self-loop
+        [(100, 1), (100, 2), (100, 3), (2, 50)],         # star + tail
+    ],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from dmshadoop_spark.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(df, max_iter=8).collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+def test_dedup_survivors_keeps_min_and_singletons(spark):
+    from dmshadoop_spark.dedup import connected_components, dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    edges = spark.createDataFrame([(2, 3), (3, 4), (6, 5)], "src long, dst long")
+    comps = connected_components(edges)
+    kept = sorted(
+        r["doc_id"] for r in dedup_survivors(docs, comps).collect()
+    )
+    # cluster {2,3,4} -> 2; cluster {5,6} -> 5; singletons 1,7 survive
+    assert kept == [1, 2, 5, 7]

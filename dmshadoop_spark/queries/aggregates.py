@@ -279,3 +279,25 @@ def a10b_approx_percentile(spark, sf_dir):
         .cast("string")  # stringified: the gate cannot hash array cells
         .alias("price_quantiles")
     )
+
+
+@query(
+    "a11_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS bucket_total
+    FROM orders GROUP BY 1
+    """,
+)
+def a11_histogram(spark, sf_dir):
+    """Fixed-width histogram — one partial-aggregated scan; the bucket
+    expression (one shared IEEE division + floor) is the group key, so the
+    exchange carries at most n_buckets rows per map partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(50000.0)).alias("bucket")
+    return orders.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum(dec2("o_totalprice"))).alias("bucket_total"),
+    )

@@ -932,3 +932,32 @@ def x7_training_pipeline(spark, sf_dir):
             )
         ).alias("bpe_ish_tokens"),
     )
+
+
+@query(
+    "x8_train_test_split",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('e', 'f')
+                THEN 'eval' ELSE 'train' END AS split,
+           source,
+           count(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def x8_train_test_split(spark, sf_dir):
+    """Deterministic held-out split by content-free hash — the standard
+    training-corpus discipline: membership depends only on the stable
+    doc_id (never on row order, partitioning, or a seed), so the split is
+    reproducible across runs, engines, and cluster sizes, and survives
+    incremental re-ingestion. First hex nibble of md5 ∈ {e,f} → 12.5%
+    eval. Pure projection + one partial-aggregated shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split = F.when(nibble.isin("e", "f"), "eval").otherwise("train").alias("split")
+    return docs.groupBy(split, "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -192,3 +192,35 @@ def w6_ntile(spark, sf_dir):
     return ranked.select(
         "c_custkey", quartile.cast("long").alias("quartile")
     )
+
+
+@query(
+    "w7_rolling_time_range",
+    oracle="""
+    SELECT event_id,
+           count(*) OVER (
+               PARTITION BY user_id
+               ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS n_last_hour
+    FROM events
+    """,
+)
+def w7_rolling_time_range(spark, sf_dir):
+    """Time-based RANGE frame — each event's count of same-user events in
+    the trailing hour (the hypertable-rollup / sliding-metric shape, but
+    exact per row instead of bucketed). RANGE frames are tie-safe: all
+    rows with equal timestamps share one frame, so the result is
+    deterministic under any shuffle order. Epoch seconds come from pure
+    NTZ arithmetic (no session-zone dependence); the window partitions by
+    user — no global sort, parallel across users at any scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ep = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy(ep).rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )

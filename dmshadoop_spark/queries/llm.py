@@ -746,6 +746,21 @@ def x5_knn_ivf(spark, sf_dir):
     return ivf_knn(emb, queries_df, k=5, n_centroids=16, nprobe=4)
 
 
+@query("x5_knn_ivf_trained")  # iterative training → rows-only
+def x5_knn_ivf_trained(spark, sf_dir):
+    """IVF ANN with k-means-trained centroids (similarity/kmeans.py):
+    distributed Lloyd iterations balance the cells before probing — the
+    production IVF shape (train offline, ship centroids as literals).
+    Deterministic: seeded hash init, exact argmin assignment."""
+    from dmshadoop_spark.similarity import ivf_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_knn(emb, queries_df, k=5, n_centroids=16, nprobe=4, train_iters=3)
+
+
 @query("x6_resize_thumbnails")  # stubbed codec → rows-only
 def x6_resize_thumbnails(spark, sf_dir):
     """Image resize plumbing: mapInPandas thumbnail pass (stubbed codec,

@@ -152,37 +152,54 @@ def ivf_knn(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into `n_centroids` cells,
     probe each query's `nprobe` nearest cells, exact-rerank candidates.
 
-    Centroids here are a deterministic hash-ordered sample of corpus
-    vectors (the degenerate no-training coarse quantizer); production IVF
-    trains them with k-means offline on a sample and ships them exactly
-    the same way — as literals/broadcast, so the assignment stage below
-    (argmin over centroid distances, a per-row constant amount of work) is
-    unchanged. Expected candidates per query: |corpus| * nprobe /
-    n_centroids; the cell id is the only join key, so the corpus never
-    shuffles on anything wider than one int.
+    With ``train_iters=0`` centroids are a deterministic hash-ordered
+    sample of corpus vectors (the no-training coarse quantizer);
+    ``train_iters>0`` refines that same init with distributed Lloyd
+    iterations (similarity/kmeans.py) for balanced cells and better probe
+    recall. Either way centroids ship as literals/broadcast, so the
+    assignment stage below (argmin over centroid distances, per-row
+    constant work) is unchanged. Expected candidates per query:
+    |corpus| * nprobe / n_centroids; the cell id is the only join key, so
+    the corpus never shuffles on anything wider than one int.
     """
     corpus2 = (
         widen(corpus)
         .select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v"))
         .select("neighbor_id", "_v", F.sqrt(norm_sq(F.col("_v"))).alias("_nv"))
     )
-    # Deterministic centroid sample: order by seeded hash of the id.
-    cents = (
-        corpus2.select("neighbor_id", "_v")
-        .orderBy(
-            F.xxhash64(F.col("neighbor_id"), F.lit(seed)).asc(),
-            F.col("neighbor_id").asc(),
+    if train_iters > 0:
+        from dmshadoop_spark.similarity.kmeans import kmeans_centroids
+
+        cents_np = kmeans_centroids(
+            corpus2,
+            vec_col="_v",
+            k=n_centroids,
+            n_iter=train_iters,
+            seed=seed,
+            id_col="neighbor_id",
         )
-        .limit(n_centroids)
-        .collect()
-    )
-    cent_lits = [
-        F.array(*[F.lit(float(x)) for x in row["_v"]]) for row in cents
-    ]
+        cent_lits = [
+            F.array(*[F.lit(float(x)) for x in row]) for row in cents_np
+        ]
+    else:
+        # Deterministic centroid sample: order by seeded hash of the id.
+        cents = (
+            corpus2.select("neighbor_id", "_v")
+            .orderBy(
+                F.xxhash64(F.col("neighbor_id"), F.lit(seed)).asc(),
+                F.col("neighbor_id").asc(),
+            )
+            .limit(n_centroids)
+            .collect()
+        )
+        cent_lits = [
+            F.array(*[F.lit(float(x)) for x in row["_v"]]) for row in cents
+        ]
 
     def l2sq(v, cent):
         return F.aggregate(

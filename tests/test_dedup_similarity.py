@@ -324,3 +324,53 @@ def test_dedup_survivors_keeps_min_and_singletons(spark):
     )
     # cluster {2,3,4} -> 2; cluster {5,6} -> 5; singletons 1,7 survive
     assert kept == [1, 2, 5, 7]
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    """Three well-separated blobs: Lloyd training must place one centroid
+    per blob (assignment purity 1.0) and be deterministic for a seed."""
+    import numpy as np
+
+    from dmshadoop_spark.similarity import kmeans_centroids
+
+    rng = np.random.RandomState(7)
+    blobs = []
+    for bi, center in enumerate([(0.0, 0.0), (50.0, 0.0), (0.0, 50.0)]):
+        for i in range(40):
+            v = [center[0] + rng.uniform(-1, 1), center[1] + rng.uniform(-1, 1)]
+            blobs.append((bi * 40 + i, bi, v))
+    df = spark.createDataFrame(
+        blobs, "vec_id long, blob int, embedding array<double>"
+    )
+    cents = kmeans_centroids(
+        df, vec_col="embedding", k=3, n_iter=10, id_col="vec_id"
+    )
+    # each trained centroid sits inside exactly one blob's bounding box
+    owners = set()
+    for c in cents:
+        d = [np.hypot(c[0] - bx, c[1] - by) for bx, by in [(0, 0), (50, 0), (0, 50)]]
+        assert min(d) < 2.0, c
+        owners.add(int(np.argmin(d)))
+    assert owners == {0, 1, 2}
+    again = kmeans_centroids(
+        df, vec_col="embedding", k=3, n_iter=10, id_col="vec_id"
+    )
+    assert np.array_equal(cents, again)
+
+
+def test_ivf_trained_returns_topk_and_recall(spark, sf_dir):
+    """Trained IVF must still produce k results per query and hold the
+    recall floor the untrained variant is pinned to."""
+    from dmshadoop_spark.similarity import brute_force_knn, ivf_knn
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = corpus.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = brute_force_knn(corpus, queries, k=5)
+    approx = ivf_knn(corpus, queries, k=5, nprobe=4, train_iters=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    per_q = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per_q)
+    assert len(a & e) / len(e) >= 0.5

@@ -301,3 +301,38 @@ def a11_histogram(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         money(F.sum(dec2("o_totalprice"))).alias("bucket_total"),
     )
+
+
+@query(
+    "a8b_grouping_sets",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(grouping(r_name) + 2 * grouping(n_name) AS BIGINT) AS gid,
+           count(*) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+    """,
+)
+def a8b_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube specialize) with
+    a grouping-id disambiguator so real NULL keys and subtotal rows can't
+    collide. One Expand + one partial-aggregated shuffle, rows multiplied
+    only by the number of sets."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    joined.createOrReplaceTempView("__a8b_joined")
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               CAST(grouping(r_name) + 2 * grouping(n_name) AS BIGINT) AS gid,
+               count(*) AS cnt
+        FROM __a8b_joined
+        GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+        """
+    )

@@ -562,3 +562,54 @@ def f12_array_funcs(spark, sf_dir):
         F.element_at("embedding", 1).cast("double").alias("first_val"),
         F.element_at("embedding", 64).cast("double").alias("last_val"),
     )
+
+
+@query(
+    "u4_unpivot",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM base
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM base
+    """,
+)
+def u4_unpivot(spark, sf_dir):
+    """Wide→long unpivot (melt) over an aggregated base — the reshape every
+    metrics pipeline needs before a generic (entity, metric, value) sink.
+    Spark's unpivot is a scan-local Expand (rows × n_metrics, no shuffle
+    beyond the base aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        money(F.sum(dec2("l_quantity"))).alias("sum_qty"),
+        money(F.sum(dec2("l_extendedprice"))).alias("sum_price"),
+    )
+    return base.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price"], "metric", "value"
+    )
+
+
+@query(
+    "f13_levenshtein",
+    oracle="""
+    SELECT CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS edit_dist,
+           count(*) AS n_parts
+    FROM part GROUP BY 1
+    """,
+)
+def f13_levenshtein(spark, sf_dir):
+    """Edit-distance scalar (fuzzy matching / typo clustering) — identical
+    dynamic-programming semantics in Spark and DuckDB; grouped to keep the
+    output bounded by distinct distances."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy(
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#33"))
+        .cast("long")
+        .alias("edit_dist")
+    ).agg(F.count(F.lit(1)).alias("n_parts"))

@@ -709,9 +709,9 @@ def x2_embedding_neardup(spark, sf_dir):
     "x3_token_count",
     oracle=r"""
     SELECT doc_id,
-           len(string_split(text, ' ')) AS ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
-               AS bpe_ish_tokens
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                AS BIGINT) AS bpe_ish_tokens
     FROM documents
     """,
 )
@@ -723,12 +723,14 @@ def x3_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(tokenize("text")).alias("ws_tokens"),
+        F.size(tokenize("text")).cast("long").alias("ws_tokens"),
         F.size(
             F.regexp_extract_all(
                 "text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)
             )
-        ).alias("bpe_ish_tokens"),
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
     )
 
 
@@ -889,9 +891,10 @@ def x6_frame_sample(spark, sf_dir):
     )
     SELECT source,
            count(*) AS n_docs,
-           SUM(len(t)) AS ws_tokens,
-           SUM(len(regexp_extract_all(text,
-                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS bpe_ish_tokens
+           CAST(SUM(len(t)) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT)
+               AS bpe_ish_tokens
     FROM dedup WHERE rn = 1
     GROUP BY source
     """,
@@ -957,7 +960,7 @@ def x7_training_pipeline(spark, sf_dir):
                 THEN 'eval' ELSE 'train' END AS split,
            source,
            count(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1, 2
     """,

@@ -328,7 +328,7 @@ def q7_volume_shipping(spark, sf_dir):
     )
     rev = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
     return (
-        j.withColumn("l_year", F.year("l_shipdate"))
+        j.withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(money(F.sum(rev)).alias("revenue"))
     )
@@ -397,7 +397,7 @@ def q8_market_share(spark, sf_dir):
     vol = dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
     zero = F.lit(0).cast("decimal(18,2)")
     return (
-        j.withColumn("o_year", F.year("o_orderdate"))
+        j.withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
         .agg(
             (
@@ -443,7 +443,7 @@ def q9_product_profit(spark, sf_dir):
     return (
         j.select(
             F.col("n_name").alias("nation"),
-            F.year("l_shipdate").alias("o_year"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
             rev.alias("profit"),
         )
         .groupBy("nation", "o_year")
@@ -455,10 +455,10 @@ def q9_product_profit(spark, sf_dir):
     "q12_priority_shipping",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'

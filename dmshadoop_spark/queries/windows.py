@@ -78,7 +78,7 @@ def w3_rank(spark, sf_dir):
         F.desc("c_acctbal"), F.asc("c_custkey")
     )
     return (
-        cust.withColumn("rnk", F.rank().over(w))
+        cust.withColumn("rnk", F.rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("c_nationkey", "c_custkey", "rnk")
     )

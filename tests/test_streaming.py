@@ -190,3 +190,52 @@ def test_streaming_interval_join_matches_batch(spark, events_dir, tmp_path):
     ).select("user_id", "click_id", "purchase_id")
     assert got == _rows(batch)
     assert got  # non-degenerate: the testdata produces matches
+
+
+def test_streaming_ingest_into_store(spark, tmp_path):
+    """Structured Streaming → DocumentStore: foreachBatch feeds each
+    micro-batch through bulk_ingest, so streaming ingest gets the same
+    atomic generation commits and set-oriented version assignment as
+    batch. Versions must come out dense per name no matter how the
+    stream batches the files."""
+    from dmshadoop_spark.dms import DocumentStore
+
+    src = str(tmp_path / "src")
+    rows = [
+        (f"doc{i % 4}.txt", f"content-{i}".encode()) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "name string, content binary")
+    df.repartition(3).write.parquet(src)
+
+    store = DocumentStore(spark, str(tmp_path / "dms"))
+    stream = (
+        spark.readStream.schema("name string, content binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: store.bulk_ingest(bdf.select("name", "content"))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = store.df()
+    assert final.count() == 12
+    per_name = {
+        r["name"]: r["versions"]
+        for r in final.groupBy("name")
+        .agg(F.sort_array(F.collect_list("version")).alias("versions"))
+        .collect()
+    }
+    assert set(per_name) == {"doc0.txt", "doc1.txt", "doc2.txt", "doc3.txt"}
+    for vs in per_name.values():
+        assert vs == [1, 2, 3], per_name
+    # one committed generation per non-empty micro-batch, all readable
+    gens = store.history()
+    assert len(gens) >= 3
+    for g in gens:
+        store.df(g).count()

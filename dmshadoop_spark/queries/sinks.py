@@ -401,3 +401,58 @@ def s13_bucketed_join(spark, sf_dir):
             money(F.sum(dec2("l_extendedprice"))).alias("total_price"),
         )
     )
+
+
+@query(
+    "s15_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def s15_orc_roundtrip(spark, sf_dir):
+    """Columnar-format breadth: orders written to ORC and read back must
+    aggregate identically to the parquet source (ORC keeps full numeric
+    fidelity and its reader supports the same predicate pushdown /
+    column pruning). One write + one scan; the aggregate is the usual
+    partial+final DECIMAL shape."""
+    out = os.path.join(_scratch("orc"), "t")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum(dec2("o_totalprice"))).alias("total_price"),
+    )
+
+
+@query(
+    "s16_csv_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def s16_csv_roundtrip(spark, sf_dir):
+    """Text-format interchange: a projection of orders (keys, price,
+    priority — no timestamps, which don't survive text round-trips
+    portably) written to CSV with header and read back under an explicit
+    schema. The 2-decimal money values print and re-parse exactly, so the
+    DECIMAL aggregate matches the parquet source bit-for-bit."""
+    out = os.path.join(_scratch("csv"), "t")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema(
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderpriority string"
+    ).option("header", "true").csv(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum(dec2("o_totalprice"))).alias("total_price"),
+    )

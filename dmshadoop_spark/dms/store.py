@@ -145,6 +145,35 @@ class DocumentStore:
             "version",
         ).filter(F.col("change_type").isNotNull())
 
+    def compact(self, target_files: int = 1) -> int | None:
+        """Rewrite the current snapshot into ``target_files`` part-files as
+        a NEW generation — the OPTIMIZE analogue. Hardlink-append commits
+        accumulate one part-file per insert; compaction restores scan
+        efficiency (fewer, larger row groups) without changing a single
+        row (``diff`` old→new is empty, pinned by test). Old generations
+        stay time-travelable. Returns the new generation number."""
+        if self._current_gen() is None:
+            return None
+        self._write_snapshot(self.df().repartition(target_files))
+        return self._current_gen()
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` committed generations —
+        the retention/VACUUM analogue. Part-files are hardlinked between
+        generations (shared inodes), so removing an old generation's
+        directory never disturbs data reachable from newer snapshots;
+        only time travel to the removed generations is lost. Returns the
+        removed generation numbers."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        gens = self._generations()
+        drop = gens[:-keep_last]
+        for g in drop:
+            shutil.rmtree(self._gen_path(g))
+        return drop
+
     def _write_snapshot(self, df: DataFrame) -> None:
         gen = self._current_gen()
         new_gen = 0 if gen is None else gen + 1

@@ -306,3 +306,44 @@ def test_generation_diff(store):
         for r in store.diff(g2, g1).collect()
     }
     assert ("insert", "b.txt", 1) in rev and ("delete", "c.txt", 1) in rev
+
+
+def test_compact_preserves_rows_and_shrinks_files(store):
+    """compact() must rewrite the snapshot into the target file count as a
+    new generation with ZERO row changes (empty diff), leaving history
+    time-travelable."""
+    import glob
+
+    for i in range(6):
+        store.upload(f"c{i}.txt", f"payload-{i}".encode())
+    before_gen = store.history()[-1]
+    n_before = store.df().count()
+    files_before = glob.glob(f"{store._gen_path(before_gen)}/*.parquet")
+    assert len(files_before) >= 6  # one appended part-file per upload
+    new_gen = store.compact(target_files=1)
+    assert new_gen == before_gen + 1
+    files_after = glob.glob(f"{store._gen_path(new_gen)}/*.parquet")
+    assert len(files_after) == 1
+    assert store.df().count() == n_before
+    assert store.diff(before_gen, new_gen).count() == 0
+    assert store.df(before_gen).count() == n_before  # time travel intact
+
+
+def test_vacuum_drops_old_generations_keeps_data(store):
+    """vacuum() removes old generation dirs; hardlinked data reachable from
+    the kept snapshot must remain fully readable (shared inodes)."""
+    import pytest as _pytest
+
+    store.upload("v.txt", b"alpha")
+    store.upload("v.txt", b"beta")
+    store.upload("w.txt", b"gamma")
+    gens = store.history()
+    assert len(gens) >= 3
+    removed = store.vacuum(keep_last=1)
+    assert removed == gens[:-1]
+    assert store.history() == [gens[-1]]
+    # data (incl. content linked from the oldest commit) still reads back
+    assert store.download("v.txt", 1) == b"alpha"
+    assert store.download("w.txt") == b"gamma"
+    with _pytest.raises(ValueError):
+        store.df(removed[0])

@@ -336,3 +336,56 @@ def a8b_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
         """
     )
+
+
+@query(
+    "a12_table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col, count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_nulls,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_val,
+           CAST(max(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS VARCHAR),
+           CAST(max(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+)
+def a12_table_profile(spark, sf_dir):
+    """Column profiling (the ANALYZE TABLE statistics pass): null count,
+    exact distinct, min/max per column, ONE scan. Spark plans the mixed
+    distinct aggregates with an Expand (rows × n_distinct_aggs) feeding
+    one partial+final aggregation — at 100 TB swap exact distinct for
+    approx_count_distinct (a7) and the Expand disappears. min/max
+    stringified so one long-format schema fits every column type."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderpriority", "o_totalprice"]
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"c_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"d_{c}") for c in cols],
+        *[F.min(c).cast("string").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("string").alias(f"mx_{c}") for c in cols],
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"c_{c}")).alias("n_nulls"),
+            F.col(f"d_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_val"),
+            F.col(f"mx_{c}").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

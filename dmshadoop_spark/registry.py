@@ -56,6 +56,14 @@ def load_all() -> None:
 # families with no green row yet, plus a couple of round-1 passes as
 # canaries. Everything not listed follows in registration order, so the
 # window rotates across rounds until every query has a confirmed row.
+#
+# ROUND-3 ROTATION PLAN (apply after reading CORRECTNESS_r02): replace the
+# round-2 window with the still-unconfirmed set — sinks s6-s8/s10/s12/s13,
+# p3, a7_approx (rows-only), a8_cube, a_pivot, t6/t7/t8, st8, x3 variants
+# (quality/lang/fingerprint/token_count), x4_embedding_norm, x5 variants,
+# x6 variants, plus every query added late in round 2: j6b, s14, s15, s16,
+# a7b, a8b, a10, a10b, a11, a12, w7, u4, f13, x2c, x5_knn_ivf_trained, x8.
+# That is ~45 entries; keep 3-5 round-2 greens as canaries.
 PRIORITY: list[str] = [
     # round-2 fixes that must re-confirm
     "a2_collect_list",

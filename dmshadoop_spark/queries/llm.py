@@ -979,3 +979,320 @@ def x8_train_test_split(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# X9-X12 — corpus-prep operators beyond dedup: decontamination, boilerplate
+# removal, stratified sampling, domain mixing (SURVEY.md §2.12 extensions)
+# --------------------------------------------------------------------------
+
+# N-gram length for benchmark decontamination. Real pipelines use 13-gram
+# overlap (GPT-3/PaLM discipline); the synthetic 25-word vocabulary makes
+# 13-grams near-unique and 3-grams ubiquitous, so 5 is the value that
+# exercises the semantics (7/432 train docs flagged at sf0.01). The plan
+# shape is length-independent.
+DECONTAM_NGRAM = 5
+
+# Chunk width (in tokens) for boilerplate-chunk removal — the "paragraph"
+# unit on testdata whose text has no newlines. Production would split on
+# real paragraph boundaries; the plan shape is identical.
+CHUNK_TOKENS = 10
+
+
+@query(
+    "x9_decontaminate",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib,
+               string_split(text, ' ') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source, nib,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 3, 1)),
+                   i -> array_to_string(list_slice(t, i, i + 4), ' ')))) AS s
+        FROM tok
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE nib IN ('e', 'f')),
+    contam AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE nib NOT IN ('e', 'f') AND s IN (SELECT s FROM ev)
+    )
+    SELECT source,
+           count(*) AS n_train,
+           CAST(coalesce(sum(CASE WHEN doc_id IN (SELECT doc_id FROM contam)
+                                  THEN 1 END), 0) AS BIGINT)
+               AS n_contaminated
+    FROM tok WHERE nib NOT IN ('e', 'f')
+    GROUP BY source
+    """,
+)
+def x9_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — flag training documents that share any
+    word n-gram with the held-out eval split (the GPT-3/PaLM 13-gram
+    discipline; see DECONTAM_NGRAM for why 5 here). Reuses x8's
+    content-free md5-nibble split so membership is reproducible.
+
+    Plan: ONE tokenize+shingle scan (a naive eval-side/train-side
+    self-join would scan the 100 TB corpus twice — Catalyst replans
+    DataFrame reuse). Postings explode_outer (null rows keep shingle-less
+    docs represented so n_train counts them), then a ``max(is_eval)``
+    window over the shingle key replaces the semi join: the eval set is
+    ~12.5% of the corpus — never broadcastable — and the window is one
+    shuffle on the same uniform shingle key the join would have used,
+    with O(1) state per partition (no posting list ever collects into a
+    row, so a boilerplate shingle costs a streamed scan, not a pair
+    product). Per-doc OR then per-source counts are partial-aggregated
+    rollups whose exchanges carry one row per group per map partition."""
+    from dmshadoop_spark.catalog import widen
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    nib = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    staged = docs.select(
+        "doc_id", "source", nib.isin("e", "f").alias("is_eval"),
+        tokenize("text").alias("toks"),
+    )
+    sh_arr = staged.select(
+        "doc_id", "source", "is_eval",
+        shingles("toks", DECONTAM_NGRAM).alias("sh"),
+    )
+    # Keep null-shingle rows: a (<DECONTAM_NGRAM)-token doc emits one null
+    # posting so it still counts toward n_train below.
+    sh = sh_arr.select(
+        "doc_id", "source", "is_eval", F.explode_outer("sh").alias("s")
+    )
+    w = Window.partitionBy("s")
+    has_eval = F.max(F.when(F.col("is_eval"), 1).otherwise(0)).over(w)
+    flagged = sh.select(
+        "doc_id", "source", "is_eval",
+        # the null-shingle partition mixes unrelated docs — never a hit
+        (F.col("s").isNotNull() & (has_eval == 1)).alias("hit"),
+    )
+    per_doc = (
+        flagged.filter(~F.col("is_eval"))
+        .groupBy("doc_id", "source")
+        .agg(F.max(F.when(F.col("hit"), 1).otherwise(0)).alias("contam"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum("contam").cast("long").alias("n_contaminated"),
+    )
+
+
+@query(
+    "x10_chunk_dedup",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST(ceil(len(t) / 10.0) AS BIGINT)),
+                   i -> array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' ')))
+               AS chunk
+        FROM tok
+    ),
+    freq AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(coalesce(sum(CASE WHEN df >= 2 THEN 1 END), 0) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(coalesce(sum(CASE WHEN df < 2
+                                  THEN len(string_split(chunk, ' ')) END), 0)
+                AS BIGINT) AS retained_tokens
+    FROM ch JOIN freq USING (chunk)
+    GROUP BY doc_id
+    """,
+)
+def x10_chunk_dedup(spark, sf_dir):
+    """Boilerplate-chunk removal accounting — the C4/RefinedWeb "drop any
+    line that repeats across documents" rule, on CHUNK_TOKENS-token chunks
+    (the paragraph unit for newline-free testdata). A chunk is boilerplate
+    when its exact text appears in >= 2 distinct documents; the query
+    reports, per document, how many chunks it had, how many were
+    boilerplate, and the tokens it retains after dropping them.
+
+    Plan: one scan chunks each doc (transform over a sequence index —
+    O(tokens) slice copies total); explode to (doc_id, chunk) postings;
+    then the "repeats across documents" test is ``min(doc_id) !=
+    max(doc_id)`` over a window on the chunk key — equivalent to
+    df >= 2 but ONE shuffle on the uniform chunk key with O(1) window
+    state, where the textbook freq-then-join-back shape scans the corpus
+    twice and shuffles the postings twice. The hottest boilerplate chunk
+    costs a streamed partition scan, never a collected list. Final
+    per-doc rollup is partial-aggregated."""
+    from dmshadoop_spark.catalog import widen
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    staged = docs.select("doc_id", tokenize("text").alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(10.0)).cast("int")
+    chunk_arr = staged.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice("toks", i * 10 + 1, 10)),
+        ).alias("chunks"),
+    )
+    ch = chunk_arr.select(
+        "doc_id", F.explode_outer("chunks").alias("chunk")
+    ).filter(F.col("chunk").isNotNull())
+    w = Window.partitionBy("chunk")
+    is_dup = F.min("doc_id").over(w) != F.max("doc_id").over(w)
+    chunk_toks = F.size(tokenize("chunk"))
+    return (
+        ch.select("doc_id", is_dup.alias("dup"), chunk_toks.alias("ct"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.coalesce(
+                F.sum(F.when(F.col("dup"), 1)), F.lit(0)
+            ).cast("long").alias("n_dup_chunks"),
+            F.coalesce(
+                F.sum(F.when(~F.col("dup"), F.col("ct"))), F.lit(0)
+            ).cast("long").alias("retained_tokens"),
+        )
+    )
+
+
+@query(
+    "x11_stratified_sample",
+    oracle="""
+    WITH base AS (
+        SELECT lang, n_chars,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+        FROM documents
+    ),
+    shares AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM base GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM shares),
+    samp AS (
+        SELECT b.lang, count(*) AS n_sampled,
+               CAST(sum(b.n_chars) AS BIGINT) AS sampled_chars
+        FROM base b JOIN shares s ON s.lang = b.lang, tot
+        WHERE CAST(s.n_docs AS DOUBLE) / CAST(tot.n AS DOUBLE) <= 0.25
+              OR b.nib IN ('0', '1', '2', '3')
+        GROUP BY b.lang
+    )
+    SELECT lang, n_docs, total_chars,
+           coalesce(n_sampled, 0) AS n_sampled,
+           coalesce(sampled_chars, 0) AS sampled_chars
+    FROM shares LEFT JOIN samp USING (lang)
+    """,
+)
+def x11_stratified_sample(spark, sf_dir):
+    """Adaptive stratified downsampling — the corpus-mixing rule "cap any
+    stratum above 25% of the corpus at a 25% sample". Membership is the
+    same content-free md5-nibble hash as x8 (nibble in 0-3 = 4/16 =
+    exactly 25%), so the sample is reproducible across runs, engines, and
+    cluster sizes, and documents keep or lose membership stably as the
+    corpus grows.
+
+    Plan: ONE scan aggregates to (lang, nibble) — at most 16 × |langs|
+    rows, partial-aggregated so the exchange carries KBs regardless of
+    corpus size. Everything else (per-lang shares, the global total, the
+    cap decision, the sampled subset) derives from that tiny table with
+    unbounded windows over |langs|·16 rows — no second scan, no join
+    against document rows, no shuffle of anything data-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    g = (
+        docs.select("lang", "n_chars", nib.alias("nib"))
+        .groupBy("lang", "nib")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("n_chars").alias("nc"),
+        )
+    )
+    wl = Window.partitionBy("lang")
+    wall = Window.partitionBy()
+    sampled_bucket = F.col("nib").isin("0", "1", "2", "3")
+    enriched = g.select(
+        "lang", "nd", "nc",
+        F.sum("nd").over(wl).alias("n_docs"),
+        F.sum("nc").over(wl).alias("total_chars"),
+        F.sum("nd").over(wall).alias("n"),
+        sampled_bucket.alias("in_bucket"),
+    )
+    keep_all = (
+        F.col("n_docs").cast("double") / F.col("n").cast("double")
+    ) <= 0.25
+    kept = F.when(keep_all | F.col("in_bucket"), F.col("nd"))
+    kept_chars = F.when(keep_all | F.col("in_bucket"), F.col("nc"))
+    return enriched.groupBy("lang", "n_docs", "total_chars").agg(
+        F.coalesce(F.sum(kept), F.lit(0)).cast("long").alias("n_sampled"),
+        F.coalesce(F.sum(kept_chars), F.lit(0)).cast("long").alias("sampled_chars"),
+    )
+
+
+@query(
+    "x12_domain_mix",
+    oracle="""
+    WITH counts AS (
+        SELECT lang,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    isq AS (
+        SELECT lang, n_tokens,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isqrt
+        FROM counts
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+               CAST(sum(isqrt) AS BIGINT) AS tot_isqrt
+        FROM isq
+    )
+    SELECT lang, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)
+               AS natural_share,
+           CAST(isqrt AS DOUBLE) / CAST(tot_isqrt AS DOUBLE) AS mix_share,
+           (CAST(isqrt AS DOUBLE) / CAST(tot_isqrt AS DOUBLE))
+               / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))
+               AS boost
+    FROM isq, tot
+    """,
+)
+def x12_domain_mix(spark, sf_dir):
+    """Temperature-based domain mixing weights — the multilingual-corpus
+    rule (mT5/XLM-R): sample language l proportional to count^(1/T) with
+    T=2, which upweights low-resource strata. All shares derive from
+    INTEGER sums (token counts and floor(sqrt(count)) — sqrt is correctly
+    rounded in IEEE 754, so floor(sqrt) is engine-exact), making every
+    share a single division of exact integers: no float-summation order
+    sensitivity anywhere.
+
+    Plan: per-lang token count (partial-aggregated, the exchange carries
+    one row per lang per map partition), then the global totals come from
+    an unbounded window over the |langs|-row aggregate — not a re-agg +
+    cross join, which would replan the corpus scan twice. Output bounded
+    by lang cardinality; the only single-partition window runs over
+    |langs| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.size(tokenize("text")).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    isq = counts.withColumn(
+        "isqrt", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    )
+    wall = Window.partitionBy()
+    staged = isq.select(
+        "lang", "n_tokens", "isqrt",
+        F.sum("n_tokens").over(wall).alias("tot_tokens"),
+        F.sum("isqrt").over(wall).alias("tot_isqrt"),
+    )
+    natural = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+    mix = F.col("isqrt").cast("double") / F.col("tot_isqrt").cast("double")
+    return staged.select(
+        "lang", "n_tokens",
+        natural.alias("natural_share"),
+        mix.alias("mix_share"),
+        (mix / natural).alias("boost"),
+    )

@@ -62,8 +62,10 @@ def load_all() -> None:
 # p3, a7_approx (rows-only), a8_cube, a_pivot, t6/t7/t8, st8, x3 variants
 # (quality/lang/fingerprint/token_count), x4_embedding_norm, x5 variants,
 # x6 variants, plus every query added late in round 2: j6b, s14, s15, s16,
-# a7b, a8b, a10, a10b, a11, a12, w7, u4, f13, x2c, x5_knn_ivf_trained, x8.
-# That is ~45 entries; keep 3-5 round-2 greens as canaries.
+# a7b, a8b, a10, a10b, a11, a12, w7, u4, f13, x2c, x5_knn_ivf_trained, x8,
+# and the corpus-prep family x9_decontaminate, x10_chunk_dedup,
+# x11_stratified_sample, x12_domain_mix.
+# That is ~49 entries; keep 1-3 round-2 greens as canaries.
 PRIORITY: list[str] = [
     # round-2 fixes that must re-confirm
     "a2_collect_list",

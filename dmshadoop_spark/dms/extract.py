@@ -46,6 +46,11 @@ def _sniff(content: bytes) -> str:
     for magic, mime in _MAGIC:
         if content.startswith(magic):
             return mime
+    if content[:4] == b"RIFF":  # container type lives at offset 8
+        if content[8:12] == b"WAVE":
+            return "audio/x-wav"
+        if content[8:12] == b"AVI ":
+            return "video/x-msvideo"
     try:
         content.decode("utf-8")
         return "text/plain"
@@ -209,6 +214,27 @@ def extract_metadata(content: bytes) -> dict[str, str]:
         dims = _gif_dimensions(content)
     if dims:
         meta["width"], meta["height"] = str(dims[0]), str(dims[1])
+    if ctype == "audio/x-wav":
+        try:
+            from dmshadoop_spark.multimodal.binary import parse_wav
+
+            w = parse_wav(content)
+            n = len(w["samples"]) // w["channels"]
+            meta["sample_rate"] = str(w["sample_rate"])
+            meta["channels"] = str(w["channels"])
+            meta["duration_ms"] = str(n * 1000 // w["sample_rate"])
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+    elif ctype == "video/x-msvideo":
+        try:
+            from dmshadoop_spark.multimodal.binary import parse_avi
+
+            uspf, frames = parse_avi(content)
+            meta["frame_count"] = str(len(frames))
+            if uspf:
+                meta["duration_ms"] = str(len(frames) * uspf // 1000)
+        except (ValueError, struct.error):
+            pass
     if ctype == "text/plain":
         text = content.decode("utf-8")
         meta["line_count"] = str(text.count("\n") + 1 if text else 0)

@@ -3,12 +3,19 @@
 Design: image/audio/video travel as opaque BINARY columns plus typed
 metadata (content_type, width/height from dms.extract). Decode and
 feature-extraction run as Arrow-batched functions over ``mapInPandas``.
-PNG is a REAL end-to-end codec (stdlib zlib decode → unfilter → resample
-→ re-encode, see decode_png/encode_png); JPEG gets a real EXIF/metadata
-encoder (encode_exif_jpeg) but entropy decode is stubbed because no
-image/audio library ships in this container (clearly marked
-NotImplementedError + a deterministic fake used by tests and the feature
-pipeline).
+REAL end-to-end paths (pure stdlib, no external codec library):
+  * PNG codec — zlib decode → unfilter (all 5 types) → resample →
+    re-encode (decode_png/encode_png);
+  * WAV audio — RIFF/WAVE PCM mux + demux + integer-exact PCM statistics
+    (encode_wav/parse_wav/wav_features);
+  * AVI video — RIFF/AVI mux + demux with avih timing and per-frame
+    '00dc' payloads (encode_avi/parse_avi), wired into sample_frames;
+  * JPEG metadata — real APP1/Exif TIFF encode (encode_exif_jpeg) and
+    the IFD-walk parser in dms.extract.
+Only entropy-coded decode (JPEG pixels, mp3/aac audio, mp4/mkv
+containers) is stubbed — those need Pillow/ffmpeg-class libraries this
+container doesn't ship (clearly marked NotImplementedError + a
+deterministic fake so the pipelines stay testable end-to-end).
 
 ``ingest_binary_dir`` is the reference's blob-ingest path
 (open().read() + create_file, src/DMS.py:106-121) as Spark's binaryFile
@@ -20,6 +27,7 @@ src/DMS.py:122,146-155).
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -289,6 +297,145 @@ def with_binary_features(binary_df: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# REAL audio codec: RIFF/WAVE PCM encode + parse (pure stdlib struct).
+# The reference's hachoir pulled duration/sample-rate metadata from media
+# files (src/DMS.py:70-91); this is the Spark-era equivalent with the
+# container parsed for real — only lossy codecs (mp3/aac) would need an
+# external library.
+# --------------------------------------------------------------------------
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int, channels: int = 1) -> bytes:
+    """Spec-valid RIFF/WAVE: PCM 16-bit little-endian, one fmt + one data
+    chunk. ``samples`` is int16, frame-interleaved when channels > 1."""
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Walk RIFF sub-chunks in data[start:end): yields (fourcc, lo, hi)
+    payload bounds. Chunks pad to even offsets per the RIFF spec."""
+    i = start
+    while i + 8 <= end:
+        fourcc = data[i : i + 4]
+        (size,) = struct.unpack("<I", data[i + 4 : i + 8])
+        lo = i + 8
+        yield fourcc, lo, min(lo + size, end)
+        i = lo + size + (size % 2)
+
+
+def parse_wav(data: bytes) -> dict:
+    """Real WAV parse: verify RIFF/WAVE, walk chunks for fmt + data, return
+    {sample_rate, channels, bits, samples(np.int16)}. Raises ValueError on
+    a malformed container, NotImplementedError on non-PCM-16 encodings."""
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = pcm = None
+    for fourcc, lo, hi in _riff_chunks(data, 12, len(data)):
+        if fourcc == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", data[lo : lo + 16])
+        elif fourcc == b"data":
+            pcm = data[lo:hi]
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(f"WAV format={audio_format} bits={bits}")
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bits,
+        "samples": np.frombuffer(pcm, dtype="<i2"),
+    }
+
+
+def wav_features(data: bytes) -> dict:
+    """Parse a WAV payload and compute integer-exact PCM statistics:
+    n_samples (per channel), duration, peak = max|s|, rms = sqrt(Σs²/n).
+    Sums run in Python int (exact); the only float ops are the final
+    divisions and sqrt — one correctly-rounded IEEE op each, reproducible
+    in any engine."""
+    w = parse_wav(data)
+    s = w["samples"].astype(np.int64)
+    n = len(s) // w["channels"]
+    sum_sq = int((s * s).sum())
+    return {
+        "sample_rate": w["sample_rate"],
+        "channels": w["channels"],
+        "bits": w["bits"],
+        "n_samples": n,
+        "duration": n / w["sample_rate"],
+        "peak": int(np.abs(s).max()) if len(s) else 0,
+        "rms": math.sqrt(sum_sq / len(s)) if len(s) else 0.0,
+    }
+
+
+# --------------------------------------------------------------------------
+# REAL video container: minimal RIFF/AVI mux + demux (pure stdlib).
+# Frames are opaque per-frame payloads ('00dc' chunks) — pair with the
+# real PNG codec above for a fully real synth→mux→demux→decode video path.
+# --------------------------------------------------------------------------
+
+
+def encode_avi(frames: list[bytes], fps: int, width: int = 0, height: int = 0) -> bytes:
+    """Spec-shaped RIFF/AVI: LIST hdrl (avih main header with
+    microsec-per-frame and total-frame count) + LIST movi with one '00dc'
+    chunk per frame (even-padded). Enough structure that any RIFF walker
+    can demux it; deterministic byte-for-byte."""
+    us_per_frame = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", us_per_frame, 0, 0, 0, len(frames), 0, 1, 0, width, height,
+        0, 0, 0, 0,
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl" + (
+        b"avih" + struct.pack("<I", len(avih)) + avih
+    )
+    movi_body = b"".join(
+        b"00dc" + struct.pack("<I", len(f)) + f + (b"\x00" if len(f) % 2 else b"")
+        for f in frames
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(data: bytes) -> tuple[int, list[bytes]]:
+    """Real AVI demux: verify RIFF/'AVI ', find avih inside LIST hdrl
+    (microseconds per frame), collect '00dc'/'00db' frame payloads inside
+    LIST movi. Returns (us_per_frame, frames)."""
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    us_per_frame = 0
+    frames: list[bytes] = []
+    for fourcc, lo, hi in _riff_chunks(data, 12, len(data)):
+        if fourcc != b"LIST":
+            continue
+        subtype = data[lo : lo + 4]
+        if subtype == b"hdrl":
+            for cc, clo, chi in _riff_chunks(data, lo + 4, hi):
+                if cc == b"avih":
+                    (us_per_frame,) = struct.unpack("<I", data[clo : clo + 4])
+        elif subtype == b"movi":
+            for cc, clo, chi in _riff_chunks(data, lo + 4, hi):
+                if cc in (b"00dc", b"00db"):
+                    frames.append(data[clo:chi])
+    return us_per_frame, frames
+
+
 THUMBNAIL_SCHEMA = (
     "path string, width int, height int, thumbnail binary"
 )
@@ -348,17 +495,29 @@ def sample_frames(
     """mapInPandas frame sampling over video payloads: one output row per
     sampled frame — the UDTF-shaped (1 row → N rows) multimodal pattern.
 
-    The container demuxer is stubbed deterministically: duration :=
+    RIFF/AVI payloads demux for REAL (parse_avi: avih timing + '00dc'
+    frame chunks), emitting every stride-th actual frame payload with its
+    container-derived timestamp. Other containers (mp4/mkv need a full
+    box/EBML parser) fall back to the deterministic stub: duration :=
     length / bytes_per_s, frames at every_s intervals, each frame a
-    sha256(content || idx) pseudo-payload. A real implementation swaps in
-    pyav/ffmpeg keyframe extraction; partitioning, batch fan-out, and the
-    (path, frame_idx, ts_sec, frame) contract stay identical."""
+    sha256(content || idx) pseudo-payload. Partitioning, batch fan-out,
+    and the (path, frame_idx, ts_sec, frame) contract are identical on
+    both paths."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_path, out_idx, out_ts, out_frame = [], [], [], []
             for path, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    uspf, all_frames = parse_avi(raw)
+                    stride = max(1, int(every_s * 1_000_000 / uspf)) if uspf else 1
+                    for i in range(0, len(all_frames), stride):
+                        out_path.append(path)
+                        out_idx.append(i)
+                        out_ts.append(i * uspf / 1_000_000)
+                        out_frame.append(all_frames[i])
+                    continue
                 duration = len(raw) / bytes_per_s
                 n_frames = int(duration / every_s) + 1
                 for i in range(n_frames):

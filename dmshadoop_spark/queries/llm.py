@@ -861,6 +861,170 @@ def x6_frame_sample(spark, sf_dir):
     )
 
 
+@query(
+    "x6_wav_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    s AS (
+        SELECT doc_id, ((doc_id * 31 + t.i * 7919) % 65536) - 32768 AS v
+        FROM ids, range(0, 800) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(800 AS BIGINT) AS n_samples,
+           CAST(800 AS DOUBLE) / CAST(8000 AS DOUBLE) AS duration,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           sqrt(CAST(sum(v * v) AS DOUBLE) / CAST(800 AS DOUBLE)) AS rms
+    FROM s GROUP BY doc_id
+    """,
+)
+def x6_wav_features(spark, sf_dir):
+    """REAL audio codec end-to-end under a FULL hash oracle: synthesize a
+    deterministic 16-bit sawtooth per doc (s_i = ((doc_id·31 + i·7919) mod
+    65536) − 32768, 800 samples at 8 kHz), encode a spec-valid RIFF/WAVE
+    container (multimodal.encode_wav), then parse the container back
+    (parse_wav: RIFF chunk walk → fmt/data) and compute integer-exact PCM
+    statistics. The DuckDB oracle recomputes the SAME statistics from the
+    generator formula — it never sees the bytes — so a hash match proves
+    the mux→demux round-trip is sample-exact, not just shape-correct.
+    Determinism: peak/sums are exact int64; duration and rms end in one
+    IEEE division (+ one correctly-rounded sqrt) on identical operands.
+    Both stages are Arrow-batched mapInPandas; doc_id < 200 bounds the
+    fixture at every SF (the per-doc cost is SF-independent)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import encode_wav, wav_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                i = np.arange(800, dtype=np.int64)
+                pcm = ((d * 31 + i * 7919) % 65536 - 32768).astype("<i2")
+                ids.append(d)
+                blobs.append(encode_wav(pcm, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": ids, "wav": blobs})
+
+    wavs = docs.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, wav binary"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [wav_features(bytes(b)) for b in pdf["wav"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": pd.Series(
+                        [r["sample_rate"] for r in rows], dtype="int64"
+                    ),
+                    "channels": pd.Series(
+                        [r["channels"] for r in rows], dtype="int64"
+                    ),
+                    "bits": pd.Series([r["bits"] for r in rows], dtype="int64"),
+                    "n_samples": pd.Series(
+                        [r["n_samples"] for r in rows], dtype="int64"
+                    ),
+                    "duration": pd.Series(
+                        [r["duration"] for r in rows], dtype="float64"
+                    ),
+                    "peak": pd.Series([r["peak"] for r in rows], dtype="int64"),
+                    "rms": pd.Series([r["rms"] for r in rows], dtype="float64"),
+                }
+            )
+
+    return wavs.mapInPandas(
+        feats,
+        schema=(
+            "doc_id bigint, sample_rate bigint, channels bigint, bits bigint,"
+            " n_samples bigint, duration double, peak bigint, rms double"
+        ),
+    )
+
+
+@query("x6_avi_frames")  # real demuxer; pixel hashes not SQL-expressible → rows-only
+def x6_avi_frames(spark, sf_dir):
+    """REAL video path end-to-end (no stubs): synthesize 4 PNG frames per
+    doc (real encode_png), mux them into a spec-shaped RIFF/AVI container
+    (encode_avi: avih timing + '00dc' frame chunks), demux through
+    sample_frames' real parse_avi branch (every_s=0.5 at 4 fps → every
+    2nd frame), then decode each sampled frame with the real PNG codec
+    and fingerprint its pixels. Exact frame-payload recovery is pinned in
+    tests/test_dedup_similarity.py; this query exercises the same path
+    distributed (1 row → N rows Arrow fan-out)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import (
+        decode_png,
+        encode_avi,
+        encode_png,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = []
+                for k in range(4):
+                    yy, xx = np.mgrid[0:16, 0:20]
+                    img = np.stack(
+                        [
+                            (xx * 5 + d + k * 17) % 256,
+                            (yy * 9 + d * 3) % 256,
+                            (xx + yy + k * 29) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    frames.append(encode_png(img))
+                paths.append(f"avi://{d}")
+                blobs.append(encode_avi(frames, fps=4))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    avis = docs.select("doc_id").mapInPandas(
+        synth, schema="path string, content binary"
+    )
+    frames = sample_frames(avis, every_s=0.5)
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pix = pdf["frame"].map(lambda f: decode_png(bytes(f)))
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "ts_sec": pdf["ts_sec"].astype("float64"),
+                    "frame_w": pix.map(lambda a: a.shape[1]).astype("int32"),
+                    "frame_h": pix.map(lambda a: a.shape[0]).astype("int32"),
+                    "pixel_sha256": pix.map(
+                        lambda a: hashlib.sha256(a.tobytes()).hexdigest()
+                    ),
+                }
+            )
+
+    return frames.mapInPandas(
+        fingerprint,
+        schema=(
+            "path string, frame_idx int, ts_sec double, frame_w int,"
+            " frame_h int, pixel_sha256 string"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # X7 — end-to-end training-data pipeline (composition of X1/X3 stages)
 # --------------------------------------------------------------------------

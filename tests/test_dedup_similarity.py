@@ -374,3 +374,85 @@ def test_ivf_trained_returns_topk_and_recall(spark, sf_dir):
     per_q = approx.groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in per_q)
     assert len(a & e) / len(e) >= 0.5
+
+
+def test_wav_codec_roundtrip():
+    """encode_wav→parse_wav must recover PCM samples bit-exactly, and
+    wav_features must equal hand-computed integer statistics."""
+    import math
+
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import encode_wav, parse_wav, wav_features
+
+    rng = np.random.default_rng(7)
+    pcm = rng.integers(-32768, 32768, 1234, dtype=np.int16)
+    blob = encode_wav(pcm, sample_rate=16000)
+    w = parse_wav(blob)
+    assert (w["samples"] == pcm) .all()
+    assert (w["sample_rate"], w["channels"], w["bits"]) == (16000, 1, 16)
+    f = wav_features(blob)
+    s = pcm.astype(np.int64)
+    assert f["peak"] == int(np.abs(s).max())
+    assert f["n_samples"] == 1234
+    assert f["rms"] == math.sqrt(int((s * s).sum()) / 1234)
+    assert encode_wav(pcm, 16000) == blob  # deterministic
+    # odd-length PCM pads the data chunk to even without corrupting samples
+    odd = encode_wav(pcm[:7], sample_rate=8000)
+    assert len(parse_wav(odd)["samples"]) == 7
+    # stereo: per-channel sample count halves
+    stereo = encode_wav(pcm[:100], sample_rate=8000, channels=2)
+    assert wav_features(stereo)["n_samples"] == 50
+
+
+def test_avi_mux_demux_roundtrip():
+    """encode_avi→parse_avi must recover every frame payload byte-exactly
+    (including odd-length frames, which pad in the container)."""
+    from dmshadoop_spark.multimodal import encode_avi, parse_avi
+
+    frames = [b"frame-zero", b"odd-length!", b"", b"\x00\xff" * 33]
+    blob = encode_avi(frames, fps=4, width=20, height=16)
+    uspf, got = parse_avi(blob)
+    assert uspf == 250_000
+    assert got == frames
+    assert encode_avi(frames, fps=4) == encode_avi(frames, fps=4)
+
+
+def test_sample_frames_real_avi_path(spark):
+    """RIFF/AVI payloads demux for real: sampled indices follow the avih
+    timing (every_s=0.5 at 4 fps → stride 2) and payloads match the muxed
+    frames exactly; non-AVI payloads still take the stub path."""
+    from pyspark.sql import Row
+
+    from dmshadoop_spark.multimodal import encode_avi, sample_frames
+
+    frames = [f"f{i}".encode() * (i + 1) for i in range(5)]
+    df = spark.createDataFrame(
+        [
+            Row(path="v.avi", content=bytearray(encode_avi(frames, fps=4))),
+            Row(path="x.bin", content=bytearray(b"not a container")),
+        ]
+    )
+    rows = sample_frames(df, every_s=0.5).collect()
+    avi = sorted(
+        ((r["frame_idx"], r["ts_sec"], bytes(r["frame"])) for r in rows
+         if r["path"] == "v.avi")
+    )
+    assert avi == [(0, 0.0, frames[0]), (2, 0.5, frames[2]), (4, 1.0, frames[4])]
+    assert any(r["path"] == "x.bin" for r in rows)  # stub path still works
+
+
+def test_extract_metadata_wav_avi():
+    """The UD1 metadata map surfaces real container fields for WAV/AVI."""
+    import numpy as np
+
+    from dmshadoop_spark.dms.extract import extract_metadata
+    from dmshadoop_spark.multimodal import encode_avi, encode_wav
+
+    pcm = np.arange(4000, dtype=np.int16)
+    m = extract_metadata(encode_wav(pcm, sample_rate=8000))
+    assert m["content_type"] == "audio/x-wav"
+    assert (m["sample_rate"], m["channels"], m["duration_ms"]) == ("8000", "1", "500")
+    m2 = extract_metadata(encode_avi([b"a", b"bb", b"ccc"], fps=10))
+    assert m2["content_type"] == "video/x-msvideo"
+    assert (m2["frame_count"], m2["duration_ms"]) == ("3", "300")

@@ -389,3 +389,121 @@ def a12_table_profile(spark, sf_dir):
         for c in cols
     ]
     return agg.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@query(
+    "a13_constraint_audit",
+    oracle="""
+    SELECT 'lineitem_quantity_null' AS rule,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           CAST(coalesce(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                                  THEN 1 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                                  THEN 1 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                                  THEN 1 END), 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    """,
+)
+def a13_constraint_audit(spark, sf_dir):
+    """Data-quality constraint audit — the deequ/Delta-constraints shape:
+    declared expectations (non-null, value range, enum domain, primary-key
+    uniqueness, referential integrity) verified in one pass per table,
+    long-format (rule, n_violations) output.
+
+    Plan economics: lineitem — the 100 TB table — is scanned ONCE: the
+    row-level rules (null / range / domain) and the referential probe
+    share a single pass, with the FK flag computed by a left join against
+    the pruned o_orderkey key set (one shuffle per side on the uniform
+    key — exactly what a LEFT ANTI would cost — but no second scan, and
+    the key side carries one column). orders likewise: one scan feeds
+    pk-uniqueness (count(*) − count(DISTINCT) inside the same aggregate —
+    no extra groupBy pass), the enum-domain rule, and the FK probe into
+    customer (key set small enough for AQE to broadcast). Output is seven
+    (rule, n_violations) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    zero = F.lit(0)
+    cnt_if = lambda c: F.coalesce(F.sum(F.when(c, 1)), zero).cast("long")  # noqa: E731
+
+    li_flags = li.select("l_quantity", "l_discount", "l_orderkey").join(
+        orders.select(F.col("o_orderkey").alias("__ok")),
+        F.col("l_orderkey") == F.col("__ok"),
+        "left",
+    )
+    li_agg = li_flags.agg(
+        (F.count(F.lit(1)) - F.count("l_quantity")).alias("q_null"),
+        cnt_if((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("q_range"),
+        cnt_if((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias("d_range"),
+        cnt_if(F.col("__ok").isNull()).alias("fk_ord"),
+    )
+    li_rules = li_agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(rule).alias("rule"),
+                        F.col(c).alias("n_violations"),
+                    )
+                    for rule, c in [
+                        ("lineitem_quantity_null", "q_null"),
+                        ("lineitem_quantity_range", "q_range"),
+                        ("lineitem_discount_range", "d_range"),
+                        ("lineitem_fk_orders", "fk_ord"),
+                    ]
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+    ord_flags = orders.select("o_orderkey", "o_custkey", "o_orderstatus").join(
+        cust.select(F.col("c_custkey").alias("__ck")),
+        F.col("o_custkey") == F.col("__ck"),
+        "left",
+    )
+    ord_agg = ord_flags.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup"),
+        cnt_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias("dom"),
+        cnt_if(F.col("__ck").isNull()).alias("fk_cust"),
+    )
+    ord_rules = ord_agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(rule).alias("rule"),
+                        F.col(c).alias("n_violations"),
+                    )
+                    for rule, c in [
+                        ("orders_duplicate_pk", "pk_dup"),
+                        ("orders_status_domain", "dom"),
+                        ("orders_fk_customer", "fk_cust"),
+                    ]
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return li_rules.unionByName(ord_rules)

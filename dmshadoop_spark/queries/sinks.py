@@ -456,3 +456,49 @@ def s16_csv_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         money(F.sum(dec2("o_totalprice"))).alias("total_price"),
     )
+
+
+@query(
+    "s17_incremental_rollup",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           max(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY source
+    """,
+)
+def s17_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-view maintenance (operators/incremental.py):
+    the corpus arrives as two ingest batches (a deterministic md5-nibble
+    split); batch 1's per-source rollup is MATERIALIZED to parquet, and
+    batch 2 is folded in by merging partial aggregates — the base rows
+    are never rescanned (the merge reads the O(|groups|) rollup file plus
+    the delta). The oracle is a full recompute over ALL rows, so the hash
+    gate proves merge ≡ recompute. At 100 TB this is the difference
+    between a daily refresh that reads one day and one that reads the
+    whole corpus."""
+    from dmshadoop_spark.operators.incremental import merge_rollups
+
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    batch1 = docs.filter(nib < "8")
+    batch2 = docs.filter(~(nib < "8"))
+
+    def rollup(df):
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+
+    out = os.path.join(_scratch("rollup"), "base")
+    rollup(batch1).write.mode("overwrite").parquet(out)
+    base = spark.read.parquet(out)
+    return merge_rollups(
+        [base, rollup(batch2)],
+        keys=["source"],
+        adds=["n_docs", "total_chars"],
+        maxs=["max_doc_id"],
+    )

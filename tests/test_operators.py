@@ -344,3 +344,49 @@ def test_merge_postings_equals_rebuild(spark, sf_dir):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_cdc_rollup_equals_recompute(spark, sf_dir):
+    """apply_cdc_to_rollup under inserts+deletes+updates lands on exactly
+    the rollup a full recompute over the final rows produces, including
+    dropping fully-deleted groups."""
+    from dmshadoop_spark.catalog import load_table
+    from dmshadoop_spark.operators.incremental import apply_cdc_to_rollup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    rows = lambda df: df.select(  # noqa: E731
+        "source", F.lit(1).alias("n_docs"), F.col("n_chars").alias("total_chars")
+    )
+    base_rollup = rows(docs).groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("total_chars").alias("total_chars")
+    )
+    # change feed: delete one whole source, update (grow) docs of another,
+    # insert brand-new docs into a new source
+    victim, grown = [
+        r["source"] for r in docs.select("source").distinct().orderBy("source")
+        .limit(2).collect()
+    ]
+    deleted = docs.filter(F.col("source") == victim)
+    upd_old = docs.filter(F.col("source") == grown)
+    upd_new = upd_old.withColumn("n_chars", F.col("n_chars") + 17)
+    inserted = docs.limit(3).withColumn("source", F.lit("src_new"))
+    maintained = apply_cdc_to_rollup(
+        base_rollup,
+        removed=rows(deleted.unionByName(upd_old)),
+        added=rows(upd_new.unionByName(inserted)),
+        keys=["source"],
+        adds=["n_docs", "total_chars"],
+    )
+    final_rows = (
+        docs.filter(~F.col("source").isin(victim, grown))
+        .unionByName(upd_new)
+        .unionByName(inserted)
+    )
+    recomputed = rows(final_rows).groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("total_chars").alias("total_chars")
+    )
+    assert maintained.exceptAll(recomputed).count() == 0
+    assert recomputed.exceptAll(maintained).count() == 0
+    assert maintained.filter(F.col("source") == victim).count() == 0

@@ -236,6 +236,86 @@ def x2c_dedup_components(spark, sf_dir):
     )
 
 
+@query(
+    "x13_pagerank",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        FROM tok
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sel AS (
+        SELECT doc_a, doc_b FROM prs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.05
+    ),
+    e AS (
+        SELECT doc_a AS u, doc_b AS v FROM sel
+        UNION ALL SELECT doc_b, doc_a FROM sel
+    ),
+    deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+    nn AS (SELECT count(*) AS c FROM deg),
+    r0 AS (SELECT u, 1000000000000 // c AS r FROM deg, nn),
+    r1 AS (
+        SELECT e.v AS u,
+               CAST(150000000000 // nn.c
+                    + (sum(r0.r // deg.d) * 17) // 20 AS BIGINT) AS r
+        FROM e JOIN deg ON e.u = deg.u JOIN r0 ON e.u = r0.u, nn
+        GROUP BY e.v, nn.c
+    ),
+    r2 AS (
+        SELECT e.v AS u,
+               CAST(150000000000 // nn.c
+                    + (sum(r1.r // deg.d) * 17) // 20 AS BIGINT) AS r
+        FROM e JOIN deg ON e.u = deg.u JOIN r1 ON e.u = r1.u, nn
+        GROUP BY e.v, nn.c
+    ),
+    r3 AS (
+        SELECT e.v AS u,
+               CAST(150000000000 // nn.c
+                    + (sum(r2.r // deg.d) * 17) // 20 AS BIGINT) AS r
+        FROM e JOIN deg ON e.u = deg.u JOIN r2 ON e.u = r2.u, nn
+        GROUP BY e.v, nn.c
+    )
+    SELECT u AS doc_id, r AS rank_int,
+           CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+    FROM r3
+    """,
+)
+def x13_pagerank(spark, sf_dir):
+    """PageRank centrality over the near-dup similarity graph — ranks the
+    hub documents inside duplicate neighborhoods (review-queue ordering,
+    canonical-survivor scoring). Three damped iterations in ENGINE-EXACT
+    scaled-integer arithmetic (operators/pagerank.py: floor divisions,
+    damping 17/20) — which is what lets an ITERATIVE numeric algorithm
+    pass a full value-hash oracle: the DuckDB side unrolls the identical
+    three iterations declaratively, and integer sums cannot drift with
+    reduction order. Per-iteration cost is one uniform node-id join + one
+    partial-aggregated sum; lineage localCheckpoints each round."""
+    from dmshadoop_spark.operators.pagerank import SCALE, pagerank
+
+    pairs = x2_ngram_jaccard(spark, sf_dir)
+    ranks = pagerank(pairs, src="doc_a", dst="doc_b", iterations=3)
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        "rank_int",
+        (F.col("rank_int").cast("double") / F.lit(float(SCALE))).alias("rank"),
+    )
+
+
 # --------------------------------------------------------------------------
 # X3 — text analysis
 # --------------------------------------------------------------------------

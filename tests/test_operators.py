@@ -390,3 +390,29 @@ def test_cdc_rollup_equals_recompute(spark, sf_dir):
     assert maintained.exceptAll(recomputed).count() == 0
     assert recomputed.exceptAll(maintained).count() == 0
     assert maintained.filter(F.col("source") == victim).count() == 0
+
+
+def test_pagerank_integer_exact(spark):
+    """pagerank on a known 4-node graph matches a hand-rolled integer
+    reference (same floor-division recurrence) and conserves rank mass."""
+    from pyspark.sql import Row
+
+    from dmshadoop_spark.operators.pagerank import SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=3, dst=1), Row(src=3, dst=4)]
+    )
+    got = {r["node"]: r["rank_int"] for r in pagerank(edges, iterations=3).collect()}
+
+    und = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (3, 4), (4, 3)]
+    deg = {u: sum(1 for a, _ in und if a == u) for u in {a for a, _ in und}}
+    n = len(deg)
+    r = {u: SCALE // n for u in deg}
+    for _ in range(3):
+        contrib = {u: 0 for u in deg}
+        for u, v in und:
+            contrib[v] += r[u] // deg[u]
+        r = {u: (SCALE * 3 // 20) // n + (17 * contrib[u]) // 20 for u in deg}
+    assert got == r
+    # damped mass stays within rounding of SCALE (floor losses only shrink it)
+    assert 0 < sum(got.values()) <= SCALE

@@ -1540,3 +1540,158 @@ def x12_domain_mix(spark, sf_dir):
         mix.alias("mix_share"),
         (mix / natural).alias("boost"),
     )
+
+
+@query(
+    "x14_repetition_signals",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+               unnest(list_transform(
+                   range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM tok
+    ),
+    cnt AS (
+        SELECT doc_id, n_tokens, n_distinct, g, count(*) AS c
+        FROM grams GROUP BY ALL
+    ),
+    top AS (
+        SELECT doc_id, n_tokens, n_distinct, g AS top_bigram, c AS top_count,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g) AS rn
+        FROM cnt
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_distinct,
+           1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS dup_token_frac,
+           top_bigram, CAST(top_count AS BIGINT) AS top_count,
+           CAST(top_count * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS top_bigram_frac,
+           (CAST(top_count * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.20
+            AND 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                <= 0.85) AS keep
+    FROM top WHERE rn = 1
+    """,
+)
+def x14_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021, table A1):
+    per document, the duplicate-token fraction and the fraction of tokens
+    covered by the single most frequent word bigram, plus the keep/drop
+    verdict at the paper's thresholds (drop when the top bigram covers
+    > 20% of tokens or > 85% of tokens are repeats). Every fraction is a
+    single division of exact integer counts, so values are bit-identical
+    across engines; the top bigram breaks count ties lexicographically so
+    the winner is deterministic.
+
+    Plan: ONE corpus scan tokenizes and emits word bigrams (transform over
+    the token array — O(tokens), no slice copies); explode to
+    (doc_id, gram) and count — one shuffle on the uniform composite key
+    with map-side partial aggregation; the per-doc argmax is a window over
+    the already-aggregated gram counts partitioned by doc_id (state = one
+    row). Nothing collects a per-doc gram list into a single row, so a
+    pathologically repetitive 1 GB document costs a streamed partition
+    scan, not an executor OOM."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokenize("text").alias("t"))
+    bigram = F.transform(
+        F.slice(
+            F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))
+        ),
+        lambda x, i: F.concat_ws(" ", x, F.try_element_at(F.col("t"), i + 2)),
+    )
+    grams = staged.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+        F.explode(bigram).alias("g"),
+    )
+    cnt = grams.groupBy("doc_id", "n_tokens", "n_distinct", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+    top = cnt.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    dup_frac = F.lit(1.0) - (
+        F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    )
+    top_frac = (F.col("c") * 2).cast("double") / F.col("n_tokens").cast("double")
+    return top.select(
+        "doc_id", "n_tokens", "n_distinct",
+        dup_frac.alias("dup_token_frac"),
+        F.col("g").alias("top_bigram"),
+        F.col("c").alias("top_count"),
+        top_frac.alias("top_bigram_frac"),
+        ((top_frac <= 0.20) & (dup_frac <= 0.85)).alias("keep"),
+    )
+
+
+@query(
+    "x15_blocklist_scrub",
+    oracle="""
+    WITH scrubbed AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               list_filter(string_split(text, ' '),
+                           t -> NOT list_contains(
+                               ['the', 'a', 'of', 'and', 'is', 'to', 'in'],
+                               t)) AS kept
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_in,
+           CAST(sum(len(kept)) AS BIGINT) AS tokens_kept,
+           CAST(sum(n_tokens - len(kept)) AS BIGINT) AS tokens_scrubbed,
+           md5(string_agg(md5(array_to_string(kept, ' ')), ''
+                          ORDER BY md5(array_to_string(kept, ' '))))
+               AS content_digest
+    FROM scrubbed GROUP BY source
+    """,
+)
+def x15_blocklist_scrub(spark, sf_dir):
+    """Dictionary-based term scrubbing — the corpus-prep shape behind
+    blocklist filtering and PII redaction: drop every token that appears
+    in a (broadcast-small) blocklist, re-join the survivors, and account
+    for what was removed per source. The cleaned text is digested (md5)
+    inside the same pass so the oracle proves the scrubbed *content*
+    matches token-for-token, not just the counts. (The blocklist here is
+    the repo's stopword set; a real PII run swaps in regex classes — the
+    plan shape is identical.)
+
+    Plan: ONE scan; the blocklist is a literal array inside a ``filter``
+    higher-order function, so matching is scan-local JVM work — no join,
+    no shuffle of document text. Documents are digested (md5) BEFORE the
+    per-source aggregate, so the exchange carries 32-byte digests, never
+    cleaned text; the per-source content digest is the md5 of the sorted
+    digest list (order-insensitive, content-exact). At 100 TB a real
+    blocklist (≫ literal size) becomes a broadcast join on the exploded
+    token key or an Aho-Corasick mapInPandas — never a shuffle of the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    blocklist = F.array(*[F.lit(s) for s in STOPWORDS])
+    staged = docs.select(
+        "doc_id", "source",
+        F.size(tokenize("text")).cast("long").alias("n_tokens"),
+        F.filter(
+            tokenize("text"),
+            lambda t: ~F.array_contains(blocklist, t),
+        ).alias("kept"),
+    )
+    kept_n = F.size("kept").cast("long")
+    digested = staged.select(
+        "source", "n_tokens", kept_n.alias("kept_n"),
+        F.md5(F.concat_ws(" ", "kept").cast("binary")).alias("d"),
+    )
+    return digested.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_in"),
+        F.sum("kept_n").alias("tokens_kept"),
+        F.sum(F.col("n_tokens") - F.col("kept_n")).alias("tokens_scrubbed"),
+        F.md5(
+            F.concat_ws("", F.sort_array(F.collect_list("d"))).cast("binary")
+        ).alias("content_digest"),
+    )

@@ -57,15 +57,20 @@ def load_all() -> None:
 # canaries. Everything not listed follows in registration order, so the
 # window rotates across rounds until every query has a confirmed row.
 #
-# ROUND-3 ROTATION PLAN (apply after reading CORRECTNESS_r02): replace the
-# round-2 window with the still-unconfirmed set — sinks s6-s8/s10/s12/s13,
-# p3, a7_approx (rows-only), a8_cube, a_pivot, t6/t7/t8, st8, x3 variants
-# (quality/lang/fingerprint/token_count), x4_embedding_norm, x5 variants,
-# x6 variants, plus every query added late in round 2: j6b, s14, s15, s16,
-# a7b, a8b, a10, a10b, a11, a12, w7, u4, f13, x2c, x5_knn_ivf_trained, x8,
-# and the corpus-prep family x9_decontaminate, x10_chunk_dedup,
-# x11_stratified_sample, x12_domain_mix.
-# That is ~49 entries; keep 1-3 round-2 greens as canaries.
+# ROUND-3 DECISION: the round-2 correctness gate NEVER RAN (no
+# CORRECTNESS_r02.json was produced), so the round-2 window below — all of
+# TPC-H, windows, text/search, and the core X family — is still
+# driver-unconfirmed. Rotating it out now would leave the highest-value
+# families without a row for two straight rounds; the window therefore
+# STAYS for round 3.
+#
+# ROUND-4 ROTATION PLAN (apply only after CORRECTNESS_r03 confirms this
+# window): replace with the still-unconfirmed set — sinks s6-s8/s10/
+# s12-s17, p3, a7_approx (rows-only), a8_cube, a_pivot, t6/t7/t8, st8,
+# x3 variants (quality/lang/fingerprint/token_count), x4_embedding_norm,
+# x5 variants, x6 variants, j6b, a7b, a8b, a10, a10b, a11, a12, a13, w7,
+# u4, f13, x2c, x8-x15, and everything added in round 3.
+# Keep 1-3 round-3 greens as canaries.
 PRIORITY: list[str] = [
     # round-2 fixes that must re-confirm
     "a2_collect_list",

@@ -16,6 +16,7 @@ from dmshadoop_spark.catalog import load_table
 from dmshadoop_spark.functions.numeric import dec2, dec4, money
 from dmshadoop_spark.operators.asof import asof_join
 from dmshadoop_spark.operators.rangejoin import binned_range_join
+from dmshadoop_spark.operators.skew import salted_join
 from dmshadoop_spark.registry import query
 
 
@@ -236,6 +237,40 @@ def j7_asof_join(spark, sf_dir):
         value_cols=["event_id"],
     )
     return joined.select("event_id", "event_id_asof")
+
+
+@query(
+    "j9_salted_skew_join",
+    oracle="""
+    SELECT s_nationkey,
+           count(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def j9_salted_skew_join(spark, sf_dir):
+    """Skew-salted fact⋈dim join (operators/skew.py): the big side carries
+    a deterministic 16-bucket salt, the small side is replicated once per
+    bucket, and the join key becomes (suppkey, salt) — a hot supplier's
+    probe rows land on 16 tasks instead of one. The result is provably
+    identical to the plain join (each big row keeps exactly its original
+    matches — pinned by test_salted_join_matches_plain), so the oracle is
+    the unsalted SQL. This is the fallback for skew AQE cannot split:
+    forced sort-merge joins and skew created upstream of the exchange.
+    The post-join aggregate groups on s_nationkey, independent of the
+    salt."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, on=["l_suppkey"])
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+    )
 
 
 @query(

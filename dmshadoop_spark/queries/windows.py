@@ -195,6 +195,66 @@ def w6_ntile(spark, sf_dir):
 
 
 @query(
+    "w8_gaps_islands",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               date_diff('second', TIMESTAMP '1970-01-01', ts) AS eps
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, eps,
+               CASE WHEN eps - lag(eps) OVER (PARTITION BY user_id
+                                              ORDER BY eps, event_id) <= 1800
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, eps,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY eps, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(eps) AS sess_start,
+           max(eps) - min(eps) AS sess_dur_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def w8_gaps_islands(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands): events more than 30 minutes
+    apart start a new session. The batch twin of ST3's streaming session
+    window — lag flags the gap, a running sum numbers the island, one
+    groupBy collapses it. All three steps share ONE shuffle on user_id
+    (the two windows and the final aggregate hash-partition on the same
+    key, so Catalyst reuses the exchange), and everything is integer
+    arithmetic on epoch seconds — exact in any engine at any parallelism.
+    lag(NULL) on each user's first event makes the <= comparison NULL →
+    new_sess=1, same rule both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    eps = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    order_w = Window.partitionBy("user_id").orderBy("eps", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select("user_id", "event_id", eps.alias("eps")).withColumn(
+        "new_sess",
+        F.when(
+            F.col("eps") - F.lag("eps").over(order_w) <= 1800, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(run_w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("eps").alias("sess_start"),
+        (F.max("eps") - F.min("eps")).alias("sess_dur_s"),
+    )
+
+
+@query(
     "w7_rolling_time_range",
     oracle="""
     SELECT event_id,

@@ -271,3 +271,112 @@ def t8_stemmed_lookup(spark, sf_dir):
         .orderBy(F.desc("tf"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# T9 — BM25 ranking (the modern default Solr/Lucene scorer; the reference's
+# Solr would have used BM25 had search shipped, src/DMS.py:350).
+# --------------------------------------------------------------------------
+
+_BM25_TERM_SQL = """
+    ln(CAST(1 AS DOUBLE)
+       + (CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)
+         / (CAST(df{i} AS DOUBLE) + 0.5))
+    * (CAST(tf{i} AS DOUBLE) * CAST(2.2 AS DOUBLE))
+    / (CAST(tf{i} AS DOUBLE)
+       + CAST(1.2 AS DOUBLE)
+         * (CAST(0.25 AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl)))
+"""
+
+
+@query(
+    "t9_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS dl,
+               {", ".join(
+                   f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+                   for i, t in enumerate(QUERY_TERMS)
+               )}
+        FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               {", ".join(
+                   f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                   for i in range(len(QUERY_TERMS))
+               )}
+        FROM per_doc
+    ),
+    scored AS (
+        SELECT doc_id,
+               {" + ".join(
+                   _BM25_TERM_SQL.format(i=i)
+                   for i in range(len(QUERY_TERMS))
+               )} AS score
+        FROM per_doc CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(ROUND(score, 4) AS DOUBLE) AS score
+    FROM scored WHERE score > 0
+    ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 20
+    """,
+)
+def t9_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75, Lucene idf) in ONE corpus
+    scan. Per-term tf comes from a pivoted conditional-sum aggregate per
+    doc (QUERY_TERMS is a bounded query, so the pivot width is fixed), and
+    the global stats (N, avgdl, per-term df) are a one-row re-aggregate of
+    that same per-doc table: both consumers sit on the identical
+    doc_id exchange with no inferred filters on either branch, so
+    ReuseExchange runs the scan+tokenize+partial-agg once (the q15 lesson,
+    SCALE.md #5 — pinned by test_t9_single_corpus_scan). The one-row stats
+    then broadcast back. Ranking rounds to 4dp with a doc_id tie-break —
+    the t4 determinism contract — and every float op appears in the same
+    order in the oracle."""
+    tok = tokens_df(spark, sf_dir)
+    tf_cols = [
+        F.sum((F.col("term") == t).cast("long")).alias(f"tf{i}")
+        for i, t in enumerate(QUERY_TERMS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"), *tf_cols
+    )
+    df_cols = [
+        F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+        for i in range(len(QUERY_TERMS))
+    ]
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        *df_cols,
+    )
+    k1, b = F.lit(1.2), F.lit(0.75)
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        dfq = F.col(f"df{i}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = F.log(F.lit(1.0) + (n - dfq + F.lit(0.5)) / (dfq + F.lit(0.5)))
+        denom = tf + k1 * (
+            F.lit(0.25) + b * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return idf * (tf * F.lit(2.2)) / denom
+
+    score = term_score(0)
+    for i in range(1, len(QUERY_TERMS)):
+        score = score + term_score(i)
+    scored = per_doc.crossJoin(broadcast(stats)).select(
+        "doc_id", score.alias("raw")
+    )
+    return (
+        scored.filter(F.col("raw") > 0)
+        .select("doc_id", F.round("raw", 4).cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -251,3 +251,22 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
         for k, v in restore.items():
             spark.conf.set(k, v)
     assert "might_contain" in p, "bloom filter was not injected"
+
+
+def test_t9_single_corpus_scan(spark, sf_dir):
+    """BM25's per-doc aggregate feeds both the one-row stats aggregate and
+    the scoring branch; both sit on the identical doc_id exchange (no
+    inferred filters on either side), so AQE stage reuse must run the
+    scan+tokenize+partial-agg exactly once. Static ReuseExchange misses
+    here (the branches canonicalize late), so assert on the EXECUTED
+    plan."""
+    df = registry.QUERIES["t9_bm25_topk"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("Initial Plan")[0]
+    assert "ReusedExchange" in final, "per-doc exchange not reused"
+    scans = [
+        l for l in final.splitlines()
+        if "Scan parquet" in l and "documents" in l
+    ]
+    assert len(scans) == 1, f"documents scanned {len(scans)}× in final plan"

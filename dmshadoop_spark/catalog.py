@@ -42,17 +42,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # ns → µs with integer division (values exceed double precision),
-        # then reinterpret as naive-UTC timestamp.
-        # Pure NTZ arithmetic from the epoch — no session-zone dependence
-        # (timestamp_micros().cast(ntz) would shift by the session zone).
-        df = df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+        # Testdata vintages differ: TIMESTAMP(NANOS) parquet surfaces as
+        # BIGINT nanos under nanosAsLong (older driver runs), TIMESTAMP(µs)
+        # reads as a timestamp directly (current runs). Normalize both to
+        # TIMESTAMP_NTZ µs — exactly what DuckDB's reader keeps.
+        from pyspark.sql.types import LongType
+
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # ns → µs with integer division (values exceed double precision),
+            # then reinterpret as naive-UTC timestamp.
+            # Pure NTZ arithmetic from the epoch — no session-zone dependence
+            # (timestamp_micros().cast(ntz) would shift by the session zone).
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif isinstance(ts_type, TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast(TimestampNTZType()))
         return df
     df = spark.read.parquet(path)
     for field in df.schema.fields:

@@ -507,3 +507,67 @@ def a13_constraint_audit(spark, sf_dir):
         ).alias("r")
     ).select("r.*")
     return li_rules.unionByName(ord_rules)
+
+
+@query(
+    "a14_heavy_hitters",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+    SELECT user_id, cnt FROM c
+    WHERE cnt * 10000 > (SELECT CAST(sum(cnt) AS BIGINT) FROM c) * 75
+    """,
+)
+def a14_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters (frequency > 0.75% of the stream) via two-level
+    aggregation: the per-key count is one map-side-combined shuffle on a
+    uniform key, and the global total comes from an unbounded window over
+    the ALREADY-AGGREGATED table — |keys| rows, not |events| — so no second
+    scan of the fact table and no driver-side action. The 100 TB shape: the
+    micro-table of per-key counts is what flows into the threshold test,
+    exactly the micro-aggregate-first pattern of x11/x12."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return (
+        counts.withColumn("__total", total)
+        .filter(F.col("cnt") * 10000 > F.col("__total") * 75)
+        .select("user_id", "cnt")
+    )
+
+
+@query(
+    "a15_mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS modal_type, cnt FROM (
+        SELECT user_id, event_type, count(*) AS cnt,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type) AS rn
+        FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1
+    """,
+)
+def a15_mode_per_group(spark, sf_dir):
+    """Mode (most frequent value) per group — aggregate to (group, value)
+    counts first, then rank within group. The window runs over the compact
+    aggregate (≤ |groups|·|domain| rows), never the raw events, and the
+    event_type tie-break makes the answer unique under any parallelism.
+    Same-key shuffle for the groupBy and the window → AQE coalesces them
+    into one exchange."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("event_type").alias("modal_type"), "cnt"
+        )
+    )

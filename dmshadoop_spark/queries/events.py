@@ -270,3 +270,77 @@ def st8_interval_join(spark, sf_dir):
     return clicks.join(purchases, cond).select(
         "user_id", "click_id", "purchase_id"
     )
+
+
+@query(
+    "st9_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def st9_dedup_within_watermark(spark, sf_dir):
+    """ST9: REAL streaming run of ``dropDuplicatesWithinWatermark`` (file
+    source → availableNow drain → memory sink), the state-*evicting* dedup
+    for at-least-once sources whose duplicates carry different timestamps
+    — plain dropDuplicates (st5) keeps every key forever; this one frees a
+    key once the watermark passes its window. The delay spans the whole
+    test input, so the emitted rows are exactly the distinct key set and
+    the batch DISTINCT is a true oracle. Keys project AFTER dedup: which
+    physical row wins per key depends on arrival order, the key set does
+    not."""
+    import tempfile
+
+    from dmshadoop_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_dedup_within_watermark,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="st9_")
+    src = f"{workdir}/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    stream = streaming_dedup_within_watermark(
+        read_events_stream(spark, src, max_files_per_trigger=None)
+    )
+    name = run_to_memory(stream, f"{workdir}/ckpt")
+    return spark.table(name).select("user_id", "event_type").dropDuplicates()
+
+
+@query(
+    "st10_foreach_batch_upsert",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           value AS last_value
+    FROM (SELECT user_id, ts, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def st10_foreach_batch_upsert(spark, sf_dir):
+    """ST10: ``foreachBatch`` upsert — a real multi-micro-batch stream
+    (4 source files, one per trigger) maintaining a latest-row-per-user
+    serving table through merge-and-swap snapshots
+    (streaming/streams.py:run_foreach_batch_upsert). The per-batch
+    reduction is max over a (ts, event_id, value) struct — commutative
+    and associative — so the final snapshot equals the batch arg-max
+    regardless of how the source splits into batches; that equality IS
+    the oracle. The same pattern targets Delta MERGE / JDBC upsert in
+    production; parquet-snapshot-swap is the dependency-free stand-in."""
+    import tempfile
+
+    from dmshadoop_spark.streaming import (
+        read_events_stream,
+        run_foreach_batch_upsert,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="st10_")
+    src = f"{workdir}/events"
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4, "user_id").write.mode("overwrite").parquet(src)
+    state_dir = f"{workdir}/state"
+    run_foreach_batch_upsert(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        state_dir,
+        f"{workdir}/ckpt",
+    )
+    return spark.read.parquet(state_dir)

@@ -282,3 +282,60 @@ def j8_cross_join(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation").select("n_name")
     region = load_table(spark, sf_dir, "region").select("r_name")
     return nation.crossJoin(broadcast(region))
+
+
+@query(
+    "j10_fuzzy_join",
+    oracle="""
+    SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 1
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+)
+def j10_fuzzy_join(spark, sf_dir):
+    """Fuzzy string self-join (edit distance ≤ 1) WITHOUT the quadratic
+    cross join the oracle runs: a single edit cannot touch both the first
+    k and the last k characters when 2k ≤ min length (k=3 here; shortest
+    p_name is 7), so every qualifying pair shares its first-3 OR last-3
+    characters exactly — equi-joining on those keys is a recall-complete
+    candidate set (the PassJoin partitioning argument, simplified to one
+    edit). Both keys explode into ONE keyed frame (key kind rides in the
+    join key), so each side scans part once instead of once per key — the
+    union-of-two-joins form would plan the scan 4×. Candidates dedupe on
+    the pair key (a pair sharing prefix AND suffix matches twice), then
+    the cheap length-band filter and the exact levenshtein verify. At
+    100 TB the keys get longer per length class (k = ⌊L/(d+1)⌋) to keep
+    blocks small; the verify stays embarrassingly parallel either way.
+    Spark's levenshtein returns INT — cast to BIGINT for the oracle's
+    dtype."""
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+
+    def keyed(side: str):
+        return parts.select(
+            F.col("p_partkey").alias(f"id{side}"),
+            F.col("p_name").alias(f"name{side}"),
+            F.explode(
+                F.array(
+                    F.concat(F.lit("p:"), F.substring("p_name", 1, 3)),
+                    F.concat(F.lit("s:"), F.substring("p_name", -3, 3)),
+                )
+            ).alias("bkey"),
+        )
+
+    cand = (
+        keyed("1")
+        .join(keyed("2"), on="bkey")
+        .filter(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.filter(
+            F.abs(F.length("name1") - F.length("name2")) <= F.lit(1)
+        )
+        .withColumn("dist", F.levenshtein("name1", "name2").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("id1", "id2", "dist")
+    )

@@ -284,3 +284,51 @@ def w7_rolling_time_range(spark, sf_dir):
     return ev.select(
         "event_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
     )
+
+
+@query(
+    "w9_funnel",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS signup_ts,
+               event_type, ts
+        FROM events)
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND ts > signup_ts
+                    THEN 1 ELSE 0 END) AS converted,
+           CAST(sum(CASE WHEN event_type = 'purchase' AND ts > signup_ts
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases_after,
+           min(CASE WHEN event_type = 'purchase' AND ts > signup_ts
+                    THEN ts END) AS first_purchase_ts
+    FROM flagged GROUP BY user_id
+    """,
+)
+def w9_funnel(spark, sf_dir):
+    """Conversion-funnel detection (signup → later purchase per user) in ONE
+    scan and ONE shuffle: an unordered full-partition window broadcasts each
+    user's earliest signup to every row of that user, and the follow-up
+    aggregate groups on the SAME key, so Catalyst reuses the exchange. The
+    membership formulation ("join each purchase against the user's signup
+    set") would scan events twice; the window-over-key form is the x9
+    pattern applied to sequential/funnel analytics. State per partition is
+    O(1) streaming aggregation — no collected lists, hot users cost a
+    partition scan, never a product."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    signup_ts = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    flagged = ev.select("user_id", "event_type", "ts").withColumn(
+        "signup_ts", signup_ts
+    )
+    after = (F.col("event_type") == "purchase") & (
+        F.col("ts") > F.col("signup_ts")
+    )
+    conv = F.when(after, F.lit(1)).otherwise(F.lit(0))
+    return flagged.groupBy("user_id").agg(
+        F.max(conv).alias("converted"),
+        F.sum(conv).cast("long").alias("n_purchases_after"),
+        F.min(F.when(after, F.col("ts"))).alias("first_purchase_ts"),
+    )

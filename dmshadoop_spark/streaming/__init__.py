@@ -1,7 +1,9 @@
 from dmshadoop_spark.streaming.streams import (
     read_events_stream,
+    run_foreach_batch_upsert,
     run_to_memory,
     streaming_dedup,
+    streaming_dedup_within_watermark,
     streaming_session_counts,
     streaming_sliding_counts,
     streaming_interval_join,
@@ -12,8 +14,10 @@ from dmshadoop_spark.streaming.streams import (
 
 __all__ = [
     "read_events_stream",
+    "run_foreach_batch_upsert",
     "run_to_memory",
     "streaming_dedup",
+    "streaming_dedup_within_watermark",
     "streaming_session_counts",
     "streaming_sliding_counts",
     "streaming_interval_join",

@@ -76,10 +76,15 @@ def j3_inner_join(spark, sf_dir):
     """Equi inner join chain (TPC-H Q3 shape) — the implicit row↔blob pairing
     by shared key (src/DMS.py:102-103) generalized. lineitem⋈orders shuffles
     on the shared orderkey; customer is small relative to facts and AQE picks
-    broadcast when it fits."""
+    broadcast when it fits. At test SF both dims broadcast, leaving the whole
+    probe+partial-agg pipeline on the fact scan's partitions — one for a
+    single-row-group file — so the fact side widens to cluster width first
+    (a no-op on any multi-split table; measured 1.47s→1.0s at sf0.1)."""
+    from dmshadoop_spark.catalog import widen
+
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = widen(load_table(spark, sf_dir, "lineitem"))
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)

@@ -87,6 +87,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Measurement protocol version: round-1 was single-shot cold;
+                # rounds ≥2 warm every shape at the measured SF then take
+                # best-of-3. Totals are only comparable within a protocol.
+                "protocol": "warm_at_sf+best_of_3",
             }
         )
     )

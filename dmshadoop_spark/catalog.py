@@ -90,6 +90,55 @@ def widen(df: DataFrame) -> DataFrame:
     case where it costs nothing.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    splits = _estimated_scan_splits(df)
+    if splits is not None and splits < target:
         return df.repartition(target)
     return df
+
+
+def _parse_byte_conf(value: str) -> int:
+    """Parse a Spark byte-size conf string ("134217728b", "128m", "1g")."""
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", value.strip().lower())
+    if not m:
+        return 128 * 1024 * 1024
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    return int(m.group(1)) * mult[m.group(2)]
+
+
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimate how many scan partitions ``df``'s file sources will yield,
+    WITHOUT building a physical plan or an RDD (``df.rdd`` forces both —
+    one full extra analysis/planning pass per widened query at build time).
+
+    ``inputFiles()`` only walks the analyzed plan's leaves. Split count per
+    file = ceil(size / maxPartitionBytes) for stat-able local files; remote
+    files (hdfs://, s3a://) count as one split each, which is the
+    scale-conservative choice: a 100 TB table has thousands of files, the
+    estimate clears ``defaultParallelism`` and widen() stays a no-op.
+    Returns None if the source exposes no files (e.g. in-memory relation).
+    """
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    max_bytes = _parse_byte_conf(
+        str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    )
+    splits = 0
+    for f in files:
+        parsed = urlparse(f)
+        local = parsed.scheme in ("", "file")
+        path = parsed.path if parsed.scheme else f
+        if local and os.path.exists(path):
+            splits += max(1, math.ceil(os.path.getsize(path) / max_bytes))
+        else:
+            splits += 1
+    return splits

@@ -200,8 +200,6 @@ def st7_stateful_user_totals(spark, sf_dir):
     oracle is the batch groupBy the cumulative state must converge to;
     an actual stream execution hash-matching a SQL aggregate is the
     strongest statefulness check the driver contract allows."""
-    import tempfile
-
     from pyspark.sql import Window
 
     from dmshadoop_spark.streaming import (
@@ -210,7 +208,7 @@ def st7_stateful_user_totals(spark, sf_dir):
         streaming_user_totals_stateful,
     )
 
-    workdir = tempfile.mkdtemp(prefix="st7_")
+    workdir = _stream_workdir("st7")
     src = f"{workdir}/events"
     # Re-write through the catalog so the stream source sees plain NTZ
     # (the raw testdata stores TIMESTAMP(NANOS); see read_events_stream).
@@ -272,6 +270,16 @@ def st8_interval_join(spark, sf_dir):
     )
 
 
+def _stream_workdir(query: str) -> str:
+    """Per-process reusable scratch dir (see workdirs.scratch_dir): st10's
+    result DF lazily reads its state snapshot, so a mkdtemp-per-invocation
+    can never be deleted safely and accumulates; this reuses one footprint
+    per process instead."""
+    from dmshadoop_spark.workdirs import scratch_dir
+
+    return scratch_dir(f"stream_{query}")
+
+
 @query(
     "st9_dedup_within_watermark",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
@@ -286,15 +294,13 @@ def st9_dedup_within_watermark(spark, sf_dir):
     the batch DISTINCT is a true oracle. Keys project AFTER dedup: which
     physical row wins per key depends on arrival order, the key set does
     not."""
-    import tempfile
-
     from dmshadoop_spark.streaming import (
         read_events_stream,
         run_to_memory,
         streaming_dedup_within_watermark,
     )
 
-    workdir = tempfile.mkdtemp(prefix="st9_")
+    workdir = _stream_workdir("st9")
     src = f"{workdir}/events"
     load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
     stream = streaming_dedup_within_watermark(
@@ -326,14 +332,12 @@ def st10_foreach_batch_upsert(spark, sf_dir):
     regardless of how the source splits into batches; that equality IS
     the oracle. The same pattern targets Delta MERGE / JDBC upsert in
     production; parquet-snapshot-swap is the dependency-free stand-in."""
-    import tempfile
-
     from dmshadoop_spark.streaming import (
         read_events_stream,
         run_foreach_batch_upsert,
     )
 
-    workdir = tempfile.mkdtemp(prefix="st10_")
+    workdir = _stream_workdir("st10")
     src = f"{workdir}/events"
     ev = load_table(spark, sf_dir, "events")
     ev.repartition(4, "user_id").write.mode("overwrite").parquet(src)

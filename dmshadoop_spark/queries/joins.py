@@ -307,7 +307,11 @@ def j10_fuzzy_join(spark, sf_dir):
     p_name is 7), so every qualifying pair shares its first-3 OR last-3
     characters exactly — equi-joining on those keys is a recall-complete
     candidate set (the PassJoin partitioning argument, simplified to one
-    edit). Both keys explode into ONE keyed frame (key kind rides in the
+    edit). That argument needs min length ≥ 6; names of length ≤ 6 route
+    through an extra exact short-string band instead (one constant key —
+    tiny class, any dist≤1 partner of a <6 name is itself ≤ 6 chars), so
+    recall no longer silently depends on the data generator's min name
+    length. All keys explode into ONE keyed frame (key kind rides in the
     join key), so each side scans part once instead of once per key — the
     union-of-two-joins form would plan the scan 4×. Candidates dedupe on
     the pair key (a pair sharing prefix AND suffix matches twice), then
@@ -323,9 +327,13 @@ def j10_fuzzy_join(spark, sf_dir):
             F.col("p_partkey").alias(f"id{side}"),
             F.col("p_name").alias(f"name{side}"),
             F.explode(
-                F.array(
-                    F.concat(F.lit("p:"), F.substring("p_name", 1, 3)),
-                    F.concat(F.lit("s:"), F.substring("p_name", -3, 3)),
+                F.filter(
+                    F.array(
+                        F.concat(F.lit("p:"), F.substring("p_name", 1, 3)),
+                        F.concat(F.lit("s:"), F.substring("p_name", -3, 3)),
+                        F.when(F.length("p_name") <= 6, F.lit("x:short")),
+                    ),
+                    lambda c: c.isNotNull(),
                 )
             ).alias("bkey"),
         )

@@ -11,7 +11,6 @@ only see the source tables.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, pandas_udf
@@ -23,7 +22,13 @@ from dmshadoop_spark.registry import query
 
 
 def _scratch(tag: str) -> str:
-    return tempfile.mkdtemp(prefix=f"dms_sink_{tag}_")
+    """Per-process reusable scratch dir (workdirs.scratch_dir): repeated
+    bench/correctness invocations overwrite one footprint instead of
+    accumulating mkdtemp copies, while the returned dir stays alive for
+    lazily-read result DataFrames."""
+    from dmshadoop_spark.workdirs import scratch_dir
+
+    return scratch_dir(f"sink_{tag}")
 
 
 # --------------------------------------------------------------------------
@@ -72,10 +77,11 @@ def s7_delete_sink(spark, sf_dir):
     deletes; src/DMS.py:299,305 deleted row+blob — Delta/Iceberg DELETE is
     the production path)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    out = os.path.join(_scratch("delete"), "t")
+    base = _scratch("delete")  # one vend per invocation — a second vend wipes
+    out = os.path.join(base, "t")
     docs.write.parquet(out)
     kept = spark.read.parquet(out).filter(F.col("lang") != "en")
-    out2 = os.path.join(_scratch("delete"), "t2")
+    out2 = os.path.join(base, "t2")
     kept.write.parquet(out2)
     return spark.read.parquet(out2).agg(F.count(F.lit(1)).alias("n_rows"))
 
@@ -93,7 +99,8 @@ def s8_overwrite_upsert(spark, sf_dir):
     version of the reference's dead update() (src/DMS.py:202-277, bug).
     Verifies both the total row count and the updated value round-trip."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    out = os.path.join(_scratch("upsert"), "t")
+    base = _scratch("upsert")
+    out = os.path.join(base, "t")
     docs.write.parquet(out)
     current = spark.read.parquet(out)
     replacement = spark.createDataFrame(
@@ -102,7 +109,7 @@ def s8_overwrite_upsert(spark, sf_dir):
     upserted = current.join(
         replacement, "doc_id", "left_anti"
     ).unionByName(replacement)
-    out2 = os.path.join(_scratch("upsert"), "t2")
+    out2 = os.path.join(base, "t2")
     upserted.write.parquet(out2)
     back = spark.read.parquet(out2)
     return back.agg(

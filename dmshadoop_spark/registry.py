@@ -57,80 +57,85 @@ def load_all() -> None:
 # canaries. Everything not listed follows in registration order, so the
 # window rotates across rounds until every query has a confirmed row.
 #
-# ROUND-3 DECISION: the round-2 correctness gate NEVER RAN (no
-# CORRECTNESS_r02.json was produced), so the round-2 window below — all of
-# TPC-H, windows, text/search, and the core X family — is still
-# driver-unconfirmed. Rotating it out now would leave the highest-value
-# families without a row for two straight rounds; the window therefore
-# STAYS for round 3.
+# ROUND-3 DECISION: CORRECTNESS_r02 ran and all 50 round-2 window entries
+# passed (rows + schema + hash green, zero err). Cumulative driver-confirmed
+# coverage is 96/160; the remaining 64 have only local oracle confirmation.
+# The window therefore ROTATES: 3 round-2 greens stay as canaries, and the
+# other 47 slots go to oracle-backed queries with no driver row yet.
 #
-# ROUND-4 ROTATION PLAN (apply only after CORRECTNESS_r03 confirms this
-# window): replace with the still-unconfirmed set — sinks s6-s8/s10/
-# s12-s17, p3, a7_approx (rows-only), a8_cube, a_pivot, t6/t7/t8, st8,
-# x3 variants (quality/lang/fingerprint/token_count), x4_embedding_norm,
-# x5 variants, x6 variants, j6b, a7b, a8b, a10, a10b, a11, a12, a13, w7,
-# u4, f13, x2c, x8-x15, and everything added in round 3.
-# Keep 1-3 round-3 greens as canaries.
+# Deferred to the ROUND-4 window (apply after CORRECTNESS_r03):
+#   * the 14 rows-only entries (a7_approx, a7b, a10b, s4, x2_minhash_lsh,
+#     x2_simhash, x5_knn_lsh/ivf/ivf_trained, x6_feature_extract/
+#     resize_thumbnails/png_roundtrip/frame_sample/avi_frames) — their
+#     driver check is weaker (row count only), so oracle-backed queries get
+#     the 50 slots first; each now carries a content digest column so the
+#     round-4 rows-only check still pins output identity;
+#   * s15_orc_roundtrip / s16_csv_roundtrip / t8_stemmed_lookup — their
+#     confirmed siblings (parquet sinks, t3_term_lookup) share the code
+#     path, so they carry the least marginal risk;
+#   * everything newly added in round 3.
+# Keep 2-3 round-3 greens as canaries.
 PRIORITY: list[str] = [
-    # round-2 fixes that must re-confirm
-    "a2_collect_list",
-    # canaries (round-1 driver passes — detect gate drift)
+    # canaries (driver-green in r1/r2 — detect gate drift)
     "a6_q1_pricing_summary",
-    "st7_stateful_user_totals",
-    # TPC-H shapes (Q1=a6, Q3=j3 already confirmed)
-    "q2_top_supplier_per_nation",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q20_promotion_suppliers",
-    "q21_waiting_supplier",
-    "q22_global_sales",
-    "t4b_index_search",
-    # window functions
     "w1_latest_per_group",
-    "w2_next_version",
-    "w3_rank",
-    "w4_lag",
-    "w5_running_sum",
-    "w6_ntile",
-    # text/search
-    "t1_tokenize",
-    "t2_inverted_index",
-    "t3_term_lookup",
-    "t4_tfidf_topk",
-    "t5_search_numfound",
-    # LLM-pipeline operators
-    "x1_exact_dedup",
     "x2_ngram_jaccard",
-    "x2_embedding_neardup",
-    "x3_text_stats",
-    "x4_cosine_topk",
-    "x5_knn_search",
-    "x6_multimodal_meta",
-    "x7_training_pipeline",
+    # sinks / DDL / storage layouts
+    "s6_append_sink",
+    "s7_delete_sink",
+    "s8_overwrite_upsert",
+    "s10_catalog_ddl",
+    "s12_partitioned_sink",
+    "s13_bucketed_join",
+    "s14_zorder_layout",
+    "s17_incremental_rollup",
+    # predicates
+    "p3_regex_predicate",
+    # aggregates
+    "a8_cube",
+    "a8b_grouping_sets",
+    "a_pivot",
+    "a10_percentile",
+    "a11_histogram",
+    "a12_table_profile",
+    "a13_constraint_audit",
+    "a14_heavy_hitters",
+    "a15_mode_per_group",
+    # set ops / scalar fns
+    "u4_unpivot",
+    "f13_levenshtein",
+    # windows
+    "w7_rolling_time_range",
+    "w8_gaps_islands",
+    "w9_funnel",
+    # text/search
+    "t6_phrase_search",
+    "t7_boolean_search",
+    "t9_bm25_topk",
+    # streaming shapes
+    "st8_interval_join",
+    "st9_dedup_within_watermark",
+    "st10_foreach_batch_upsert",
     # joins
-    "j5_outer_join",
-    "j6_range_join",
-    "j7_asof_join",
-    "j8_cross_join",
-    # UDF tiers + the new EXIF round-trip gate (s6_append_sink rotates to
-    # the round-3 window to make room — the window holds 50 exactly)
-    "ud3_grouped_agg_udaf",
-    "ud4_pandas_scalar",
-    "x6_exif_meta",
+    "j6b_binned_range_join",
+    "j9_salted_skew_join",
+    "j10_fuzzy_join",
+    # LLM-pipeline operators
+    "x2c_dedup_components",
+    "x3_quality_score",
+    "x3_lang_id",
+    "x3_fingerprint",
+    "x3_token_count",
+    "x4_embedding_norm",
+    "x6_wav_features",
+    "x8_train_test_split",
+    "x9_decontaminate",
+    "x10_chunk_dedup",
+    "x11_stratified_sample",
+    "x12_domain_mix",
+    "x13_pagerank",
+    "x14_repetition_signals",
+    "x15_blocklist_scrub",
 ]
 
 

@@ -265,6 +265,10 @@ def run_foreach_batch_upsert(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Crash recovery: a failure between the two swap renames below can
+        # leave only the .old snapshot — restore it before reading.
+        if not os.path.isdir(state_dir) and os.path.isdir(state_dir + ".old"):
+            os.rename(state_dir + ".old", state_dir)
         upd = batch_df.groupBy("user_id").agg(latest)
         if os.path.isdir(state_dir):
             prev = spark.read.parquet(state_dir)
@@ -279,9 +283,19 @@ def run_foreach_batch_upsert(
             )
         tmp = state_dir + ".tmp"
         upd.select("user_id", "s.*").write.mode("overwrite").parquet(tmp)
+        # Swap via rename-aside so no failure point loses the accumulated
+        # state: the old snapshot survives (as .old) until the new one is
+        # in place; a crash mid-swap leaves either the old dir or the new
+        # dir readable, and the Structured Streaming checkpoint replays the
+        # batch on restart (the commutative reduce makes that idempotent).
+        old = state_dir + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         if os.path.isdir(state_dir):
-            shutil.rmtree(state_dir)
+            os.rename(state_dir, old)
         os.rename(tmp, state_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     q = (
         stream.writeStream.foreachBatch(merge)

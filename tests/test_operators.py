@@ -416,3 +416,20 @@ def test_pagerank_integer_exact(spark):
     assert got == r
     # damped mass stays within rounding of SCALE (floor losses only shrink it)
     assert 0 < sum(got.values()) <= SCALE
+
+
+def test_survey_ledger_counts():
+    """SURVEY.md §8's "N registered queries, M with DuckDB oracles" header
+    must equal the live registry — the round-2 verdict caught the ledger
+    drifting (149/135 and 137/124 in prose vs 160/146 actual) because it
+    was hand-maintained."""
+    import re
+
+    from dmshadoop_spark import registry
+
+    registry.load_all()
+    text = open("SURVEY.md").read()
+    m = re.search(r"(\d+) registered\s+queries, (\d+) with DuckDB oracles", text)
+    assert m, "SURVEY.md §8 canonical count sentence missing"
+    assert int(m.group(1)) == len(registry.QUERIES)
+    assert int(m.group(2)) == len(registry.ORACLE)

@@ -10,12 +10,14 @@ REAL end-to-end paths (pure stdlib, no external codec library):
     (encode_wav/parse_wav/wav_features);
   * AVI video — RIFF/AVI mux + demux with avih timing and per-frame
     '00dc' payloads (encode_avi/parse_avi), wired into sample_frames;
-  * JPEG metadata — real APP1/Exif TIFF encode (encode_exif_jpeg) and
-    the IFD-walk parser in dms.extract.
-Only entropy-coded decode (JPEG pixels, mp3/aac audio, mp4/mkv
-containers) is stubbed — those need Pillow/ffmpeg-class libraries this
-container doesn't ship (clearly marked NotImplementedError + a
-deterministic fake so the pipelines stay testable end-to-end).
+  * JPEG — real APP1/Exif TIFF encode (encode_exif_jpeg), the IFD-walk
+    parser in dms.extract, AND a full pixel codec (multimodal.jpeg):
+    baseline/extended/progressive Huffman decode + baseline encode,
+    cross-validated against Java ImageIO.
+Only lossy audio/video codecs (mp3/aac, mp4/mkv) remain stubbed — those
+need ffmpeg-class libraries this container doesn't ship (clearly marked
+NotImplementedError + a deterministic fake so the pipelines stay
+testable end-to-end).
 
 ``ingest_binary_dir`` is the reference's blob-ingest path
 (open().read() + create_file, src/DMS.py:106-121) as Spark's binaryFile
@@ -244,16 +246,21 @@ def resize_nearest(arr: "np.ndarray", width: int, height: int) -> "np.ndarray":
 def decode_image(content: bytes) -> "np.ndarray":
     """Decode an image payload to an HxWx3 array.
 
-    PNG decodes for real (stdlib zlib — see decode_png). Other formats
-    raise: JPEG entropy decoding needs a real codec library (Pillow/
-    opencv), which this container doesn't ship. The Spark-side plumbing
-    (schema, batching, partitioning) is identical either way; production
-    swaps this dispatch for a full decoder.
-    """
-    if bytes(content[:8]) == _PNG_MAGIC:
+    PNG decodes for real (stdlib zlib — see decode_png); JPEG decodes for
+    real too (multimodal.jpeg — baseline, extended sequential AND
+    progressive DCT, validated bit-for-bit-close against Java ImageIO,
+    including the reference's own demo fixture demo/example_picture.jpg,
+    demo/demo.py:14). Other formats (webp/heic…) raise so callers can
+    fall back; production swaps this dispatch for a full decoder."""
+    data = bytes(content[:8])
+    if data == _PNG_MAGIC:
         return decode_png(content)
+    if data[:2] == b"\xff\xd8":
+        from dmshadoop_spark.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
-        "non-PNG decoding requires Pillow/opencv, not present in this container"
+        "only PNG/JPEG decode ships in-container (webp/heic need external codecs)"
     )
 
 
@@ -471,6 +478,15 @@ def resize_images(
                 return encode_png(resize_nearest(decode_png(raw), width, height))
             except (NotImplementedError, ValueError):
                 pass  # exotic PNG variant → fake path
+        elif raw[:2] == b"\xff\xd8":
+            from dmshadoop_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+            try:
+                # real JPEG path: decode (incl. progressive) → resample →
+                # re-encode baseline; thumbnails stay JPEG
+                return encode_jpeg(resize_nearest(decode_jpeg(raw), width, height))
+            except (NotImplementedError, ValueError):
+                pass  # metadata-only/exotic JPEG → fake path
         return fake_thumbnail(raw, width, height)
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

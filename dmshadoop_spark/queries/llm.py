@@ -924,6 +924,71 @@ def x6_png_roundtrip(spark, sf_dir):
     )
 
 
+@query("x6_jpeg_roundtrip")  # real codec; pixel hashes not SQL-expressible → rows-only
+def x6_jpeg_roundtrip(spark, sf_dir):
+    """REAL JPEG codec end-to-end (no stubs on this path): synthesize a
+    WxH RGB gradient per doc, encode a baseline JFIF JPEG (multimodal.jpeg
+    — Annex-K tables, validated against Java ImageIO's decoder), push it
+    through resize_images' real decode→resample→re-encode JPEG branch,
+    then decode the emitted JPEG thumbnail and fingerprint its pixels.
+    The decoder also handles progressive (SOF2) streams — the format of
+    the reference's own demo fixture (demo/example_picture.jpg,
+    demo/demo.py:14) — pinned in tests/test_dedup_similarity.py. Every
+    stage is Arrow-batched mapInPandas. The digest column pins content
+    (not just row count) for the driver's rows-only check."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import decode_jpeg, encode_jpeg, resize_images
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 24 + d % 8, 32 + d % 16
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (xx * 6 + d) % 256,
+                        (yy * 9 + d * 3) % 256,
+                        (xx * 2 + yy + d * 5) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                paths.append(f"jpeg://{d}")
+                blobs.append(encode_jpeg(img, quality=90))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    jpegs = docs.select("doc_id").mapInPandas(
+        synth, schema="path string, content binary"
+    )
+    thumbs = resize_images(jpegs, width=12, height=10)
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pix = pdf["thumbnail"].map(lambda t: decode_jpeg(bytes(t)))
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "thumb_w": pix.map(lambda a: a.shape[1]).astype("int32"),
+                    "thumb_h": pix.map(lambda a: a.shape[0]).astype("int32"),
+                    "pixel_sha256": pix.map(
+                        lambda a: hashlib.sha256(a.tobytes()).hexdigest()
+                    ),
+                }
+            )
+
+    return thumbs.mapInPandas(
+        fingerprint,
+        schema="path string, thumb_w int, thumb_h int, pixel_sha256 string",
+    )
+
+
 @query("x6_frame_sample")  # stubbed demuxer → rows-only
 def x6_frame_sample(spark, sf_dir):
     """Video frame-sampling plumbing: the 1-row→N-rows mapInPandas fan-out

@@ -456,3 +456,105 @@ def test_extract_metadata_wav_avi():
     m2 = extract_metadata(encode_avi([b"a", b"bb", b"ccc"], fps=10))
     assert m2["content_type"] == "video/x-msvideo"
     assert (m2["frame_count"], m2["duration_ms"]) == ("3", "300")
+
+
+def test_jpeg_zigzag_is_standard():
+    """The generated zigzag order must match T.81 Figure 5 — the round-2
+    session shipped a transposed generator that self-consistent round-trip
+    tests could never catch (encoder+decoder shared the error); only the
+    cross-decoder check against Java ImageIO exposed it."""
+    from dmshadoop_spark.multimodal.jpeg import ZIGZAG
+
+    assert ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert ZIGZAG[-6:].tolist() == [61, 54, 47, 55, 62, 63]
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+
+
+def test_jpeg_codec_roundtrip():
+    """encode_jpeg→decode_jpeg: exact on uniform blocks (all energy in DC),
+    high-PSNR on gradients, correct dims on non-multiple-of-8 images."""
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 24, 3), [120, 64, 200], dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=90)), img)
+
+    h, w = 41, 57
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 4) % 256, (yy * 3) % 256, (xx + yy) % 256], axis=2
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == (h, w, 3)
+    mse = float(((out.astype(float) - img.astype(float)) ** 2).mean())
+    assert 10 * np.log10(255**2 / mse) > 40  # measured ~51 dB
+
+    # deterministic byte-for-byte
+    assert encode_jpeg(img) == encode_jpeg(img)
+
+
+def test_jpeg_progressive_reference_fixture():
+    """decode_jpeg handles the reference repo's own demo fixture — a
+    PROGRESSIVE (SOF2) 438x431 4:4:4 stream (demo/example_picture.jpg,
+    exercised at demo/demo.py:14). Values pinned from a run cross-checked
+    against Java ImageIO (max channel deviation 11, mean 0.4)."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pytest
+
+    from dmshadoop_spark.multimodal import decode_jpeg
+
+    path = "/root/reference/demo/example_picture.jpg"
+    if not os.path.exists(path):
+        pytest.skip("reference fixture not present")
+    arr = decode_jpeg(open(path, "rb").read())
+    assert arr.shape == (431, 438, 3)
+    assert abs(float(arr.mean()) - 167.52) < 0.5
+    assert np.abs(arr[0, 0].astype(int) - [195, 157, 106]).max() <= 2
+    assert np.abs(arr[-1, -1].astype(int) - [131, 112, 99]).max() <= 2
+    assert (
+        hashlib.sha256(arr.tobytes()).hexdigest()
+        == "68278385999133c48562ab360bd87a38af880d28fa16d4004180335c5ce2594b"
+    )
+
+
+def test_resize_images_real_jpeg_path(spark):
+    """resize_images routes JPEG payloads through the real decode→resample
+    →re-encode branch: thumbnails are valid JPEGs that decode to the
+    nearest-resampled source within lossy-codec tolerance."""
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        resize_images,
+        resize_nearest,
+    )
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 5) % 256, (yy * 7) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    src = spark.createDataFrame(
+        [("jpeg://t", bytearray(encode_jpeg(img, quality=95)))],
+        "path string, content binary",
+    )
+    row = resize_images(src, width=16, height=12).collect()[0]
+    thumb = decode_jpeg(bytes(row["thumbnail"]))
+    assert thumb.shape == (12, 16, 3)
+    want = resize_nearest(img, 16, 12).astype(float)
+    assert float(np.abs(thumb.astype(float) - want).mean()) < 8.0
+
+
+def test_jpeg_roundtrip_query_deterministic(spark, sf_dir):
+    """x6_jpeg_roundtrip emits stable fingerprints (same rows on re-run)
+    with the contracted thumbnail dims."""
+    from dmshadoop_spark.queries.llm import x6_jpeg_roundtrip
+
+    rows1 = {r["path"]: r["pixel_sha256"] for r in x6_jpeg_roundtrip(spark, sf_dir).collect()}
+    rows2 = {r["path"]: r["pixel_sha256"] for r in x6_jpeg_roundtrip(spark, sf_dir).collect()}
+    assert rows1 and rows1 == rows2

@@ -1,0 +1,35 @@
+"""Content digest for rows-only query entries (round-2 VERDICT item 6).
+
+Rows-only queries (seeded-LSH candidate sets, IVF probes — results with no
+SQL-expressible oracle) get only a row-count check from the external
+driver. Appending a constant ``digest`` column — xxhash64 over the sorted,
+'|'-joined key columns of the ENTIRE result — upgrades that: any change in
+content (not just cardinality) flips the digest, and the local test pins
+its value, so a silent semantic drift can't hide behind a stable count.
+
+Scale note: the digest folds the whole result through one single-row
+aggregate, which is only sane because every rows-only result here is
+small-and-bounded by construction (top-k per query, capped candidate
+pairs). Don't attach it to unbounded outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_sorted_digest(df: DataFrame, *cols: str) -> DataFrame:
+    """Append a constant BIGINT ``digest`` column over the sorted rows.
+
+    digest = xxhash64(",".join(sorted("|".join(str(c) for c in cols) per
+    row))) — row-order-insensitive, engine-reproducible (Spark's xxhash64
+    with the default seed), and sensitive to every listed column value.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    digest = df.select(
+        F.xxhash64(
+            F.concat_ws(",", F.array_sort(F.collect_list(key)))
+        ).alias("digest")
+    )
+    return df.crossJoin(F.broadcast(digest))

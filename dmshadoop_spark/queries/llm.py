@@ -542,36 +542,45 @@ def x5_knn_search(spark, sf_dir):
 def x2_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified (dedup.minhash).
     Deterministic (pinned seed); threshold low enough to surface the
-    synthetic corpus's strongest collisions."""
+    synthetic corpus's strongest collisions. The constant ``digest``
+    column (functions.digest) pins the full sorted pair set so the
+    rows-only check can't pass on count alone."""
     from dmshadoop_spark.dedup import minhash_lsh_pairs
+    from dmshadoop_spark.functions.digest import with_sorted_digest
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.05, num_perm=64, bands=16)
+    pairs = minhash_lsh_pairs(docs, threshold=0.05, num_perm=64, bands=16)
+    return with_sorted_digest(pairs, "doc_a", "doc_b")
 
 
 @query("x2_simhash")  # seeded xxhash64 bit votes → no SQL oracle
 def x2_simhash(spark, sf_dir):
     """SimHash fingerprints + chunk-collision candidate pairs with Hamming
-    distance (dedup.simhash)."""
+    distance (dedup.simhash). Digest column pins content (see digest.py)."""
     from dmshadoop_spark.dedup import simhash_candidate_pairs
+    from dmshadoop_spark.functions.digest import with_sorted_digest
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_candidate_pairs(docs, chunks=4).filter(
+    pairs = simhash_candidate_pairs(docs, chunks=4).filter(
         F.col("hamming") <= 16
     )
+    return with_sorted_digest(pairs, "doc_a", "doc_b", "hamming")
 
 
 @query("x5_knn_lsh")  # hyperplane LSH recall is engine-specific → rows-only
 def x5_knn_lsh(spark, sf_dir):
     """Bucketed (random-hyperplane LSH) k-NN — the scale path for X5;
-    exact rerank inside buckets (similarity.knn.lsh_knn)."""
+    exact rerank inside buckets (similarity.knn.lsh_knn). Digest column
+    pins the neighbor sets (see digest.py)."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
     from dmshadoop_spark.similarity import lsh_knn
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    return lsh_knn(emb, queries_df, dim=64, k=5, planes=6)
+    topk = lsh_knn(emb, queries_df, dim=64, k=5, planes=6)
+    return with_sorted_digest(topk, "query_id", "neighbor_id")
 
 
 @query(
@@ -818,14 +827,17 @@ def x3_token_count(spark, sf_dir):
 def x5_knn_ivf(spark, sf_dir):
     """IVF-bucketed ANN (similarity.knn.ivf_knn): coarse-quantize to cells,
     probe nprobe nearest, exact rerank. The third ANN strategy next to
-    brute force (x4/x5 oracles) and hyperplane LSH (x5_knn_lsh)."""
+    brute force (x4/x5 oracles) and hyperplane LSH (x5_knn_lsh). Digest
+    column pins the neighbor sets (see digest.py)."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
     from dmshadoop_spark.similarity import ivf_knn
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    return ivf_knn(emb, queries_df, k=5, n_centroids=16, nprobe=4)
+    topk = ivf_knn(emb, queries_df, k=5, n_centroids=16, nprobe=4)
+    return with_sorted_digest(topk, "query_id", "neighbor_id")
 
 
 @query("x5_knn_ivf_trained")  # iterative training → rows-only
@@ -833,14 +845,17 @@ def x5_knn_ivf_trained(spark, sf_dir):
     """IVF ANN with k-means-trained centroids (similarity/kmeans.py):
     distributed Lloyd iterations balance the cells before probing — the
     production IVF shape (train offline, ship centroids as literals).
-    Deterministic: seeded hash init, exact argmin assignment."""
+    Deterministic: seeded hash init, exact argmin assignment. Digest
+    column pins the neighbor sets (see digest.py)."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
     from dmshadoop_spark.similarity import ivf_knn
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    return ivf_knn(emb, queries_df, k=5, n_centroids=16, nprobe=4, train_iters=3)
+    topk = ivf_knn(emb, queries_df, k=5, n_centroids=16, nprobe=4, train_iters=3)
+    return with_sorted_digest(topk, "query_id", "neighbor_id")
 
 
 @query("x6_resize_thumbnails")  # stubbed codec → rows-only

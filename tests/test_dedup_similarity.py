@@ -558,3 +558,25 @@ def test_jpeg_roundtrip_query_deterministic(spark, sf_dir):
     rows1 = {r["path"]: r["pixel_sha256"] for r in x6_jpeg_roundtrip(spark, sf_dir).collect()}
     rows2 = {r["path"]: r["pixel_sha256"] for r in x6_jpeg_roundtrip(spark, sf_dir).collect()}
     assert rows1 and rows1 == rows2
+
+
+def test_rows_only_digests_pinned(spark, sf_dir):
+    """Every rows-only ANN entry carries a constant content digest column
+    (functions.digest) so its driver check pins output identity, not just
+    row count. Values pinned at sf0.001 (the default local gate)."""
+    from dmshadoop_spark.queries import llm
+
+    pinned = {
+        "x2_minhash_lsh": -5608828265433481236,
+        "x2_simhash": 9207030713469604900,
+        "x5_knn_lsh": -3244470119333894329,
+        "x5_knn_ivf": 1923241679858020679,
+        "x5_knn_ivf_trained": 7893893270427542256,
+    }
+    at_default_sf = sf_dir.rstrip("/").endswith("sf0.001")
+    for name, want in pinned.items():
+        rows = getattr(llm, name)(spark, sf_dir).collect()
+        digests = {r["digest"] for r in rows}
+        assert len(digests) == 1 and None not in digests, name
+        if at_default_sf:
+            assert digests == {want}, name

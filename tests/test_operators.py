@@ -433,3 +433,24 @@ def test_survey_ledger_counts():
     assert m, "SURVEY.md §8 canonical count sentence missing"
     assert int(m.group(1)) == len(registry.QUERIES)
     assert int(m.group(2)) == len(registry.ORACLE)
+
+
+def test_yarn_deploy_conf_and_command():
+    """deploy.cluster_conf sizes shuffle partitions at 2x total cores and
+    keeps every scale-critical flag; spark_submit_command is well-formed."""
+    from dmshadoop_spark.deploy import cluster_conf, spark_submit_command
+
+    conf = cluster_conf(executors=500, cores_per_executor=8)
+    assert conf["spark.sql.shuffle.partitions"] == str(2 * 500 * 8)
+    assert conf["spark.dynamicAllocation.enabled"] == "true"
+    assert conf["spark.shuffle.service.enabled"] == "true"
+    assert conf["spark.sql.adaptive.enabled"] == "true"  # inherited BASE_CONF
+
+    cmd = spark_submit_command(
+        app="bench.py", executors=10, cores_per_executor=2,
+        archives="pyspark_env.tar.gz#env",
+    )
+    assert cmd[:5] == ["spark-submit", "--master", "yarn", "--deploy-mode", "cluster"]
+    assert cmd[-1] == "bench.py"
+    assert "spark.sql.shuffle.partitions=40" in " ".join(cmd)
+    assert any("PYSPARK_PYTHON=./env/bin/python" in c for c in cmd)

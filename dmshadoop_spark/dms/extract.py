@@ -51,6 +51,12 @@ def _sniff(content: bytes) -> str:
             return "audio/x-wav"
         if content[8:12] == b"AVI ":
             return "video/x-msvideo"
+    if content[4:8] == b"ftyp":  # ISO BMFF: size then 'ftyp'
+        return "video/mp4"
+    if content[:3] == b"ID3" or (
+        len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0
+    ):
+        return "audio/mpeg"
     try:
         content.decode("utf-8")
         return "text/plain"
@@ -233,6 +239,32 @@ def extract_metadata(content: bytes) -> dict[str, str]:
             meta["frame_count"] = str(len(frames))
             if uspf:
                 meta["duration_ms"] = str(len(frames) * uspf // 1000)
+        except (ValueError, struct.error):
+            pass
+    elif ctype == "audio/mpeg":
+        try:
+            from dmshadoop_spark.multimodal.containers import parse_mp3
+
+            m = parse_mp3(content)
+            meta["frame_count"] = str(m["n_frames"])
+            meta["sample_rate"] = str(m["sample_rate"])
+            meta["bitrate"] = str(m["bitrate"])
+            meta["duration_ms"] = str(int(m["duration"] * 1000))
+        except (ValueError, struct.error):
+            pass
+    elif ctype == "video/mp4":
+        try:
+            from dmshadoop_spark.multimodal.containers import parse_mp4
+
+            m = parse_mp4(content)
+            meta["duration_ms"] = str(int(m["duration"] * 1000))
+            vid = next(
+                (t for t in m["tracks"] if t["handler"] == "vide"), None
+            )
+            if vid:
+                meta["width"] = str(vid["width"])
+                meta["height"] = str(vid["height"])
+                meta["frame_count"] = str(len(vid["samples"]))
         except (ValueError, struct.error):
             pass
     if ctype == "text/plain":

@@ -14,10 +14,13 @@ REAL end-to-end paths (pure stdlib, no external codec library):
     parser in dms.extract, AND a full pixel codec (multimodal.jpeg):
     baseline/extended/progressive Huffman decode + baseline encode,
     cross-validated against Java ImageIO.
-Only lossy audio/video codecs (mp3/aac, mp4/mkv) remain stubbed — those
-need ffmpeg-class libraries this container doesn't ship (clearly marked
-NotImplementedError + a deterministic fake so the pipelines stay
-testable end-to-end).
+  * MP3 / MP4 — real MPEG audio frame-header walk and ISO BMFF
+    sample-table demux (multimodal.containers), the hachoir-parity
+    metadata surface plus bit-exact mp4 sample extraction.
+Only lossy audio DECODE (mp3 synthesis, aac) and EBML containers (mkv)
+remain stubbed — those need ffmpeg-class libraries this container
+doesn't ship (a deterministic fake keeps those pipelines testable
+end-to-end).
 
 ``ingest_binary_dir`` is the reference's blob-ingest path
 (open().read() + create_file, src/DMS.py:106-121) as Spark's binaryFile
@@ -512,9 +515,11 @@ def sample_frames(
     sampled frame — the UDTF-shaped (1 row → N rows) multimodal pattern.
 
     RIFF/AVI payloads demux for REAL (parse_avi: avih timing + '00dc'
-    frame chunks), emitting every stride-th actual frame payload with its
-    container-derived timestamp. Other containers (mp4/mkv need a full
-    box/EBML parser) fall back to the deterministic stub: duration :=
+    frame chunks), and ISO BMFF (mp4) payloads demux for real too
+    (containers.parse_mp4: full stts/stsc/stsz/stco sample-table walk) —
+    both emit every stride-th actual frame payload with its
+    container-derived timestamp. Remaining containers (mkv needs an EBML
+    parser) fall back to the deterministic stub: duration :=
     length / bytes_per_s, frames at every_s intervals, each frame a
     sha256(content || idx) pseudo-payload. Partitioning, batch fan-out,
     and the (path, frame_idx, ts_sec, frame) contract are identical on
@@ -534,6 +539,29 @@ def sample_frames(
                         out_ts.append(i * uspf / 1_000_000)
                         out_frame.append(all_frames[i])
                     continue
+                if raw[4:8] == b"ftyp":
+                    from dmshadoop_spark.multimodal.containers import parse_mp4
+
+                    try:
+                        parsed = parse_mp4(raw)
+                        vid = next(
+                            t for t in parsed["tracks"] if t["handler"] == "vide"
+                        )
+                        samples = vid["samples"]
+                        n = len(samples)
+                        span = samples[-1][2] if n else 0.0
+                        stride = (
+                            max(1, round(n * every_s / span)) if span > 0 else 1
+                        )
+                        for i in range(0, n, stride):
+                            off, size, ts = samples[i]
+                            out_path.append(path)
+                            out_idx.append(i)
+                            out_ts.append(ts)
+                            out_frame.append(raw[off : off + size])
+                        continue
+                    except (ValueError, StopIteration):
+                        pass  # malformed/audio-only mp4 → stub path
                 duration = len(raw) / bytes_per_s
                 n_frames = int(duration / every_s) + 1
                 for i in range(n_frames):

@@ -1,0 +1,426 @@
+"""MP3 and MP4 container parsing/muxing — pure stdlib (SURVEY §2.12 X6).
+
+The reference pulled duration/bitrate/dimension metadata out of media
+files with hachoir before storing blobs (src/DMS.py:70-91). This module
+is that surface rebuilt for the Spark era, and it removes the last
+"mp3/mp4 stubbed" boundary from multimodal/binary.py:
+
+  * MP3 — MPEG-1/2/2.5 Layer I/II/III frame-header walk (sync scan, the
+    published bitrate/sample-rate tables, padding arithmetic, ID3v2 skip):
+    frame count, per-frame sample counts → duration, average bitrate.
+    Audio DECODE (MDCT synthesis) stays out of scope — metadata and frame
+    boundaries are what the pipeline needs, and what the reference read.
+  * MP4 — ISO BMFF box walk: mvhd (movie timescale/duration), per-track
+    tkhd/hdlr/mdhd, and the full sample-table machinery (stts, stsc,
+    stsz, stco/co64) resolved into absolute per-sample byte ranges — a
+    REAL demux: sample payloads come back bit-exact. A deterministic
+    minimal muxer (`encode_mp4`) produces spec-shaped files for
+    round-trip gates, mirroring encode_wav/encode_avi.
+
+Everything raises ValueError on malformed input so Arrow-batched callers
+can fall back deterministically.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG audio frame headers)
+# ---------------------------------------------------------------------------
+
+# Bitrate tables (kbps), index 1-14; row key = (version_group, layer).
+# version_group: 1 = MPEG-1, 2 = MPEG-2/2.5 (they share tables).
+_BITRATES = {
+    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+
+_SAMPLE_RATES = {  # by version bits (00=2.5, 10=2, 11=1)
+    3: [44100, 48000, 32000],
+    2: [22050, 24000, 16000],
+    0: [11025, 12000, 8000],
+}
+
+# samples per frame: (version_group, layer)
+_SAMPLES = {(1, 1): 384, (1, 2): 1152, (1, 3): 1152,
+            (2, 1): 384, (2, 2): 1152, (2, 3): 576}
+
+
+def _mp3_frame_at(data: bytes, i: int):
+    """Parse one frame header at offset i → (frame_len, samples, sample_rate,
+    bitrate_bps) or None if not a valid header."""
+    if i + 4 > len(data):
+        return None
+    b1, b2 = data[i], data[i + 1]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b2 >> 3) & 3
+    layer_bits = (b2 >> 1) & 3
+    if ver_bits == 1 or layer_bits == 0:
+        return None  # reserved
+    vgroup = 1 if ver_bits == 3 else 2
+    layer = 4 - layer_bits  # bits 11→layer1, 10→layer2, 01→layer3
+    br_idx = (data[i + 2] >> 4) & 15
+    sr_idx = (data[i + 2] >> 2) & 3
+    padding = (data[i + 2] >> 1) & 1
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format/bad
+    bitrate = _BITRATES[(vgroup, layer)][br_idx - 1] * 1000
+    sample_rate = _SAMPLE_RATES[ver_bits][sr_idx]
+    samples = _SAMPLES[(vgroup, layer)]
+    if layer == 1:
+        frame_len = (12 * bitrate // sample_rate + padding) * 4
+    else:
+        frame_len = samples // 8 * bitrate // sample_rate + padding
+    return frame_len, samples, sample_rate, bitrate
+
+
+def parse_mp3(data: bytes) -> dict:
+    """Walk every MPEG audio frame: skip ID3v2, sync-scan to the first
+    valid header, then step frame-by-frame. Returns {n_frames, duration,
+    sample_rate, bitrate (average, bps), layer_version}. Raises ValueError
+    if no coherent frame sequence exists."""
+    data = bytes(data)
+    i = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        # syncsafe 28-bit size after the 10-byte header
+        size = (
+            (data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7 | (data[9] & 0x7F)
+        )
+        i = 10 + size
+    # sync scan (tolerate junk before the first frame, as real rippers do)
+    first = None
+    while i < len(data) - 4:
+        parsed = _mp3_frame_at(data, i)
+        if parsed:
+            first = parsed
+            break
+        i += 1
+    if first is None:
+        raise ValueError("no MPEG audio frame found")
+    n_frames = 0
+    total_samples = 0
+    total_bits = 0
+    sample_rate = first[2]
+    while i + 4 <= len(data):
+        parsed = _mp3_frame_at(data, i)
+        if not parsed:
+            break
+        frame_len, samples, sr, bitrate = parsed
+        if sr != sample_rate or frame_len <= 0:
+            break  # stream changed → stop at the consistent prefix
+        n_frames += 1
+        total_samples += samples
+        total_bits += bitrate * samples  # weight by duration
+        i += frame_len
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frame found")
+    duration = total_samples / sample_rate
+    return {
+        "n_frames": n_frames,
+        "total_samples": total_samples,  # exact int — float-free oracles
+        "duration": duration,
+        "sample_rate": sample_rate,
+        "bitrate": int(round(total_bits / total_samples)),
+    }
+
+
+def encode_mp3(
+    n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100
+) -> bytes:
+    """Deterministic spec-valid MPEG-1 Layer III frame sequence (headers +
+    zeroed payloads) — the fixture generator for parse_mp3 round-trips.
+    Real audio content is irrelevant to container parsing, exactly like
+    encode_avi's opaque frame payloads."""
+    br_idx = _BITRATES[(1, 3)].index(bitrate_kbps) + 1
+    sr_idx = _SAMPLE_RATES[3].index(sample_rate)
+    header = bytes(
+        [
+            0xFF,
+            0xFB,  # MPEG-1 (11), Layer III (01), no CRC
+            (br_idx << 4) | (sr_idx << 2),  # padding 0, private 0
+            0x00,  # stereo, no mode ext/copyright/original/emphasis
+        ]
+    )
+    frame_len = 1152 // 8 * bitrate_kbps * 1000 // sample_rate
+    frame = header + b"\x00" * (frame_len - 4)
+    return frame * n_frames
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO base media file format)
+# ---------------------------------------------------------------------------
+
+
+def _boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_lo, payload_hi) for each box in [start, end)."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", data[i : i + 4])
+        btype = data[i + 4 : i + 8]
+        lo = i + 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", data[i + 8 : i + 16])
+            lo = i + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield btype, lo, i + size
+        i += size
+
+
+def _find(data: bytes, lo: int, hi: int, *path: bytes):
+    """Resolve a nested box path; returns (lo, hi) payload bounds or None."""
+    for name in path:
+        found = None
+        for btype, blo, bhi in _boxes(data, lo, hi):
+            if btype == name:
+                found = (blo, bhi)
+                break
+        if found is None:
+            return None
+        lo, hi = found
+    return lo, hi
+
+
+def parse_mp4(data: bytes) -> dict:
+    """ISO BMFF demux: movie timescale/duration plus, per track, the
+    handler type, dimensions, media timescale, and the sample table
+    resolved to absolute byte ranges and timestamps.
+
+    Returns {timescale, duration, tracks: [{handler, width, height,
+    timescale, samples: [(offset, size, ts_seconds), ...]}]}.
+    """
+    data = bytes(data)
+    if _find(data, 0, len(data), b"ftyp") is None:
+        raise ValueError("not an ISO BMFF payload (missing ftyp)")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    out: dict = {"timescale": 0, "duration": 0.0, "tracks": []}
+    mvhd = _find(data, *moov, b"mvhd")
+    if mvhd:
+        lo, _hi = mvhd
+        version = data[lo]
+        if version == 1:
+            ts, dur = struct.unpack(">IQ", data[lo + 20 : lo + 32])
+        else:
+            ts, dur = struct.unpack(">II", data[lo + 12 : lo + 20])
+        out["timescale"] = ts
+        out["duration"] = dur / ts if ts else 0.0
+    for btype, blo, bhi in _boxes(data, *moov):
+        if btype != b"trak":
+            continue
+        track: dict = {"handler": "", "width": 0, "height": 0, "timescale": 0,
+                       "samples": []}
+        tkhd = _find(data, blo, bhi, b"tkhd")
+        if tkhd:
+            lo, hi = tkhd
+            # width/height are 16.16 fixed point in the last 8 bytes
+            w, h = struct.unpack(">II", data[hi - 8 : hi])
+            track["width"], track["height"] = w >> 16, h >> 16
+        mdia = _find(data, blo, bhi, b"mdia")
+        if not mdia:
+            continue
+        hdlr = _find(data, *mdia, b"hdlr")
+        if hdlr:
+            lo, _hi = hdlr
+            track["handler"] = data[lo + 8 : lo + 12].decode("latin1")
+        mdhd = _find(data, *mdia, b"mdhd")
+        media_ts = 0
+        if mdhd:
+            lo, _hi = mdhd
+            version = data[lo]
+            off = lo + (20 if version == 1 else 12)
+            (media_ts,) = struct.unpack(">I", data[off : off + 4])
+            track["timescale"] = media_ts
+        stbl = _find(data, *mdia, b"minf", b"stbl")
+        if not stbl:
+            out["tracks"].append(track)
+            continue
+        # --- sample sizes
+        sizes: list[int] = []
+        stsz = _find(data, *stbl, b"stsz")
+        if stsz:
+            lo, _hi = stsz
+            uniform, count = struct.unpack(">II", data[lo + 4 : lo + 12])
+            if uniform:
+                sizes = [uniform] * count
+            else:
+                sizes = list(
+                    struct.unpack(f">{count}I", data[lo + 12 : lo + 12 + 4 * count])
+                )
+        # --- chunk offsets
+        offsets: list[int] = []
+        stco = _find(data, *stbl, b"stco")
+        if stco:
+            lo, _hi = stco
+            (count,) = struct.unpack(">I", data[lo + 4 : lo + 8])
+            offsets = list(
+                struct.unpack(f">{count}I", data[lo + 8 : lo + 8 + 4 * count])
+            )
+        else:
+            co64 = _find(data, *stbl, b"co64")
+            if co64:
+                lo, _hi = co64
+                (count,) = struct.unpack(">I", data[lo + 4 : lo + 8])
+                offsets = list(
+                    struct.unpack(f">{count}Q", data[lo + 8 : lo + 8 + 8 * count])
+                )
+        # --- sample→chunk map
+        stsc_entries: list[tuple[int, int]] = []  # (first_chunk, per_chunk)
+        stsc = _find(data, *stbl, b"stsc")
+        if stsc:
+            lo, _hi = stsc
+            (count,) = struct.unpack(">I", data[lo + 4 : lo + 8])
+            for e in range(count):
+                fc, spc, _sdi = struct.unpack(
+                    ">III", data[lo + 8 + 12 * e : lo + 20 + 12 * e]
+                )
+                stsc_entries.append((fc, spc))
+        # --- decode timestamps
+        deltas: list[int] = []
+        stts = _find(data, *stbl, b"stts")
+        if stts:
+            lo, _hi = stts
+            (count,) = struct.unpack(">I", data[lo + 4 : lo + 8])
+            for e in range(count):
+                n, delta = struct.unpack(
+                    ">II", data[lo + 8 + 8 * e : lo + 16 + 8 * e]
+                )
+                deltas.extend([delta] * n)
+        # resolve absolute (offset, size, ts) per sample
+        samples: list[tuple[int, int, float]] = []
+        si = 0
+        t = 0
+        for ci, chunk_off in enumerate(offsets):
+            per_chunk = 0
+            for fc, spc in stsc_entries:
+                if ci + 1 >= fc:
+                    per_chunk = spc
+            pos = chunk_off
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    break
+                ts_sec = (t / media_ts) if media_ts else 0.0
+                samples.append((pos, sizes[si], ts_sec))
+                pos += sizes[si]
+                t += deltas[si] if si < len(deltas) else 0
+                si += 1
+        track["samples"] = samples
+        out["tracks"].append(track)
+    return out
+
+
+def mp4_sample_payloads(data: bytes, track: dict) -> list[bytes]:
+    """Materialize a parsed track's sample byte ranges."""
+    return [bytes(data[o : o + s]) for o, s, _ts in track["samples"]]
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def encode_mp4(
+    frames: list[bytes], fps: int, width: int = 0, height: int = 0
+) -> bytes:
+    """Deterministic minimal ISO BMFF mux: ftyp + mdat (concatenated
+    frames) + moov with one 'vide' track whose sample table (stts/stsc/
+    stsz/stco) indexes every frame — enough structure for any conforming
+    demuxer (incl. parse_mp4) to recover each payload bit-exactly with
+    its timestamp."""
+    timescale = 1000
+    delta = timescale // fps
+    duration = delta * len(frames)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(frames)
+    mdat = _box(b"mdat", mdat_payload)
+    data_start = len(ftyp) + 8  # mdat payload offset in the final file
+
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">II", 0, 0)  # creation/modification (epoch zero)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume
+        + b"\x00" * 10
+        + struct.pack(
+            ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )  # unity matrix
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">B3B", 0, 0, 0, 7)  # version 0, flags: enabled|in-movie
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">I", duration)
+        + b"\x00" * 16
+        + struct.pack(
+            ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _box(
+        b"hdlr",
+        struct.pack(">B3x", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 12
+        + b"VideoHandler\x00",
+    )
+    stsd = _box(
+        b"stsd",
+        struct.pack(">B3xI", 0, 1)
+        + _box(
+            b"mp4v",
+            b"\x00" * 6 + struct.pack(">H", 1)  # data ref index
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + b"\x00" * 4
+            + struct.pack(">H", 1)  # frame count
+            + b"\x00" * 32
+            + struct.pack(">H", 24)  # depth
+            + struct.pack(">h", -1),
+        ),
+    )
+    stts = _box(
+        b"stts", struct.pack(">B3xI", 0, 1) + struct.pack(">II", len(frames), delta)
+    )
+    stsc = _box(
+        b"stsc", struct.pack(">B3xI", 0, 1) + struct.pack(">III", 1, len(frames), 1)
+    )
+    stsz = _box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, len(frames))
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _box(b"stco", struct.pack(">B3xI", 0, 1) + struct.pack(">I", data_start))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _box(
+        b"dinf",
+        _box(b"dref", struct.pack(">B3xI", 0, 1) + _box(b"url ", struct.pack(">B3B", 0, 0, 0, 1))),
+    )
+    vmhd = _box(b"vmhd", struct.pack(">B3B", 0, 0, 0, 1) + b"\x00" * 8)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

@@ -170,10 +170,14 @@ def a7_approx_count_distinct(spark, sf_dir):
     """HLL++ approximate distinct — the scale path (no shuffle of the
     distinct values, constant memory). No SQL oracle: approximation is
     engine-specific; the driver records a rows-only check."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    est = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
     )
+    # HLL++ is deterministic for fixed data: digest pins the estimates.
+    return with_sorted_digest(est, "event_type", "n_users_approx")
 
 
 @query(
@@ -231,14 +235,17 @@ def a7b_hll_sketch_union(spark, sf_dir):
     answers every what's-the-distinct-over-window question that would
     otherwise rescan the fact table. Union-vs-global equivalence and error
     vs exact are pinned in tests/test_operators.py."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+
     ev = load_table(spark, sf_dir, "events")
     monthly = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
         F.hll_sketch_agg("user_id", 12).alias("sk")
     )
-    return monthly.agg(
+    est = monthly.agg(
         F.count(F.lit(1)).alias("n_partials"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
     )
+    return with_sorted_digest(est, "n_partials", "distinct_users_est")
 
 
 @query(
@@ -272,13 +279,16 @@ def a10b_approx_percentile(spark, sf_dir):
     """KLL/GK-style approximate percentiles — constant memory per group
     regardless of value cardinality; the 100 TB default when groups are
     unbounded (accuracy parameter trades memory for rank error)."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    q = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10000)
         .cast("array<double>")
         .cast("string")  # stringified: the gate cannot hash array cells
         .alias("price_quantiles")
     )
+    return with_sorted_digest(q, "l_returnflag", "price_quantiles")
 
 
 @query(

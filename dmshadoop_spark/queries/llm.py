@@ -933,9 +933,15 @@ def x6_png_roundtrip(spark, sf_dir):
                 }
             )
 
-    return thumbs.mapInPandas(
-        fingerprint,
-        schema="path string, thumb_w int, thumb_h int, pixel_sha256 string",
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+
+    return with_sorted_digest(
+        thumbs.mapInPandas(
+            fingerprint,
+            schema="path string, thumb_w int, thumb_h int, pixel_sha256 string",
+        ),
+        "path",
+        "pixel_sha256",
     )
 
 
@@ -998,9 +1004,131 @@ def x6_jpeg_roundtrip(spark, sf_dir):
                 }
             )
 
-    return thumbs.mapInPandas(
-        fingerprint,
-        schema="path string, thumb_w int, thumb_h int, pixel_sha256 string",
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+
+    return with_sorted_digest(
+        thumbs.mapInPandas(
+            fingerprint,
+            schema="path string, thumb_w int, thumb_h int, pixel_sha256 string",
+        ),
+        "path",
+        "pixel_sha256",
+    )
+
+
+@query(
+    "x6_mp3_meta",
+    oracle="""
+    SELECT 'mp3://' || doc_id AS path,
+           CAST(30 + doc_id % 20 AS BIGINT) AS frame_count,
+           CAST((30 + doc_id % 20) * 1152 AS BIGINT) AS total_samples,
+           CAST(44100 AS BIGINT) AS sample_rate,
+           CAST(128000 AS BIGINT) AS bitrate
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def x6_mp3_meta(spark, sf_dir):
+    """REAL MP3 container parse under a FULL hash oracle: synthesize an
+    MPEG-1 Layer III frame sequence per doc (containers.encode_mp3, frame
+    count = f(doc_id)), parse it back with the frame-header walk
+    (containers.parse_mp3 — sync scan, bitrate/sample-rate tables,
+    padding arithmetic), and emit exact-integer stats. The oracle
+    recomputes every column from the generator formula, so a match proves
+    the parser recovers precisely what the muxer wrote — the hachoir
+    metadata surface of the reference (src/DMS.py:70-91), rebuilt. All
+    integer outputs (no float duration) so the comparison is bit-exact."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import encode_mp3, parse_mp3
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, fc, ts, sr, br = [], [], [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = parse_mp3(encode_mp3(30 + d % 20, 128, 44100))
+                paths.append(f"mp3://{d}")
+                fc.append(m["n_frames"])
+                ts.append(m["total_samples"])
+                sr.append(m["sample_rate"])
+                br.append(m["bitrate"])
+            yield pd.DataFrame(
+                {
+                    "path": paths,
+                    "frame_count": pd.Series(fc, dtype="int64"),
+                    "total_samples": pd.Series(ts, dtype="int64"),
+                    "sample_rate": pd.Series(sr, dtype="int64"),
+                    "bitrate": pd.Series(br, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        work,
+        schema="path string, frame_count long, total_samples long,"
+        " sample_rate long, bitrate long",
+    )
+
+
+@query(
+    "x6_mp4_frames",
+    oracle="""
+    SELECT 'mp4://' || doc_id AS path,
+           i AS frame_idx,
+           CAST(i * 100 AS BIGINT) AS ts_ms,
+           CAST(length(repeat('frame-' || doc_id || ':' || i || ';',
+                              1 + (i % 3))) AS BIGINT) AS frame_len,
+           sha256(repeat('frame-' || doc_id || ':' || i || ';',
+                         1 + (i % 3))) AS frame_sha256
+    FROM (SELECT doc_id,
+                 unnest(generate_series(CAST(0 AS BIGINT),
+                                        4 + doc_id % 7)) AS i
+          FROM documents WHERE doc_id < 100)
+    """,
+)
+def x6_mp4_frames(spark, sf_dir):
+    """REAL ISO BMFF (mp4) demux under a FULL hash oracle: mux n=f(doc_id)
+    deterministic frame payloads into a spec-shaped mp4 (containers.
+    encode_mp4 — ftyp/mdat/moov with a complete stts/stsc/stsz/stco
+    sample table), push it through sample_frames' real mp4 branch (the
+    1-row→N-rows fan-out), and hash every extracted sample. The oracle
+    regenerates payloads from the formula, so a match proves bit-exact
+    sample recovery plus container-derived timestamps. ts arithmetic
+    stays integer (ts = idx·100 ms at 10 fps, timescale 1000)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import encode_mp4, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    (f"frame-{d}:{i};" * (1 + i % 3)).encode()
+                    for i in range(5 + d % 7)
+                ]
+                paths.append(f"mp4://{d}")
+                blobs.append(encode_mp4(frames, fps=10, width=64, height=48))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    mp4s = docs.select("doc_id").mapInPandas(
+        synth, schema="path string, content binary"
+    )
+    frames = sample_frames(mp4s, every_s=0.01)  # stride 1 → every sample
+    return frames.select(
+        "path",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.round(F.col("ts_sec") * 1000).cast("long").alias("ts_ms"),
+        F.length("frame").cast("long").alias("frame_len"),
+        F.sha2("frame", 256).alias("frame_sha256"),
     )
 
 

@@ -44,14 +44,16 @@ def s4_binary_ingest(spark, sf_dir):
     reference stored (path, modificationTime, length) plus content; here we
     ingest the sf dir's own parquet files as opaque blobs and emit
     per-file metadata + a content checksum."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
     from dmshadoop_spark.multimodal import ingest_binary_dir
 
     raw = ingest_binary_dir(spark, sf_dir, glob="*.parquet")
-    return raw.select(
+    files = raw.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         F.col("length"),
         F.md5("content").alias("content_md5"),
     )
+    return with_sorted_digest(files, "file_name", "length", "content_md5")
 
 
 @query(

@@ -1903,3 +1903,88 @@ def x15_blocklist_scrub(spark, sf_dir):
             F.concat_ws("", F.sort_array(F.collect_list("d"))).cast("binary")
         ).alias("content_digest"),
     )
+
+
+@query(
+    "x16_pii_redact",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               text || ' contact user' || doc_id ||
+               '@example.com or +1-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(aug,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS n_emails,
+               len(regexp_extract_all(aug, '\\+1-555-[0-9]{4}')) AS n_phones,
+               regexp_replace(
+                   regexp_replace(aug,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
+        FROM seeded
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+           CAST(sum(n_phones) AS BIGINT) AS phones_redacted,
+           md5(string_agg(md5(clean), '' ORDER BY md5(clean)))
+               AS content_digest
+    FROM red GROUP BY source
+    """,
+)
+def x16_pii_redact(spark, sf_dir):
+    """Regex PII redaction — the corpus-prep stage x15's docstring points
+    at: find-and-mask email/phone spans, count what was masked per class,
+    and digest the REDACTED text so the oracle proves span-exact masking
+    (both engines must produce byte-identical cleaned documents, not just
+    matching counts). The synthetic corpus carries no PII, so each doc is
+    seeded with a deterministic email+phone derived from doc_id — the
+    redactor then has real work whose result is SQL-recomputable.
+
+    Plan: ONE scan; regex match + replace are scan-local JVM expressions
+    (no UDF), documents md5-digest BEFORE the per-source aggregate so the
+    exchange carries 32-byte hashes, never text (same shape as x15). At
+    100 TB: identical — regex cost scales per-byte in the scan stage and
+    the shuffle stays tiny. Patterns deliberately use the portable regex
+    subset (char classes + bounded quantifiers) that Java regex and RE2
+    interpret identically."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+1-555-[0-9]{4}"
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    seeded = docs.select("doc_id", "source", aug.alias("aug"))
+    red = seeded.select(
+        "source",
+        F.size(F.regexp_extract_all("aug", F.lit(email_re), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("aug", F.lit(phone_re), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("aug", email_re, "<EMAIL>"),
+                phone_re,
+                "<PHONE>",
+            ).cast("binary")
+        ).alias("d"),
+    )
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("emails_redacted"),
+        F.sum("n_phones").alias("phones_redacted"),
+        F.md5(
+            F.concat_ws("", F.sort_array(F.collect_list("d"))).cast("binary")
+        ).alias("content_digest"),
+    )

@@ -73,7 +73,9 @@ def load_all() -> None:
 #   * s15_orc_roundtrip / s16_csv_roundtrip / t8_stemmed_lookup — their
 #     confirmed siblings (parquet sinks, t3_term_lookup) share the code
 #     path, so they carry the least marginal risk;
-#   * everything newly added in round 3.
+#   * everything newly added in round 3: x6_jpeg_roundtrip (rows-only,
+#     digest-pinned), x6_mp3_meta, x6_mp4_frames, x16_pii_redact (all
+#     three oracle-backed — put these ahead of the rows-only block).
 # Keep 2-3 round-3 greens as canaries.
 PRIORITY: list[str] = [
     # canaries (driver-green in r1/r2 — detect gate drift)

@@ -60,6 +60,12 @@ def get_spark(
         master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_SCALE_CONF)
+    # Local mode runs ALL executor work inside the driver JVM, whose
+    # PySpark default heap is 1g — a 32-thread shuffle at sf0.1 OOMs the
+    # scheduler (discovered via j10's 50M-candidate stage: the thread
+    # pool dies and every later test fails with ConnectionRefused).
+    # Honored only at JVM launch, so it must be set on the FIRST session.
+    conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
     # Shuffle partitions sized to the local core count; cluster deployments
     # override via SPARK_CONF or extra_conf.
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -192,6 +192,10 @@ def _find(data: bytes, lo: int, hi: int, *path: bytes):
     return lo, hi
 
 
+_MAX_TABLE_ENTRIES = 16_000_000  # sanity cap: corrupt counts would
+# otherwise allocate gigabyte lists before any real parsing
+
+
 def parse_mp4(data: bytes) -> dict:
     """ISO BMFF demux: movie timescale/duration plus, per track, the
     handler type, dimensions, media timescale, and the sample table
@@ -199,8 +203,22 @@ def parse_mp4(data: bytes) -> dict:
 
     Returns {timescale, duration, tracks: [{handler, width, height,
     timescale, samples: [(offset, size, ts_seconds), ...]}]}.
+    Malformed streams raise ValueError (struct truncation included).
     """
-    data = bytes(data)
+    try:
+        return _parse_mp4_inner(bytes(data))
+    except struct.error as ex:
+        raise ValueError(f"malformed MP4: {ex}") from ex
+
+
+def _check_count(count: int, width: int, payload_len: int) -> int:
+    """Validate a sample-table entry count against its payload size."""
+    if count > _MAX_TABLE_ENTRIES or count * width > payload_len:
+        raise ValueError(f"MP4 sample table count {count} exceeds payload")
+    return count
+
+
+def _parse_mp4_inner(data: bytes) -> dict:
     if _find(data, 0, len(data), b"ftyp") is None:
         raise ValueError("not an ISO BMFF payload (missing ftyp)")
     moov = _find(data, 0, len(data), b"moov")
@@ -251,11 +269,12 @@ def parse_mp4(data: bytes) -> dict:
         sizes: list[int] = []
         stsz = _find(data, *stbl, b"stsz")
         if stsz:
-            lo, _hi = stsz
+            lo, hi = stsz
             uniform, count = struct.unpack(">II", data[lo + 4 : lo + 12])
             if uniform:
-                sizes = [uniform] * count
+                sizes = [uniform] * _check_count(count, 0, hi - lo)
             else:
+                _check_count(count, 4, hi - lo - 12)
                 sizes = list(
                     struct.unpack(f">{count}I", data[lo + 12 : lo + 12 + 4 * count])
                 )
@@ -263,16 +282,18 @@ def parse_mp4(data: bytes) -> dict:
         offsets: list[int] = []
         stco = _find(data, *stbl, b"stco")
         if stco:
-            lo, _hi = stco
+            lo, hi = stco
             (count,) = struct.unpack(">I", data[lo + 4 : lo + 8])
+            _check_count(count, 4, hi - lo - 8)
             offsets = list(
                 struct.unpack(f">{count}I", data[lo + 8 : lo + 8 + 4 * count])
             )
         else:
             co64 = _find(data, *stbl, b"co64")
             if co64:
-                lo, _hi = co64
+                lo, hi = co64
                 (count,) = struct.unpack(">I", data[lo + 4 : lo + 8])
+                _check_count(count, 8, hi - lo - 8)
                 offsets = list(
                     struct.unpack(f">{count}Q", data[lo + 8 : lo + 8 + 8 * count])
                 )
@@ -280,8 +301,9 @@ def parse_mp4(data: bytes) -> dict:
         stsc_entries: list[tuple[int, int]] = []  # (first_chunk, per_chunk)
         stsc = _find(data, *stbl, b"stsc")
         if stsc:
-            lo, _hi = stsc
+            lo, hi = stsc
             (count,) = struct.unpack(">I", data[lo + 4 : lo + 8])
+            _check_count(count, 12, hi - lo - 8)
             for e in range(count):
                 fc, spc, _sdi = struct.unpack(
                     ">III", data[lo + 8 + 12 * e : lo + 20 + 12 * e]
@@ -291,12 +313,15 @@ def parse_mp4(data: bytes) -> dict:
         deltas: list[int] = []
         stts = _find(data, *stbl, b"stts")
         if stts:
-            lo, _hi = stts
+            lo, hi = stts
             (count,) = struct.unpack(">I", data[lo + 4 : lo + 8])
+            _check_count(count, 8, hi - lo - 8)
             for e in range(count):
                 n, delta = struct.unpack(
                     ">II", data[lo + 8 + 8 * e : lo + 16 + 8 * e]
                 )
+                if len(deltas) + n > _MAX_TABLE_ENTRIES:
+                    raise ValueError("MP4 stts sample count exceeds cap")
                 deltas.extend([delta] * n)
         # resolve absolute (offset, size, ts) per sample
         samples: list[tuple[int, int, float]] = []

@@ -320,7 +320,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
             height, width = struct.unpack(">HH", seg[1:5])
+            if not (0 < width and 0 < height and width * height <= 64_000_000):
+                # cap coefficient-array allocation: corrupt SOF dims would
+                # otherwise reserve gigabytes before any entropy decoding
+                raise ValueError(f"implausible JPEG dimensions {width}x{height}")
             nc = seg[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
             for c in range(nc):
                 cid, hv, tq_id = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append(_Component(cid, hv >> 4, hv & 15, tq_id))

@@ -1988,3 +1988,77 @@ def x16_pii_redact(spark, sf_dir):
             F.concat_ws("", F.sort_array(F.collect_list("d"))).cast("binary")
         ).alias("content_digest"),
     )
+
+
+@query(
+    "x17_rare_token_filter",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    vocab AS (
+        SELECT t, count(*) AS c FROM tok GROUP BY t
+    ),
+    per_doc AS (
+        SELECT tok.doc_id, tok.source,
+               count(*) AS n_tokens,
+               sum(CASE WHEN vocab.c < 5 THEN 1 ELSE 0 END) AS n_rare,
+               sum(vocab.c) AS sum_freq
+        FROM tok JOIN vocab USING (t)
+        GROUP BY tok.doc_id, tok.source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_rare * 10 >= n_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(n_rare) AS BIGINT) AS rare_total,
+           CAST(sum(sum_freq) AS BIGINT) AS freq_mass
+    FROM per_doc GROUP BY source
+    """,
+)
+def x17_rare_token_filter(spark, sf_dir):
+    """Corpus-statistics quality filter — the Gopher/CCNet "too many
+    out-of-vocabulary words" rule, made engine-exact: build the unigram
+    vocabulary FROM the corpus itself, score each document by its rare-
+    token count (corpus frequency < 5), and flag documents where rare
+    tokens are ≥ 10% of the text. Every aggregate is an exact integer
+    (counts and integer frequency sums — no log-prob floats), so the
+    oracle hash-matches bit-for-bit.
+
+    Plan — the LM-scoring shape at 100 TB, in ONE corpus scan (the naive
+    vocab-join form plans the scan twice and join-key nullability
+    inference blocks exchange reuse — SCALE.md #5; same fix as t4b's
+    doc_freq): (1) pre-aggregate to (doc_id, token, k) — duplicate
+    tokens collapse BEFORE any wide exchange; (2) corpus frequency is a
+    sum-over-window on the token key (one uniform-key shuffle, no join,
+    no second scan); (3) per-doc and per-source rollups ride map-side
+    partial aggs. The corpus text itself is never shuffled — only
+    (doc_id, token) pairs and their counts."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "doc_id", "source", F.explode(tokenize("text")).alias("t")
+        )
+        .groupBy("doc_id", "source", "t")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    c = F.sum("k").over(Window.partitionBy("t")).alias("c")
+    scored = occ.select("doc_id", "source", "k", c)
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.sum("k").alias("n_tokens"),
+        F.sum(F.when(F.col("c") < 5, F.col("k")).otherwise(0)).alias("n_rare"),
+        F.sum(F.col("k") * F.col("c")).alias("sum_freq"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_rare") * 10 >= F.col("n_tokens"), 1).otherwise(0)
+        ).alias("n_flagged"),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.sum("n_rare").alias("rare_total"),
+        F.sum("sum_freq").alias("freq_mass"),
+    )

@@ -347,3 +347,26 @@ def test_vacuum_drops_old_generations_keeps_data(store):
     assert store.download("w.txt") == b"gamma"
     with _pytest.raises(ValueError):
         store.df(removed[0])
+
+
+@given(st.binary(max_size=512))
+@settings(max_examples=200, deadline=None)
+def test_container_parsers_never_crash_on_junk(junk):
+    """parse_mp3/parse_mp4/decode_jpeg run on arbitrary ingested bytes
+    inside Arrow-batched UDFs — malformed input must surface as the
+    documented ValueError/NotImplementedError (callers fall back), never
+    as IndexError/struct.error/unbounded recursion. extract_metadata must
+    never raise at all."""
+    from dmshadoop_spark.multimodal import parse_mp3, parse_mp4
+    from dmshadoop_spark.multimodal.jpeg import decode_jpeg
+
+    for parser in (parse_mp3, parse_mp4, decode_jpeg):
+        try:
+            parser(junk)
+        except (ValueError, NotImplementedError):
+            pass
+    extract_metadata(junk)
+    # framed variants: valid magics with junk bodies
+    extract_metadata(b"\x00\x00\x00\x14ftyp" + junk)
+    extract_metadata(b"ID3" + junk)
+    extract_metadata(b"\xff\xfb" + junk)

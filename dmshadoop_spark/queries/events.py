@@ -348,3 +348,46 @@ def st10_foreach_batch_upsert(spark, sf_dir):
         f"{workdir}/ckpt",
     )
     return spark.read.parquet(state_dir)
+
+
+@query(
+    "st11_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def st11_stream_stream_join(spark, sf_dir):
+    """ST11: REAL stream⋈stream run of the interval join (st8's batch twin
+    executes the same predicate as a static join) — two file-source
+    streams over the same events table, watermarks on BOTH sides bounding
+    join state, availableNow drain to a memory sink. An inner stream-
+    stream join emits exactly the matched pairs once both sides replay,
+    so the batch interval-join SQL is a true oracle — an actual
+    Structured Streaming join execution hash-matching a static join is
+    the strongest stream-stream check the driver contract allows. State
+    scale: (watermark delay + interval) × per-user arrival rate per side,
+    partitioned by the user_id equi-key."""
+    from dmshadoop_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_interval_join,
+    )
+
+    workdir = _stream_workdir("st11")
+    src = f"{workdir}/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    clicks = read_events_stream(spark, src, max_files_per_trigger=None).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, src, max_files_per_trigger=None).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = streaming_interval_join(clicks, purchases)
+    name = run_to_memory(joined, f"{workdir}/ckpt")
+    return spark.table(name)

@@ -511,3 +511,57 @@ def s17_incremental_rollup(spark, sf_dir):
         adds=["n_docs", "total_chars"],
         maxs=["max_doc_id"],
     )
+
+
+@query(
+    "s18_schema_evolution",
+    oracle="""
+    SELECT n_regionkey AS nationkey_group,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN batch = 2 THEN pop ELSE 0 END) AS BIGINT)
+               AS pop_sum,
+           CAST(sum(CASE WHEN batch = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS legacy_rows
+    FROM (
+        SELECT n_regionkey, 1 AS batch, NULL::BIGINT AS pop FROM nation
+        UNION ALL BY NAME
+        SELECT n_regionkey, 2 AS batch, n_nationkey * 100 AS pop FROM nation
+    )
+    GROUP BY n_regionkey
+    """,
+)
+def s18_schema_evolution(spark, sf_dir):
+    """Schema evolution on a file source — the operational reality of any
+    long-lived 100 TB table: batch 1 writes the original columns, batch 2
+    adds a column (`pop`) and a discriminator, and a single
+    ``mergeSchema`` read reconciles both vintages (old rows surface the
+    new column as NULL). The aggregate proves the merged relation is
+    column-correct per vintage, not just readable. At scale, mergeSchema
+    only unions file footers — data files are never rewritten, which is
+    the point: additive evolution is a metadata operation. (Production
+    catalogs — Delta/Iceberg — track this in the table log instead of
+    footer-merging; the read semantics are identical.)"""
+    base = _scratch("evolve")
+    out = os.path.join(base, "t")
+    nation = load_table(spark, sf_dir, "nation")
+    v1 = nation.select("n_nationkey", "n_regionkey", F.lit(1).alias("batch"))
+    v1.write.mode("overwrite").parquet(out)
+    v2 = nation.select(
+        "n_nationkey",
+        "n_regionkey",
+        F.lit(2).alias("batch"),
+        (F.col("n_nationkey") * 100).alias("pop"),
+    )
+    v2.write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy(
+        F.col("n_regionkey").alias("nationkey_group")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("batch") == 2, F.col("pop")).otherwise(0))
+        .cast("long")
+        .alias("pop_sum"),
+        F.sum(F.when(F.col("batch") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("legacy_rows"),
+    )

@@ -2062,3 +2062,52 @@ def x17_rare_token_filter(spark, sf_dir):
         F.sum("n_rare").alias("rare_total"),
         F.sum("sum_freq").alias("freq_mass"),
     )
+
+
+@query(
+    "x18_triangle_count",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        FROM tok
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.05
+    )
+    SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+    FROM edges e1
+    JOIN edges e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+    JOIN edges e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+    """,
+)
+def x18_triangle_count(spark, sf_dir):
+    """Triangle enumeration over the near-dup graph — the graph-quality
+    signal behind cluster-density metrics (a dedup cluster that is a
+    clique is a true duplicate family; a chain of borderline pairs is
+    not). Edges are x2's exact-Jaccard pairs; triangles come from the
+    degree-ordered compact-forward operator (operators/triangles.py) —
+    wedges build only around each edge's lower-degree endpoint, so hub
+    documents never become wedge centers and per-vertex work is bounded
+    by C(out_deg ≤ O(√m), 2), while the naive oracle form would be deg²
+    around hubs. The declarative 3-way self-join IS the oracle, so the
+    scale-safe algorithm is hash-checked against the textbook one."""
+    from dmshadoop_spark.operators.triangles import triangles
+
+    edges = x2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return triangles(edges, src="doc_a", dst="doc_b")

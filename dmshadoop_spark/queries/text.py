@@ -380,3 +380,55 @@ def t9_bm25_topk(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "t10_fuzzy_term",
+    oracle="""
+    WITH vocab AS (
+        SELECT t AS term, count(DISTINCT doc_id) AS doc_freq
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        GROUP BY t
+    ),
+    q AS (SELECT unnest(['hach', 'scann', 'colum']) AS query_term)
+    SELECT q.query_term, v.term,
+           CAST(levenshtein(q.query_term, v.term) AS BIGINT) AS dist,
+           CAST(v.doc_freq AS BIGINT) AS doc_freq
+    FROM q JOIN vocab v ON levenshtein(q.query_term, v.term) <= 1
+    """,
+)
+def t10_fuzzy_term(spark, sf_dir):
+    """Fuzzy term lookup — Solr's ``term~1`` edit-distance query (the
+    analyzer surface the reference's Solr search exposed but its client
+    never wired up; README.md:24 "Search (Working on)"). Misspelled query
+    terms match vocabulary terms within edit distance 1, each carrying
+    its document frequency for ranking.
+
+    Plan: the vocabulary aggregate is the inverted-index build's first
+    stage (uniform token shuffle, vocabulary-sized output); the tiny
+    query-term set broadcasts and levenshtein runs scan-local over the
+    vocabulary — distance computation never touches documents, only the
+    ≪corpus term dictionary. (j10 is the scale path when the QUERY side
+    is also large: block by prefix/suffix instead of broadcasting.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("doc_freq"))
+    )
+    q = spark.createDataFrame(
+        [("hach",), ("scann",), ("colum",)], "query_term string"
+    )
+    return (
+        vocab.join(
+            broadcast(q),
+            F.levenshtein(F.col("query_term"), F.col("term")) <= 1,
+        )
+        .select(
+            "query_term",
+            "term",
+            F.levenshtein("query_term", "term").cast("long").alias("dist"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+        )
+    )

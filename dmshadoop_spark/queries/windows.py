@@ -332,3 +332,80 @@ def w9_funnel(spark, sf_dir):
         F.sum(conv).cast("long").alias("n_purchases_after"),
         F.min(F.when(after, F.col("ts"))).alias("first_purchase_ts"),
     )
+
+
+@query(
+    "w10_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id,
+               time_bucket(INTERVAL '5 minutes', min(ts)) AS lo,
+               time_bucket(INTERVAL '5 minutes', max(ts)) AS hi
+        FROM events WHERE user_id < 20 GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi,
+                                               INTERVAL '5 minutes')) AS slot
+        FROM bounds
+    ),
+    slotted AS (
+        SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS slot,
+               count(*) AS n_events
+        FROM events WHERE user_id < 20 GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.slot,
+           COALESCE(s.n_events, 0) AS n_events,
+           CAST(max(CASE WHEN s.n_events IS NOT NULL THEN g.slot END)
+                    OVER (PARTITION BY g.user_id ORDER BY g.slot
+                          ROWS UNBOUNDED PRECEDING)
+                AS TIMESTAMP) AS last_active_slot
+    FROM grid g LEFT JOIN slotted s USING (user_id, slot)
+    """,
+)
+def w10_gap_fill(spark, sf_dir):
+    """Time-series resample + gap fill — the missing-bucket problem every
+    monitoring/feature pipeline hits: aggregations only emit buckets that
+    HAVE data, so downstream rolling features silently skip quiet
+    periods. Per user: build the dense 5-minute grid between first and
+    last activity with ``sequence()`` (expression-generated — no driver
+    loop, no range table), left-join the real per-slot counts, zero-fill,
+    and forward-fill the last active slot with a running ``max`` window
+    (ignore-null forward fill as an order-insensitive aggregate, so it's
+    deterministic under any shuffle order).
+
+    Scale: the grid explode is per-user-bounded (span/5min rows); the
+    join key (user_id, slot) is uniform; both sides pre-aggregate before
+    the join so the exchange carries bucket counts, never raw events.
+    The user_id<20 cut keeps the driver-gate result bounded — the plan
+    is cut-independent."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    slot = F.expr(
+        "timestampadd(MINUTE, -(minute(ts) % 5),"
+        " CAST(date_trunc('minute', ts) AS TIMESTAMP_NTZ))"
+    )
+    slotted = ev.select("user_id", slot.alias("slot")).groupBy(
+        "user_id", "slot"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = slotted.groupBy("user_id").agg(
+        F.min("slot").alias("lo"), F.max("slot").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 5 MINUTES"))
+        ).alias("slot"),
+    )
+    joined = grid.join(slotted, ["user_id", "slot"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "slot",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.max(
+            F.when(F.col("n_events").isNotNull(), F.col("slot"))
+        ).over(w).alias("last_active_slot"),
+    )

@@ -454,3 +454,28 @@ def test_yarn_deploy_conf_and_command():
     assert cmd[-1] == "bench.py"
     assert "spark.sql.shuffle.partitions=40" in " ".join(cmd)
     assert any("PYSPARK_PYTHON=./env/bin/python" in c for c in cmd)
+
+
+def test_triangles_known_graphs(spark):
+    """K4 has exactly 4 triangles; adding a pendant vertex changes
+    nothing; a 4-cycle has none. Orientation/dedup invariants: duplicate
+    and reversed input edges don't double-count."""
+    from pyspark.sql import Row
+
+    from dmshadoop_spark.operators.triangles import triangles
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in k4]
+        + [Row(src=3, dst=9)]          # pendant
+        + [Row(src=1, dst=0)]          # reversed duplicate
+    )
+    got = sorted(
+        (r["x"], r["y"], r["z"]) for r in triangles(edges).collect()
+    )
+    assert got == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+
+    cycle = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in [(0, 1), (1, 2), (2, 3), (3, 0)]]
+    )
+    assert triangles(cycle).count() == 0

@@ -311,6 +311,45 @@ def u3_union_distinct(spark, sf_dir):
     return docs.union(ev).distinct()
 
 
+@query(
+    "u5_bag_set_ops",
+    oracle="""
+    WITH a AS (SELECT lang AS val FROM documents),
+         b AS (SELECT lang AS val FROM documents WHERE doc_id % 3 = 0)
+    SELECT 'intersect_all' AS op, val, count(*) AS cnt
+    FROM (SELECT val FROM a INTERSECT ALL SELECT val FROM b)
+    GROUP BY val
+    UNION ALL
+    SELECT 'except_all' AS op, val, count(*) AS cnt
+    FROM (SELECT val FROM a EXCEPT ALL SELECT val FROM b)
+    GROUP BY val
+    """,
+)
+def u5_bag_set_ops(spark, sf_dir):
+    """Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    multiplicities (min/difference of per-value counts), which is what
+    dedup accounting actually needs: "how many copies survive" is a bag
+    question, the set forms (u2) erase it. Spark's intersectAll/exceptAll
+    compile to a count-aggregate + generate replay — no row-by-row
+    matching — so both stay one uniform-key shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("lang").alias("val"))
+    b = docs.filter(F.col("doc_id") % 3 == 0).select(F.col("lang").alias("val"))
+    inter = (
+        a.intersectAll(b)
+        .groupBy("val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("intersect_all").alias("op"), "val", "cnt")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("except_all").alias("op"), "val", "cnt")
+    )
+    return inter.unionByName(exc)
+
+
 # --------------------------------------------------------------------------
 # §2.8 scalar functions
 # --------------------------------------------------------------------------

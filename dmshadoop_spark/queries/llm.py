@@ -2111,3 +2111,61 @@ def x18_triangle_count(spark, sf_dir):
 
     edges = x2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return triangles(edges, src="doc_a", dst="doc_b")
+
+
+@query(
+    "x20_rag_chunking",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST((st - 1) / 25 AS BIGINT) AS chunk_idx,
+           CAST(st AS BIGINT) AS start_token,
+           CAST(least(st + 49, n) - st + 1 AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(t[st : least(st + 49, n)], ' ')) AS chunk_md5
+    FROM (SELECT doc_id, t, n,
+                 unnest(generate_series(1, greatest(n, 1), 25)) AS st
+          FROM tok)
+    """,
+)
+def x20_rag_chunking(spark, sf_dir):
+    """Overlapping-window document chunking — the retrieval/embedding
+    prep stage every RAG and long-context training pipeline runs: split
+    each document into 50-token windows with 25-token stride so no
+    sentence straddles a hard boundary unseen. Emits (chunk_idx,
+    start_token, token count, content md5) per chunk; the md5 makes the
+    oracle prove chunk CONTENT equality token-for-token, not just
+    counts.
+
+    Plan: pure per-row expression work — tokenize once, ``sequence()``
+    generates the stride starts, ``slice`` + ``array_join`` build each
+    window inside codegen; the only fan-out is the chunk explode (rows ×
+    ~n_tokens/25), which is the output itself. No shuffle at all until
+    whatever consumes the chunks; at 100 TB this stage is scan-bound,
+    exactly as it should be."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = docs.select(
+        "doc_id", tokenize("text").alias("t")
+    ).select("doc_id", "t", F.size("t").alias("n"))
+    chunks = tok.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("n"), F.lit(1)), F.lit(25))
+        ).alias("st"),
+    )
+    chunk_arr = F.slice(
+        F.col("t"), F.col("st"), F.least(F.col("st") + 49, F.col("n")) - F.col("st") + 1
+    )
+    return chunks.select(
+        "doc_id",
+        ((F.col("st") - 1) / 25).cast("long").alias("chunk_idx"),
+        F.col("st").cast("long").alias("start_token"),
+        (F.least(F.col("st") + 49, F.col("n")) - F.col("st") + 1)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk_arr, " ").cast("binary")).alias("chunk_md5"),
+    )

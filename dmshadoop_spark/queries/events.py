@@ -391,3 +391,37 @@ def st11_stream_stream_join(spark, sf_dir):
     joined = streaming_interval_join(clicks, purchases)
     name = run_to_memory(joined, f"{workdir}/ckpt")
     return spark.table(name)
+
+
+@query(
+    "st12_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+           event_type,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st12_stream_tumbling(spark, sf_dir):
+    """ST12: REAL streaming run of the watermarked tumbling-window count
+    (st1's batch twin is expression-identical; this executes the actual
+    readStream → window groupBy → complete-mode drain). Complete mode
+    emits the final state of every window after the availableNow drain,
+    which equals the batch GROUP BY — the watermark bounds state during
+    the run but the single-drain output is total. The strongest windowed-
+    aggregation check the driver contract allows: an actual stream
+    execution hash-matched against SQL."""
+    from dmshadoop_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_tumbling_counts,
+    )
+
+    workdir = _stream_workdir("st12")
+    src = f"{workdir}/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    stream = streaming_tumbling_counts(
+        read_events_stream(spark, src, max_files_per_trigger=None)
+    )
+    name = run_to_memory(stream, f"{workdir}/ckpt", output_mode="complete")
+    return spark.table(name)

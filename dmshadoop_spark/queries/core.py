@@ -652,3 +652,45 @@ def f13_levenshtein(spark, sf_dir):
         .cast("long")
         .alias("edit_dist")
     ).agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+@query(
+    "f14_parse_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' ||
+               CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2' AS url
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def f14_parse_url(spark, sf_dir):
+    """URL decomposition — the domain/path/query extraction every web-
+    corpus pipeline runs before domain mixing (x12) or blocklisting.
+    Spark's ``parse_url`` (HOST/PATH/QUERY:key) is JVM-side and
+    codegen-friendly; the oracle recomputes the same fields with regex,
+    so a hash match proves both decompositions agree byte-for-byte on
+    synthesized-but-structurally-real URLs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -370,3 +370,31 @@ def test_container_parsers_never_crash_on_junk(junk):
     extract_metadata(b"\x00\x00\x00\x14ftyp" + junk)
     extract_metadata(b"ID3" + junk)
     extract_metadata(b"\xff\xfb" + junk)
+
+
+def test_reference_demo_flow_real_fixture(store):
+    """The reference's own demo (demo/demo.py:14): upload its JPEG
+    fixture into the store, read metadata back (the hachoir surface,
+    src/DMS.py:70-91), and — beyond reference parity — decode the actual
+    pixels with our progressive-JPEG codec."""
+    import os
+
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import decode_jpeg
+
+    path = "/root/reference/demo/example_picture.jpg"
+    if not os.path.exists(path):
+        pytest.skip("reference fixture not present")
+    blob = open(path, "rb").read()
+    v = store.upload("example_picture.jpg", blob)
+    assert v == 1
+    meta = store.get_file_meta_data("example_picture.jpg")
+    assert meta["content_type"] == "image/jpeg"
+    # SOF2 dims surface through the segment walk (438 wide, 431 high)
+    assert (meta["width"], meta["height"]) == ("438", "431")
+    back = store.download("example_picture.jpg")
+    assert back == blob  # byte-exact round trip through the store
+    arr = decode_jpeg(back)
+    assert arr.shape == (431, 438, 3)
+    assert 150 < float(np.mean(arr)) < 185  # a real photo, not noise

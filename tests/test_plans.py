@@ -270,3 +270,32 @@ def test_t9_single_corpus_scan(spark, sf_dir):
         if "Scan parquet" in l and "documents" in l
     ]
     assert len(scans) == 1, f"documents scanned {len(scans)}× in final plan"
+
+
+def test_rare_token_filter_single_scan(spark, sf_dir):
+    """x17 must keep the window-over-key form: the naive vocab self-join
+    plans the documents scan twice (join-key null inference blocks
+    exchange reuse — SCALE.md #5)."""
+    import collections
+    import re
+
+    p = plan(spark, sf_dir, "x17_rare_token_filter")
+    scans = collections.Counter(re.findall(r"file:[^\]]*?/(\w+)\.parquet", p))
+    assert scans == {"documents": 1}, scans
+
+
+def test_rag_chunking_no_shuffle(spark, sf_dir):
+    """x20 is scan-bound by design: tokenize → sequence → slice runs
+    entirely inside the scan stage — any Exchange in this plan is a
+    regression."""
+    p = plan(spark, sf_dir, "x20_rag_chunking")
+    assert "Exchange" not in p, p[:2000]
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """x18's wedge build and closure must stay equi-joins — a
+    BroadcastNestedLoop/cartesian means the degree-ordered form got
+    lost."""
+    p = plan(spark, sf_dir, "x18_triangle_count")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

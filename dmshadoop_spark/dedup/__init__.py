@@ -5,12 +5,19 @@ families, no RNG at execution time) and expression-only (JVM-side, no
 Python UDFs in the hot path)."""
 
 from dmshadoop_spark.dedup.components import connected_components, dedup_survivors
-from dmshadoop_spark.dedup.minhash import minhash_lsh_pairs, minhash_signature
+from dmshadoop_spark.dedup.minhash import (
+    minhash_incremental_pairs,
+    minhash_index,
+    minhash_lsh_pairs,
+    minhash_signature,
+)
 from dmshadoop_spark.dedup.simhash import simhash, simhash_candidate_pairs, simhash_df, token_hashes
 
 __all__ = [
     "connected_components",
     "dedup_survivors",
+    "minhash_incremental_pairs",
+    "minhash_index",
     "minhash_lsh_pairs",
     "minhash_signature",
     "simhash",

@@ -44,22 +44,21 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_index(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    threshold: float = 0.5,
     seed: int = 42,
-    max_bucket: int = 1000,
-) -> DataFrame:
-    """Candidate near-dup pairs with exact-Jaccard verification.
-
-    Returns (doc_a, doc_b, jaccard) for pairs whose exact shingle Jaccard
-    ≥ threshold, discovered through LSH banding (b bands of r = num_perm/b).
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """Materializable LSH index for a corpus (or a delta batch of one):
+    ``(bands_df, shingles_df)`` where bands_df = (doc_id, band_idx,
+    band_hash) and shingles_df = (doc_id, sh). Persist both as tables and
+    near-dup maintenance at ingest becomes O(index + delta) — new batches
+    never re-read or re-shingle the existing corpus text
+    (minhash_incremental_pairs)."""
     rows = num_perm // bands
     assert bands * rows == num_perm, "bands must divide num_perm"
 
@@ -106,8 +105,21 @@ def minhash_lsh_pairs(
     ).filter(F.col("band").isNotNull()).select(
         "doc_id", "band.band_idx", "band.band_hash"
     )
+    return banded, base.select("doc_id", "sh")
 
-    # bucket join; drop degenerate buckets (skew cap for the 100 TB path)
+
+def _verified_pairs_from_index(
+    banded: DataFrame,
+    shingle_store: DataFrame,
+    threshold: float,
+    max_bucket: int,
+    restrict_to_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Bucket-join candidates from index rows + exact-Jaccard verify.
+    ``restrict_to_ids`` (a 1-column ``nid`` DataFrame) keeps only
+    candidate pairs touching those ids BEFORE the verification joins —
+    the incremental path pays shingle-set verification for new-doc pairs
+    only."""
     buckets = banded.groupBy("band_idx", "band_hash").agg(
         F.collect_list("doc_id").alias("ids")
     )
@@ -137,11 +149,23 @@ def minhash_lsh_pairs(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    if restrict_to_ids is not None:
+        ta = pairs.join(
+            restrict_to_ids, pairs.doc_a == restrict_to_ids.nid, "left_semi"
+        )
+        tb = pairs.join(
+            restrict_to_ids, pairs.doc_b == restrict_to_ids.nid, "left_semi"
+        )
+        pairs = ta.unionByName(tb).distinct()
 
     # exact-Jaccard verification on the candidates only
-    sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = (
+    sh_a = shingle_store.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sh_b = shingle_store.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    return (
         pairs.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .select(
@@ -154,4 +178,70 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs with exact-Jaccard verification.
+
+    Returns (doc_a, doc_b, jaccard) for pairs whose exact shingle Jaccard
+    ≥ threshold, discovered through LSH banding (b bands of r = num_perm/b).
+    """
+    banded, shingle_store = minhash_index(
+        docs, id_col, text_col, num_perm, bands, shingle_n, seed
+    )
+    return _verified_pairs_from_index(
+        banded, shingle_store, threshold, max_bucket
+    )
+
+
+def minhash_incremental_pairs(
+    index: tuple[DataFrame, DataFrame],
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> tuple[tuple[DataFrame, DataFrame], DataFrame]:
+    """Dedup-at-ingest: near-dup pairs introduced by a NEW batch against
+    an existing corpus, without re-reading the corpus text.
+
+    ``index`` is (bands_df, shingles_df) from a prior minhash_index /
+    incremental call (materialize them as tables between batches).
+    Returns ((merged_bands, merged_shingles), pairs) where pairs holds
+    every verified pair touching ≥1 new doc — old⋈old pairs were already
+    reported when their batches arrived.
+
+    Cost: signature/shingle work is delta-only; the bucket grouping
+    shuffles index ROWS (bands × docs, ids only — no text, no shingles),
+    and verification joins shingle sets for candidate pairs only. The
+    bucket-size cap is evaluated on the MERGED bucket, so incremental and
+    full-rebuild results agree exactly (pinned by test)."""
+    old_bands, old_shingles = index
+    new_bands, new_shingles = minhash_index(
+        new_docs, id_col, text_col, num_perm, bands, shingle_n, seed
+    )
+    merged_bands = old_bands.unionByName(new_bands)
+    merged_shingles = old_shingles.unionByName(new_shingles)
+    new_ids = new_shingles.select(F.col("doc_id").alias("nid")).distinct()
+    new_pairs = _verified_pairs_from_index(
+        merged_bands,
+        merged_shingles,
+        threshold,
+        max_bucket,
+        restrict_to_ids=new_ids,
+    )
+    return (merged_bands, merged_shingles), new_pairs

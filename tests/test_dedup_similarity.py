@@ -671,3 +671,38 @@ def test_extract_metadata_mp3_mp4():
     assert v["content_type"] == "video/mp4"
     assert (v["width"], v["height"], v["frame_count"]) == ("32", "16", "6")
     assert v["duration_ms"] == "1998"  # 6 frames at timescale-1000 delta 333
+
+
+def test_minhash_incremental_equals_full_rebuild(spark, sf_dir):
+    """Dedup-at-ingest invariant: index(old) + incremental(new) must
+    reproduce EXACTLY the pairs a full rebuild finds — old∪old pairs from
+    the old batch, plus every pair touching a new doc from the
+    incremental call. Signatures are deterministic, and the bucket cap
+    is evaluated on merged buckets, so equality is exact."""
+    from dmshadoop_spark.dedup.minhash import (
+        minhash_incremental_pairs,
+        minhash_index,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+
+    def pairset(df):
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+            for r in df.collect()
+        }
+
+    full = pairset(minhash_lsh_pairs(docs, threshold=0.05))
+    old_pairs = pairset(minhash_lsh_pairs(old, threshold=0.05))
+    _, inc = minhash_incremental_pairs(
+        minhash_index(old), new, threshold=0.05
+    )
+    inc_pairs = pairset(inc)
+    assert full  # planted dups exist
+    assert old_pairs | inc_pairs == full
+    assert old_pairs & inc_pairs == set()  # inc = new-touching pairs only

@@ -2169,3 +2169,25 @@ def x20_rag_chunking(spark, sf_dir):
         .alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk_arr, " ").cast("binary")).alias("chunk_md5"),
     )
+
+
+@query("x21_dedup_incremental")  # seeded xxhash64 family → no SQL oracle
+def x21_dedup_incremental(spark, sf_dir):
+    """Dedup-at-ingest: near-dup pairs a NEW batch (doc_id % 5 == 0)
+    introduces against an existing corpus, via the materialized MinHash
+    index (dedup/minhash.py:minhash_index + minhash_incremental_pairs).
+    Signature work is delta-only; the bucket grouping shuffles index
+    rows (ids, never text); verification touches new-endpoint candidate
+    pairs only. Incremental ∪ old-batch pairs ≡ full rebuild exactly —
+    pinned by test_minhash_incremental_equals_full_rebuild. Digest
+    column pins the pair set content (see digest.py)."""
+    from dmshadoop_spark.dedup import minhash_incremental_pairs, minhash_index
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    _, pairs = minhash_incremental_pairs(
+        minhash_index(old), new, threshold=0.05
+    )
+    return with_sorted_digest(pairs, "doc_a", "doc_b")

@@ -577,6 +577,7 @@ def test_rows_only_digests_pinned(spark, sf_dir):
         # codec round-trips: pixel pipelines are code-deterministic
         "x6_png_roundtrip": 4499583823149318019,
         "x6_jpeg_roundtrip": 3267694135184578302,
+        "x21_dedup_incremental": -1740497008895729337,
     }
     at_default_sf = sf_dir.rstrip("/").endswith("sf0.001")
     for name, want in pinned.items():

@@ -409,3 +409,45 @@ def w10_gap_fill(spark, sf_dir):
             F.when(F.col("n_events").isNotNull(), F.col("slot"))
         ).over(w).alias("last_active_slot"),
     )
+
+
+@query(
+    "w11_window_fn_suite",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(round(percent_rank() OVER w * 1000000) AS BIGINT)
+               AS pct_rank_e6,
+           CAST(round(cume_dist() OVER w * 1000000) AS BIGINT)
+               AS cume_dist_e6,
+           first_value(event_id) OVER w AS first_eid,
+           nth_value(event_id, 3) OVER w AS third_eid
+    FROM events WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w11_window_fn_suite(spark, sf_dir):
+    """The remaining rank-family window functions in one pass:
+    percent_rank, cume_dist (both scaled to exact integers at 1e-6
+    precision — the underlying ratios are exact rationals, so round()
+    of the same double is engine-identical), first_value and nth_value
+    over an explicit unbounded frame (nth_value defaults differ between
+    engines; the frame pins them). One window spec → one sort per
+    partition, all four functions share it."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w_rank = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_frame = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.percent_rank().over(w_rank) * 1000000)
+        .cast("long")
+        .alias("pct_rank_e6"),
+        F.round(F.cume_dist().over(w_rank) * 1000000)
+        .cast("long")
+        .alias("cume_dist_e6"),
+        F.first("event_id").over(w_frame).alias("first_eid"),
+        F.nth_value("event_id", 3).over(w_frame).alias("third_eid"),
+    )

@@ -299,3 +299,34 @@ def test_triangle_count_no_cartesian(spark, sf_dir):
     p = plan(spark, sf_dir, "x18_triangle_count")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """DPP: joining a partitioned fact against a FILTERED dim must inject
+    a dynamicpruning subquery into the fact scan's PartitionFilters —
+    the runtime analogue of static pruning, and the mechanism that keeps
+    a date/tenant-partitioned 100 TB fact from scanning partitions the
+    dim filter already excluded."""
+    from dmshadoop_spark.workdirs import scratch_dir
+
+    out = f"{scratch_dir('dpp_test')}/orders_part"
+    orders = registry.QUERIES["s1_full_scan"].__globals__["load_table"](
+        spark, sf_dir, "orders"
+    )
+    (
+        orders.repartition("o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "rush"), ("5-LOW", "slack")], "prio string, label string"
+    ).filter(F.col("label") == "rush")
+    joined = fact.join(dim, fact.o_orderpriority == dim.prio).groupBy(
+        "label"
+    ).count()
+    p = spark._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in p.lower(), p[:3000]

@@ -73,9 +73,17 @@ def load_all() -> None:
 #   * s15_orc_roundtrip / s16_csv_roundtrip / t8_stemmed_lookup — their
 #     confirmed siblings (parquet sinks, t3_term_lookup) share the code
 #     path, so they carry the least marginal risk;
-#   * everything newly added in round 3: x6_jpeg_roundtrip (rows-only,
-#     digest-pinned), x6_mp3_meta, x6_mp4_frames, x16_pii_redact (all
-#     three oracle-backed — put these ahead of the rows-only block).
+#   * everything newly added in round 3 — oracle-backed (put these ahead
+#     of the rows-only block): x6_mp3_meta, x6_mp4_frames,
+#     x16_pii_redact, x17_rare_token_filter, x18_triangle_count,
+#     x20_rag_chunking, s18_schema_evolution, st11_stream_stream_join,
+#     st12_stream_tumbling, w10_gap_fill, w11_window_fn_suite,
+#     t10_fuzzy_term, u5_bag_set_ops, f14_parse_url; digest-pinned
+#     rows-only: x6_jpeg_roundtrip, x21_dedup_incremental.
+#   That is 16 round-3 additions + 3 deferred siblings + 14 rows-only
+#   = 33 slots; with 2-3 canaries the 50-window still has ~14 free slots
+#   for round-4 additions — one more round closes the whole registry
+#   (every query then has a driver-confirmed row).
 # Keep 2-3 round-3 greens as canaries.
 PRIORITY: list[str] = [
     # canaries (driver-green in r1/r2 — detect gate drift)

@@ -479,3 +479,31 @@ def test_triangles_known_graphs(spark):
         [Row(src=a, dst=b) for a, b in [(0, 1), (1, 2), (2, 3), (3, 0)]]
     )
     assert triangles(cycle).count() == 0
+
+
+def test_parse_byte_conf():
+    from dmshadoop_spark.catalog import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728b") == 128 * 1024 * 1024
+    assert _parse_byte_conf("128m") == 128 * 1024 * 1024
+    assert _parse_byte_conf("128MB") == 128 * 1024 * 1024
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf("junk") == 128 * 1024 * 1024  # safe default
+
+
+def test_widen_probe_estimates_without_rdd(spark, sf_dir):
+    """widen() must repartition the single-file test table to cluster
+    width, estimate splits purely from inputFiles() (no RDD conversion),
+    and leave already-wide DataFrames untouched."""
+    from dmshadoop_spark.catalog import _estimated_scan_splits, load_table, widen
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = _estimated_scan_splits(docs)
+    assert est is not None and est >= 1
+    wide = widen(docs)
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    # an in-memory relation exposes no files → probe abstains, widen no-ops
+    mem = spark.range(10)
+    assert _estimated_scan_splits(mem) is None
+    assert widen(mem) is mem

@@ -2191,3 +2191,99 @@ def x21_dedup_incremental(spark, sf_dir):
         minhash_index(old), new, threshold=0.05
     )
     return with_sorted_digest(pairs, "doc_a", "doc_b")
+
+
+@query(
+    "x22_ingest_decontam",
+    oracle="""
+    WITH eval_sh AS (
+        SELECT DISTINCT s FROM (
+            SELECT unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 4, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                            || t[i+3] || ' ' || t[i+4]))) AS s
+            FROM (SELECT string_split(text, ' ') AS t FROM documents
+                  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        IN ('e', 'f'))
+        )
+    ),
+    batch AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents
+        WHERE doc_id % 5 = 0
+          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('e', 'f')
+    ),
+    batch_sh AS (
+        -- CASE emulates Spark's explode_outer: a <5-token doc emits one
+        -- NULL shingle row so it still counts toward n_batch below
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(t) >= 5
+                           THEN list_distinct(list_transform(
+                               range(1, greatest(len(t) - 4, 1)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    || ' ' || t[i+3] || ' ' || t[i+4]))
+                           ELSE [NULL] END) AS s
+        FROM batch
+    ),
+    flagged AS (
+        SELECT b.doc_id, b.source,
+               max(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS hit
+        FROM batch_sh b LEFT JOIN eval_sh e USING (s)
+        GROUP BY b.doc_id, b.source
+    )
+    SELECT source,
+           count(*) AS n_batch,
+           CAST(sum(hit) AS BIGINT) AS n_contaminated
+    FROM flagged GROUP BY source
+    """,
+)
+def x22_ingest_decontam(spark, sf_dir):
+    """Contamination guard AT INGEST — x9's discipline applied to a new
+    batch: before a delta lands in the training corpus, its n-grams are
+    checked against the held-out eval split's shingle set (x8's
+    content-free md5 split) and hits are quarantined per source. The
+    batch here is doc_id % 5 == 0 minus eval members (an eval doc is not
+    'contaminated by itself').
+
+    Plan — the INDEX-JOIN variant, complementing x9's window form: the
+    eval shingle set is a materialized, distinct, corpus-independent
+    table (build once per eval release, ≪ corpus); each incoming batch
+    left-joins its own shingles against it on the uniform shingle key —
+    delta-sized work, no full-corpus scan per batch, no window over
+    corpus-wide postings. x9 stays the right shape for a one-shot sweep
+    of an EXISTING corpus; this is the right shape for continuous
+    ingest."""
+    from dmshadoop_spark.catalog import widen
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    nib = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    is_eval = nib.isin("e", "f")
+
+    eval_sh = (
+        docs.filter(is_eval)
+        .select(tokenize("text").alias("toks"))
+        .select(F.explode_outer(shingles("toks", DECONTAM_NGRAM)).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    batch = (
+        docs.filter((F.col("doc_id") % 5 == 0) & ~is_eval)
+        .select("doc_id", "source", tokenize("text").alias("toks"))
+        .select(
+            "doc_id", "source",
+            F.explode_outer(shingles("toks", DECONTAM_NGRAM)).alias("s"),
+        )
+    )
+    hit = (
+        batch.join(
+            eval_sh.withColumnRenamed("s", "es"),
+            batch.s == F.col("es"),
+            "left",
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.max(F.col("es").isNotNull().cast("int")).alias("hit"))
+    )
+    return hit.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum("hit").cast("long").alias("n_contaminated"),
+    )

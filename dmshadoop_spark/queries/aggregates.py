@@ -581,3 +581,67 @@ def a15_mode_per_group(spark, sf_dir):
             "user_id", F.col("event_type").alias("modal_type"), "cnt"
         )
     )
+
+
+@query(
+    "a16_stat_moments",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(round(
+               (CAST(sxx AS DOUBLE) - CAST(sx*sx AS DOUBLE)/n) / (n-1), 6)
+               AS DOUBLE) AS var_qty,
+           CAST(round(
+               (CAST(sxy AS DOUBLE) - CAST(sx*sy AS DOUBLE)/n) / (n-1), 6)
+               AS DOUBLE) AS covar_qty_price
+    FROM m
+    """,
+)
+def a16_stat_moments(spark, sf_dir):
+    """Statistical aggregates (variance, covariance) WITHOUT the float-
+    summation nondeterminism that makes built-in stddev/corr ungateable:
+    Spark's var_samp/covar_samp stream Welford-style float updates whose
+    low bits depend on partition merge order — at 1000 executors two runs
+    of the same query disagree. Instead the raw moments (n, Σx, Σx²,
+    Σxy) accumulate in DECIMAL — exact, order-free — and the variance/
+    covariance formula is applied once at the end on identical operands,
+    so every engine and every shuffle order produces the same bits.
+    The moments are also mergeable (algebraic ⊕), which is what lets
+    s17-style incremental rollups maintain them at O(delta)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = dec2("l_quantity")
+    price = dec2("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(qty * qty).alias("sxx"),
+        F.sum(price).alias("sy"),
+        F.sum(qty * price).alias("sxy"),
+    )
+    n = F.col("n")
+    var = F.round(
+        (F.col("sxx").cast("double") - (F.col("sx") * F.col("sx")).cast("double") / n)
+        / (n - 1),
+        6,
+    )
+    cov = F.round(
+        (F.col("sxy").cast("double") - (F.col("sx") * F.col("sy")).cast("double") / n)
+        / (n - 1),
+        6,
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        var.cast("double").alias("var_qty"),
+        cov.cast("double").alias("covar_qty_price"),
+    )

@@ -565,3 +565,40 @@ def s18_schema_evolution(spark, sf_dir):
         .cast("long")
         .alias("legacy_rows"),
     )
+
+
+@query(
+    "s19_nested_types",
+    oracle="""
+    SELECT source, lang, count(*) AS cnt
+    FROM documents GROUP BY source, lang
+    """,
+)
+def s19_nested_types(spark, sf_dir):
+    """Nested-type storage round-trip: per-source stats collected into a
+    SORTED array<struct<lang,cnt>> column, written to parquet (nested
+    columns use Parquet's repetition/definition levels — Spark reads
+    struct fields back with column pruning intact), read back, and
+    exploded to flat rows that must equal the direct aggregate. Proves
+    the complex-type write path AND that nothing (ordering, nulls, field
+    names) is lost in the nested encoding. At 100 TB, nested layouts are
+    how per-entity substructures (versions, spans, provenance) avoid a
+    second table + join — pruned struct fields cost nothing to carry."""
+    base = _scratch("nested")
+    out = os.path.join(base, "t")
+    docs = load_table(spark, sf_dir, "documents")
+    nested = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("source")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("lang", "cnt"))
+            ).alias("lang_stats")
+        )
+    )
+    nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "source", F.explode("lang_stats").alias("s")
+    ).select("source", "s.lang", "s.cnt")

@@ -330,3 +330,39 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
         joined._jdf.queryExecution(), "formatted"
     )
     assert "dynamicpruning" in p.lower(), p[:3000]
+
+
+def test_headline_scan_budget(spark, sf_dir):
+    """Scan-count budget for every bench headline query: each table may
+    be scanned at most its DOCUMENTED number of times (q8's two nation
+    roles, q21's three co-partitioned lineitem legs, j7's union-trick
+    sides, t4's column-free corpus count, x4's pruned query side) — any
+    extra scan is an un-reviewed plan regression."""
+    import collections
+    import re
+
+    budget = {
+        "q8_market_share": {"nation": 2},
+        "q21_waiting_supplier": {"lineitem": 3},
+        "q18_large_orders": {"lineitem": 2},
+        "j7_asof_join": {"events": 2},
+        "t4_tfidf_topk": {"documents": 2},
+        "x4_cosine_topk": {"embeddings": 2},
+    }
+    headline = [
+        "a6_q1_pricing_summary", "q6_forecast_revenue", "q8_market_share",
+        "q10_returned_items", "q13_customer_distribution", "q18_large_orders",
+        "q21_waiting_supplier", "j3_inner_join", "j4_broadcast_join",
+        "j7_asof_join", "w1_latest_per_group", "t2_inverted_index",
+        "t4_tfidf_topk", "x1_exact_dedup", "x2_ngram_jaccard",
+        "x7_training_pipeline", "x4_cosine_topk", "st1_tumbling_window",
+        "st3_session_window",
+    ]
+    for name in headline:
+        p = plan(spark, sf_dir, name)
+        scans = collections.Counter(re.findall(r"file:[^\]]*?/(\w+)\.parquet", p))
+        for table, count in scans.items():
+            assert count <= budget.get(name, {}).get(table, 1), (
+                f"{name} scans {table} {count}x (budget "
+                f"{budget.get(name, {}).get(table, 1)})"
+            )

@@ -2199,7 +2199,7 @@ def x21_dedup_incremental(spark, sf_dir):
     WITH eval_sh AS (
         SELECT DISTINCT s FROM (
             SELECT unnest(list_distinct(list_transform(
-                       range(1, greatest(len(t) - 4, 1)),
+                       range(1, greatest(len(t) - 3, 1)),
                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
                             || t[i+3] || ' ' || t[i+4]))) AS s
             FROM (SELECT string_split(text, ' ') AS t FROM documents
@@ -2219,7 +2219,7 @@ def x21_dedup_incremental(spark, sf_dir):
         SELECT doc_id, source,
                unnest(CASE WHEN len(t) >= 5
                            THEN list_distinct(list_transform(
-                               range(1, greatest(len(t) - 4, 1)),
+                               range(1, greatest(len(t) - 3, 1)),
                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                                     || ' ' || t[i+3] || ' ' || t[i+4]))
                            ELSE [NULL] END) AS s

@@ -507,3 +507,29 @@ def test_widen_probe_estimates_without_rdd(spark, sf_dir):
     mem = spark.range(10)
     assert _estimated_scan_splits(mem) is None
     assert widen(mem) is mem
+
+
+def test_rows_only_queries_carry_digest(spark, sf_dir):
+    """Policy gate: a registered query without a SQL oracle gets only a
+    row-count check externally, so it MUST carry the constant content
+    digest column (functions/digest.py) — unless its output is unbounded
+    (digesting would funnel an unbounded result through one aggregate
+    row) and is listed here explicitly."""
+    from dmshadoop_spark import registry
+
+    registry.load_all()
+    unbounded_exempt = {
+        "x6_feature_extract",      # full-table per-row features
+        "x6_resize_thumbnails",    # full-table thumbnails
+        "x6_frame_sample",         # rows ∝ corpus bytes
+        "x6_avi_frames",           # rows ∝ frames
+    }
+    rows_only = [n for n in registry.QUERIES if n not in registry.ORACLE]
+    missing = []
+    for name in rows_only:
+        if name in unbounded_exempt:
+            continue
+        df = registry.QUERIES[name](spark, sf_dir)
+        if "digest" not in df.columns:
+            missing.append(name)
+    assert not missing, f"rows-only without digest column: {missing}"

@@ -425,3 +425,89 @@ def st12_stream_tumbling(spark, sf_dir):
     )
     name = run_to_memory(stream, f"{workdir}/ckpt", output_mode="complete")
     return spark.table(name)
+
+
+@query(
+    "st13_stream_sliding",
+    oracle="""
+    SELECT w_start, event_type, count(*) AS n_events
+    FROM (
+        SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts)
+                           - INTERVAL '5 minutes']) AS w_start,
+               event_type
+        FROM events
+    ) GROUP BY w_start, event_type
+    """,
+)
+def st13_stream_sliding(spark, sf_dir):
+    """ST13: REAL streaming run of the watermarked SLIDING-window count
+    (each event lands in window_len/slide = 2 windows). Complete-mode
+    availableNow drain emits every window's final state, equal to the
+    batch double-unnest oracle regardless of arrival order — sliding
+    windows are order-insensitive aggregations, the safe class under
+    per-file triggers (see read_events_stream's watermark note)."""
+    from dmshadoop_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_sliding_counts,
+    )
+
+    workdir = _stream_workdir("st13")
+    src = f"{workdir}/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    stream = streaming_sliding_counts(
+        read_events_stream(spark, src, max_files_per_trigger=None)
+    )
+    name = run_to_memory(stream, f"{workdir}/ckpt", output_mode="complete")
+    return spark.table(name).select(
+        F.col("window_start").alias("w_start"), "event_type", "n_events"
+    )
+
+
+@query(
+    "st14_stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    grouped AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*) AS n_events
+    FROM grouped GROUP BY user_id, g
+    """,
+)
+def st14_stream_session(spark, sf_dir):
+    """ST14: REAL streaming run of SESSION windows (5-minute inactivity
+    gap) — the stateful merge-on-overlap window Spark tracks per user.
+    Single-batch drain (max_files_per_trigger=None): session merging is
+    order-sensitive across micro-batch boundaries (a late file could
+    bridge two already-emitted sessions), so exact batch parity requires
+    event-time-ordered arrival — one batch is the degenerate ordered
+    case, per read_events_stream's documented contract. The oracle is
+    the batch lag/cumsum islands idiom (st3's)."""
+    from dmshadoop_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_session_counts,
+    )
+
+    workdir = _stream_workdir("st14")
+    src = f"{workdir}/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    stream = streaming_session_counts(
+        read_events_stream(spark, src, max_files_per_trigger=None)
+    )
+    name = run_to_memory(stream, f"{workdir}/ckpt", output_mode="complete")
+    return spark.table(name)

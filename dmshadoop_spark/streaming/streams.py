@@ -68,12 +68,23 @@ def read_events_stream(
 
 
 def streaming_tumbling_counts(events: DataFrame) -> DataFrame:
-    """ST1 under streaming: watermark + tumbling window counts."""
+    """ST1 under streaming: watermark + tumbling window counts.
+
+    Window starts surface as TIMESTAMP_NTZ: the stream computes on LTZ
+    event time (watermarks require it), but a collected LTZ value renders
+    in the CLIENT PROCESS's zone — under TZ=America/New_York the same
+    result would read 4-5h off against a naive-wall-time oracle. The
+    session zone is UTC (session.py), so the cast is the identity
+    reinterpretation back to wall time."""
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("w.start").alias("w_start"), "event_type", "cnt")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            "event_type",
+            "cnt",
+        )
     )
 
 
@@ -88,7 +99,11 @@ def streaming_sliding_counts(events: DataFrame) -> DataFrame:
             F.col("event_type"),
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
     )
 
 
@@ -101,7 +116,9 @@ def streaming_session_counts(events: DataFrame) -> DataFrame:
         .groupBy(F.session_window("ts", "5 minutes").alias("w"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("w.start").alias("session_start"), "user_id", "n_events"
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "user_id",
+            "n_events",
         )
     )
 

@@ -40,7 +40,8 @@ def test_streaming_tumbling_matches_batch(spark, events_dir, tmp_path):
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("w.start").alias("w_start"), "event_type", "cnt")
+        .select(F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+                "event_type", "cnt")
     )
     assert got == _rows(batch)
 
@@ -74,7 +75,8 @@ def test_streaming_session_matches_batch(spark, events_dir, tmp_path):
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+        .select(F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+                "user_id", "n_events")
     )
     assert got == _rows(batch)
 
@@ -113,7 +115,8 @@ def test_streaming_sliding_matches_batch(spark, events_dir, tmp_path):
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type", "n_events")
     )
     assert got == _rows(batch)
 

@@ -2287,3 +2287,72 @@ def x22_ingest_decontam(spark, sf_dir):
         F.count(F.lit(1)).alias("n_batch"),
         F.sum("hit").cast("long").alias("n_contaminated"),
     )
+
+
+@query(
+    "x23_winnowing_fingerprint",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(
+                   list_transform(
+                       range(1, greatest(len(t) - 1, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                   s -> md5(s)) AS h
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    sel AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                   range(1, greatest(len(h) - 2, 1)),
+                   w -> list_aggregate(h[w : w + 3], 'min')))) AS fps
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(fps, ',')) AS fp_digest
+    FROM sel
+    """,
+)
+def x23_winnowing_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every 3-gram, slide a window of w=4 consecutive
+    hashes, keep each window's minimum — the guarantee is that any shared
+    substring of ≥ w+k-1 tokens between two documents shares at least one
+    selected fingerprint, which is what makes PARTIAL-overlap detection
+    work where whole-document hashes (x3_fingerprint) only catch full
+    duplicates. Hashes are md5 hex strings so the min-ordering is
+    engine-portable (no cross-engine integer-hash dependency); the output
+    digests each doc's sorted fingerprint set.
+
+    Plan: entirely per-row expression work in one scan — k-gram hashing,
+    windowed min, distinct, sort, digest all inside codegen'd higher-order
+    functions; zero shuffles. At 100 TB the fingerprint table (~|doc| /
+    (w/2) entries per doc) feeds the same bucket-join dedup machinery as
+    MinHash, with winnowing's positional-coverage guarantee instead of a
+    probabilistic one."""
+    docs = load_table(spark, sf_dir, "documents")
+    # shingles() emits DISTINCT k-grams; winnowing needs positional order,
+    # so build the ordered 3-gram hash sequence straight from the tokens
+    ordered = docs.select(
+        "doc_id", tokenize("text").alias("t")
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, greatest(size(t) - 2, 1)),"
+            " i -> md5(concat_ws(' ', t[i-1], t[i], t[i+1])))"
+        ).alias("h"),
+    )
+    sel = ordered.select(
+        "doc_id",
+        F.expr(
+            "array_sort(array_distinct(transform("
+            " sequence(1, greatest(size(h) - 3, 1)),"
+            " w -> array_min(slice(h, w, 4)))))"
+        ).alias("fps"),
+    )
+    return sel.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", "fps").cast("binary")).alias("fp_digest"),
+    )

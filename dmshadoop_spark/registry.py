@@ -70,20 +70,19 @@ def load_all() -> None:
 #     driver check is weaker (row count only), so oracle-backed queries get
 #     the 50 slots first; each now carries a content digest column so the
 #     round-4 rows-only check still pins output identity;
-#   * s15_orc_roundtrip / s16_csv_roundtrip / t8_stemmed_lookup — their
-#     confirmed siblings (parquet sinks, t3_term_lookup) share the code
-#     path, so they carry the least marginal risk;
-#   * everything newly added in round 3 — oracle-backed (put these ahead
-#     of the rows-only block): x6_mp3_meta, x6_mp4_frames,
-#     x16_pii_redact, x17_rare_token_filter, x18_triangle_count,
-#     x20_rag_chunking, s18_schema_evolution, st11_stream_stream_join,
-#     st12_stream_tumbling, w10_gap_fill, w11_window_fn_suite,
-#     t10_fuzzy_term, u5_bag_set_ops, f14_parse_url; digest-pinned
-#     rows-only: x6_jpeg_roundtrip, x21_dedup_incremental.
-#   That is 16 round-3 additions + 3 deferred siblings + 14 rows-only
-#   = 33 slots; with 2-3 canaries the 50-window still has ~14 free slots
-#   for round-4 additions — one more round closes the whole registry
-#   (every query then has a driver-confirmed row).
+#   * oracle-backed (put these FIRST — strongest check): a16, f14, s15,
+#     s16, s18, s19, st11, st12, st13, st14, t8, t10, u5, w10, w11, x16,
+#     x17, x18, x20, x22, x23, x6_mp3_meta, x6_mp4_frames  (23 queries);
+#   * digest-pinned rows-only (16): a7_approx, a7b, a10b, s4,
+#     x2_minhash_lsh, x2_simhash, x5_knn_lsh/ivf/ivf_trained,
+#     x21_dedup_incremental, x6_jpeg/png_roundtrip, and the four
+#     unbounded-output exemptions (x6_feature_extract/resize_thumbnails/
+#     frame_sample/avi_frames — count-only by design).
+#   23 + 16 = 39 slots; with 2-3 canaries the 50-window still has ~8
+#   free slots for round-4 additions — one more round closes the whole
+#   registry (every query then has a driver-confirmed row). Every one of
+#   the 39 has already passed tools/driver_sim.py (plain session,
+#   sf0.01) this round.
 # Keep 2-3 round-3 greens as canaries.
 PRIORITY: list[str] = [
     # canaries (driver-green in r1/r2 — detect gate drift)

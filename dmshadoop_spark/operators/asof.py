@@ -29,16 +29,24 @@ def asof_join(
     ts: str,
     seq: str,
     value_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the value columns of the latest right row
-    with the same ``on`` key and ``(ts, seq) <= (left.ts, left.seq)``.
+    with the same ``on`` key and ``(ts, seq) <= (left.ts, left.seq)`` —
+    or, with ``direction="forward"``, the EARLIEST right row with
+    ``(ts, seq) >= (left.ts, left.seq)`` (the "next event after" join:
+    next price tick, next purchase, next maintenance window).
 
     ``seq`` must be a unique-per-(key, ts) tie-break column present in both
     inputs. Left rows keep all their columns; matched value columns are
-    suffixed with ``_asof`` (all NULL when no right row precedes). All
-    ``_asof`` columns are fields of one struct carried from the single
-    latest right row, so they are always mutually consistent.
+    suffixed with ``_asof`` (all NULL when no right row precedes/follows).
+    All ``_asof`` columns are fields of one struct carried from the single
+    matched right row, so they are always mutually consistent. Both
+    directions cost the same: one shuffle on ``on`` + one local sort —
+    forward just reverses the sort order.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_cols = left.columns
     vstruct = StructType([right.schema[c] for c in value_cols])
     l_tagged = left.select(
@@ -57,10 +65,16 @@ def asof_join(
 
     unioned = l_tagged.unionByName(r_tagged)
     # Right rows sort before left rows at identical (ts, seq) — "<=" asof
-    # semantics. One shuffle on `on`, one local sort; no candidate blow-up.
+    # semantics (forward: sort reversed, so "latest preceding" becomes
+    # "earliest following"). One shuffle on `on`, one local sort; no
+    # candidate blow-up either way.
+    if direction == "backward":
+        order = [F.col(ts), F.col(seq), F.col("__side")]
+    else:
+        order = [F.col(ts).desc(), F.col(seq).desc(), F.col("__side")]
     w = (
         Window.partitionBy(*[F.col(c) for c in on])
-        .orderBy(F.col(ts), F.col(seq), F.col("__side"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

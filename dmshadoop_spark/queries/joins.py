@@ -352,3 +352,36 @@ def j10_fuzzy_join(spark, sf_dir):
         .filter(F.col("dist") <= 1)
         .select("id1", "id2", "dist")
     )
+
+
+@query(
+    "j11_asof_forward",
+    oracle="""
+    SELECT c.event_id,
+           (SELECT p.event_id FROM events p
+            WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+              AND (p.ts, p.event_id) >= (c.ts, c.event_id)
+            ORDER BY p.ts, p.event_id LIMIT 1) AS event_id_asof
+    FROM events c WHERE c.event_type = 'click'
+    """,
+)
+def j11_asof_forward(spark, sf_dir):
+    """FORWARD as-of join: each click annotated with the EARLIEST
+    following purchase by the same user — the "time to next conversion"
+    primitive (j7 is the backward twin). Same union-trick plan with the
+    sort reversed (operators/asof.py direction="forward"): one shuffle on
+    the key, one local sort, no range-join candidate explosion in either
+    direction."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join(
+        clicks.select("user_id", "ts", "event_id"),
+        purchases.select("user_id", "ts", "event_id"),
+        on=["user_id"],
+        ts="ts",
+        seq="event_id",
+        value_cols=["event_id"],
+        direction="forward",
+    )
+    return joined.select("event_id", "event_id_asof")

@@ -574,3 +574,31 @@ def test_fuzzy_join_short_name_band(spark, monkeypatch):
     )
     assert got == [(w[0], w[1], w[2]) for w in want]
     assert (1, 2, 1) in got and (3, 4, 1) in got  # the short-band pairs
+
+
+def test_asof_join_forward_direction(spark):
+    """direction='forward' attaches the EARLIEST following right row, with
+    the same struct-consistency and NULL semantics as backward."""
+    from dmshadoop_spark.operators import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 2, 0, 20, "twenty"), ("k", 5, 0, 50, None)],
+        "key string, ts int, seq int, a int, b string",
+    )
+    left = spark.createDataFrame(
+        [("k", 1, 1), ("k", 2, 1), ("k", 3, 1), ("k", 6, 1)],
+        "key string, ts int, seq int",
+    )
+    rows = {
+        r["ts"]: (r["a_asof"], r["b_asof"])
+        for r in asof_join(
+            left, right, on=["key"], ts="ts", seq="seq",
+            value_cols=["a", "b"], direction="forward",
+        ).collect()
+    }
+    assert rows[1] == (20, "twenty")   # next right row at ts=2
+    # left (2, seq=1): right (2, seq=0) is NOT >= in (ts, seq) order, so
+    # the match skips to ts=5 — lexicographic tie-break, both directions
+    assert rows[2] == (50, None)
+    assert rows[3] == (50, None)       # NULL field from ts=5 NOT backfilled
+    assert rows[6] == (None, None)     # nothing follows

@@ -53,10 +53,24 @@ def _sniff(content: bytes) -> str:
             return "video/x-msvideo"
     if content[4:8] == b"ftyp":  # ISO BMFF: size then 'ftyp'
         return "video/mp4"
-    if content[:3] == b"ID3" or (
-        len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0
-    ):
+    if content[:3] == b"ID3":
         return "audio/mpeg"
+    if len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0:
+        # 2-byte sync alone over-matches (UTF-16-LE BOM is FF FE, and many
+        # binary blobs start FF Ex); even a full 4-byte header can occur by
+        # chance in text, so require a SECOND consecutive valid frame right
+        # where the first one's length says it ends (or an exact
+        # single-frame stream) before claiming audio/mpeg
+        from dmshadoop_spark.multimodal.containers import _mp3_frame_at
+
+        first = _mp3_frame_at(content, 0)
+        if first is not None:
+            frame_len = first[0]
+            if frame_len <= len(content) and (
+                frame_len == len(content)
+                or _mp3_frame_at(content, frame_len) is not None
+            ):
+                return "audio/mpeg"
     try:
         content.decode("utf-8")
         return "text/plain"

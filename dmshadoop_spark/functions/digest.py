@@ -26,6 +26,13 @@ def with_sorted_digest(df: DataFrame, *cols: str) -> DataFrame:
     row))) — row-order-insensitive, engine-reproducible (Spark's xxhash64
     with the default seed), and sensitive to every listed column value.
     """
+    # Both the returned rows and the 1-row digest aggregate hang off the
+    # same upstream plan; without a persist, one collect would plan and
+    # execute that plan TWICE (LSH banding, IVF k-means, JPEG pipelines —
+    # round-3 ADVICE). Results here are small-and-bounded by construction
+    # (module docstring), so the cache is cheap; never-reused entries are
+    # evicted LRU.
+    df = df.persist()
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
     digest = df.select(
         F.xxhash64(

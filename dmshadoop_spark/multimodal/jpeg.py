@@ -259,7 +259,20 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     """Decode a baseline/extended/progressive JPEG to an HxWx3 uint8 array
     (grayscale replicates to 3 channels). Raises NotImplementedError for
     arithmetic coding, lossless, hierarchical, and 12-bit modes;
-    ValueError for malformed streams."""
+    ValueError for malformed streams — including truncated/corrupt ones,
+    so batch callers (decode_image, resize_images) can catch ValueError
+    and fall back instead of crashing the Spark task (round-3 ADVICE)."""
+    try:
+        return _decode_jpeg_impl(content)
+    except (IndexError, struct.error, StopIteration, KeyError, TypeError,
+            ZeroDivisionError, AttributeError, OverflowError) as exc:
+        # a byte parser over untrusted input: every low-level decode error
+        # (cut slice, missing table, corrupt Huffman magnitude, zero
+        # sampling factor) is one user-facing condition — malformed stream
+        raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _decode_jpeg_impl(content: bytes) -> np.ndarray:
     data = bytes(content)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -278,13 +291,25 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         if data[i] != 0xFF:
             i += 1
             continue
+        # skip 0xFF fill bytes preceding the marker code (B.1.1.2); a
+        # stream ending in a dangling 0xFF is truncated, not indexable
+        while i + 1 < n and data[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            raise ValueError("truncated JPEG stream (dangling 0xFF)")
         marker = data[i + 1]
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
         if marker == 0xD9:  # EOI
             break
+        if i + 4 > n:
+            raise ValueError("truncated JPEG stream (cut marker segment)")
         (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        if seglen < 2 or i + 2 + seglen > n:
+            raise ValueError(
+                f"malformed JPEG segment length {seglen} at offset {i}"
+            )
         seg = data[i + 4 : i + 2 + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -329,6 +354,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 raise NotImplementedError(f"{nc}-component JPEG")
             for c in range(nc):
                 cid, hv, tq_id = seg[6 + 3 * c : 9 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 15) <= 4):
+                    raise ValueError(f"invalid JPEG sampling factors {hv:#x}")
                 comps.append(_Component(cid, hv >> 4, hv & 15, tq_id))
             hmax = max(c.h for c in comps)
             vmax = max(c.v for c in comps)

@@ -2310,7 +2310,7 @@ def x22_ingest_decontam(spark, sf_dir):
     )
     SELECT doc_id,
            CAST(len(fps) AS BIGINT) AS n_fingerprints,
-           md5(array_to_string(fps, ',')) AS fp_digest
+           md5(coalesce(array_to_string(fps, ','), '')) AS fp_digest
     FROM sel
     """,
 )
@@ -2333,26 +2333,134 @@ def x23_winnowing_fingerprint(spark, sf_dir):
     probabilistic one."""
     docs = load_table(spark, sf_dir, "documents")
     # shingles() emits DISTINCT k-grams; winnowing needs positional order,
-    # so build the ordered 3-gram hash sequence straight from the tokens
+    # so build the ordered 3-gram hash sequence straight from the tokens.
+    # Docs too short for a full 3-gram (size(t) < 3) or a full w=4 window
+    # (size(h) < 4) yield ZERO fingerprints — matching the oracle's
+    # exclusive range() semantics; Spark's sequence(a, b) counts DOWN when
+    # b < a, so an unguarded sequence would fabricate a truncated gram.
     ordered = docs.select(
         "doc_id", tokenize("text").alias("t")
     ).select(
         "doc_id",
         F.expr(
-            "transform(sequence(1, greatest(size(t) - 2, 1)),"
+            "CASE WHEN size(t) >= 3 THEN"
+            " transform(sequence(1, size(t) - 2),"
             " i -> md5(concat_ws(' ', t[i-1], t[i], t[i+1])))"
+            " ELSE cast(array() as array<string>) END"
         ).alias("h"),
     )
     sel = ordered.select(
         "doc_id",
         F.expr(
-            "array_sort(array_distinct(transform("
-            " sequence(1, greatest(size(h) - 3, 1)),"
+            "CASE WHEN size(h) >= 4 THEN"
+            " array_sort(array_distinct(transform("
+            " sequence(1, size(h) - 3),"
             " w -> array_min(slice(h, w, 4)))))"
+            " ELSE cast(array() as array<string>) END"
         ).alias("fps"),
     )
     return sel.select(
         "doc_id",
         F.size("fps").cast("long").alias("n_fingerprints"),
         F.md5(F.concat_ws(",", "fps").cast("binary")).alias("fp_digest"),
+    )
+
+
+@query(
+    "x24_extract_dispatch",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 5
+               WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+               WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'audio/mpeg'
+               ELSE 'video/mp4' END AS content_type,
+           CASE doc_id % 5
+               WHEN 0 THEN 64 + doc_id % 16
+               WHEN 1 THEN 40 + doc_id % 16
+               WHEN 4 THEN 320 + (doc_id % 4) * 16 END AS width,
+           CASE doc_id % 5
+               WHEN 0 THEN 48 + doc_id % 12
+               WHEN 1 THEN 32 + doc_id % 8
+               WHEN 4 THEN 240 END AS height,
+           CASE doc_id % 5
+               WHEN 2 THEN 500 + 50 * (doc_id % 7)
+               WHEN 3 THEN CAST(FLOOR((5 + doc_id % 9) * 1152.0 * 1000.0
+                                      / 44100.0) AS BIGINT)
+               WHEN 4 THEN (3 + doc_id % 6) * 100 END AS duration_ms,
+           CASE doc_id % 5
+               WHEN 3 THEN 5 + doc_id % 9
+               WHEN 4 THEN 3 + doc_id % 6 END AS frame_count
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def x24_extract_dispatch(spark, sf_dir):
+    """Mixed-format extract() dispatch — the reference's hachoir call is
+    format-AGNOSTIC (src/DMS.py:77-79: one extractMetadata() whatever the
+    upload was), but every earlier x6 row exercises a single format. Here
+    one binary column carries five formats interleaved (doc_id % 5 →
+    JPEG/PNG/WAV/MP3/MP4, each encoded by our own codec from row-derived
+    parameters), and ONE with_extracted_meta call must sniff and route
+    each payload to the right parser. Every output field is a pure
+    function of doc_id, so the DuckDB oracle recomputes them all — a
+    full value check over the dispatch path, not rows-only.
+
+    Plan: mapInPandas encode → pandas_udf extract, both Arrow-batched,
+    zero shuffles; at 100 TB this is the standard ingest-scan shape (the
+    binary column never leaves the executor that read it)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.dms import with_extracted_meta
+    from dmshadoop_spark.multimodal import (
+        encode_exif_jpeg,
+        encode_mp3,
+        encode_mp4,
+        encode_png,
+        encode_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+
+    def make_payload(d: int) -> bytes:
+        fmt = d % 5
+        if fmt == 0:
+            return encode_exif_jpeg(
+                64 + d % 16, 48 + d % 12, make="dmshadoop", model="cam-x",
+                datetime="2014:04:01 12:00:00", iso=200,
+            )
+        if fmt == 1:
+            arr = np.full((32 + d % 8, 40 + d % 16, 3), d % 251, dtype=np.uint8)
+            return encode_png(arr)
+        if fmt == 2:
+            n = 4000 + 400 * (d % 7)  # 8 kHz → duration_ms = 500 + 50*(d%7)
+            return encode_wav(np.zeros(n, dtype=np.int16), 8000)
+        if fmt == 3:
+            return encode_mp3(5 + d % 9, 128, 44100)
+        return encode_mp4(
+            [b"frame"] * (3 + d % 6), fps=10,
+            width=320 + (d % 4) * 16, height=240,
+        )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [make_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = docs.select("doc_id").mapInPandas(
+        encode, schema="doc_id bigint, content binary"
+    )
+    meta = with_extracted_meta(F.col("content"))
+    return payloads.select(
+        "doc_id",
+        meta.getItem("content_type").alias("content_type"),
+        meta.getItem("width").cast("long").alias("width"),
+        meta.getItem("height").cast("long").alias("height"),
+        meta.getItem("duration_ms").cast("long").alias("duration_ms"),
+        meta.getItem("frame_count").cast("long").alias("frame_count"),
     )

@@ -6,10 +6,14 @@ sink round-trips) — so a ``tempfile.mkdtemp`` per invocation can never be
 safely deleted while the result DF is alive, and repeated bench/correctness
 invocations accumulate copies in $TMP (round-2 ADVICE finding).
 
-Scheme: ``$TMP/dmshadoop_scratch/<pid>/<tag>``. Each invocation wipes and
-reuses ITS OWN tag dir — the footprint per process is one copy per query,
-however many times it runs — and tag dirs left behind by exited processes
-are swept opportunistically on every call.
+Scheme: ``$TMP/dmshadoop_scratch/<pid>/<tag>-<N>``. Each invocation vends a
+NEW generation ``tag-N`` and deletes all generations up to ``N-2`` — the
+immediately previous generation stays alive, so a still-held lazy result
+from the prior invocation keeps reading valid files while the new run
+proceeds (round-3 ADVICE: wiping the single tag dir on vend silently broke
+a held first result on re-run). Footprint per process is therefore at most
+two copies per query; tag dirs left behind by exited processes are swept
+opportunistically on every call.
 """
 
 from __future__ import annotations
@@ -22,12 +26,21 @@ _ROOT_NAME = "dmshadoop_scratch"
 
 
 def scratch_dir(tag: str) -> str:
-    """Return a clean per-process scratch dir for ``tag`` (see module doc)."""
+    """Return a clean scratch dir for ``tag``, versioned per invocation
+    within this process (see module doc)."""
     root = os.path.join(tempfile.gettempdir(), _ROOT_NAME)
     os.makedirs(root, exist_ok=True)
     _sweep_dead_processes(root)
-    workdir = os.path.join(root, str(os.getpid()), tag)
-    shutil.rmtree(workdir, ignore_errors=True)
+    piddir = os.path.join(root, str(os.getpid()))
+    os.makedirs(piddir, exist_ok=True)
+    gens = sorted(
+        int(e[len(tag) + 1 :])
+        for e in os.listdir(piddir)
+        if e.startswith(tag + "-") and e[len(tag) + 1 :].isdigit()
+    )
+    for g in gens[:-1]:  # keep the newest prior generation readable
+        shutil.rmtree(os.path.join(piddir, f"{tag}-{g}"), ignore_errors=True)
+    workdir = os.path.join(piddir, f"{tag}-{(gens[-1] + 1) if gens else 1}")
     os.makedirs(workdir, exist_ok=True)
     return workdir
 

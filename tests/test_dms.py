@@ -365,6 +365,13 @@ def test_container_parsers_never_crash_on_junk(junk):
             parser(junk)
         except (ValueError, NotImplementedError):
             pass
+    # past-the-magic junk: a valid SOI followed by garbage exercises the
+    # marker walk / entropy decode, not just the signature check
+    # (round-3 ADVICE: truncated streams leaked IndexError/struct.error)
+    try:
+        decode_jpeg(b"\xff\xd8" + junk)
+    except (ValueError, NotImplementedError):
+        pass
     extract_metadata(junk)
     # framed variants: valid magics with junk bodies
     extract_metadata(b"\x00\x00\x00\x14ftyp" + junk)
@@ -398,3 +405,24 @@ def test_reference_demo_flow_real_fixture(store):
     arr = decode_jpeg(back)
     assert arr.shape == (431, 438, 3)
     assert 150 < float(np.mean(arr)) < 185  # a real photo, not noise
+
+
+def test_sniff_mp3_requires_full_frame_not_sync_prefix():
+    """The 2-byte MPEG sync (FF Ex) over-matches: a UTF-16-LE BOM is
+    FF FE and can even form a structurally valid 4-byte frame header by
+    chance, so the sniffer demands a SECOND consecutive frame at the
+    first frame's computed boundary (or an exact single-frame stream)
+    before claiming audio/mpeg (round-3 ADVICE)."""
+    from dmshadoop_spark.dms.extract import _sniff
+    from dmshadoop_spark.multimodal import encode_mp3
+    from dmshadoop_spark.multimodal.containers import _mp3_frame_at
+
+    assert _sniff("hello utf-16 document".encode("utf-16")) == (
+        "application/octet-stream"
+    )
+    assert _sniff(b"\xff\xe7\x00\x00junk") == "application/octet-stream"
+    mp3 = encode_mp3(10, 128, 44100)
+    assert _sniff(mp3) == "audio/mpeg"
+    frame_len = _mp3_frame_at(mp3, 0)[0]
+    assert _sniff(mp3[:frame_len]) == "audio/mpeg"       # exact single frame
+    assert _sniff(b"ID3" + bytes(20)) == "audio/mpeg"    # tagged stream

@@ -602,3 +602,76 @@ def test_asof_join_forward_direction(spark):
     assert rows[2] == (50, None)
     assert rows[3] == (50, None)       # NULL field from ts=5 NOT backfilled
     assert rows[6] == (None, None)     # nothing follows
+
+
+def test_winnowing_short_docs_zero_fingerprints(spark, monkeypatch):
+    """x23 must emit ZERO fingerprints for docs too short for a full
+    3-gram (< 3 tokens) or a full w=4 hash window (< 6 tokens) — the
+    oracle's exclusive range() already does; Spark's sequence() counts
+    down below its floor, so an unguarded plan fabricates a truncated
+    gram (round-3 ADVICE). The generated corpus has no short docs, so
+    this pins the boundary with synthetic ones against DuckDB."""
+    import duckdb
+
+    from dmshadoop_spark import registry
+    from dmshadoop_spark.queries import llm
+
+    rows = [
+        (1, "one"),                      # 1 token  -> no 3-gram
+        (2, "two tokens"),               # 2 tokens -> no 3-gram
+        (3, "exactly three tokens"),     # h size 1 -> no window of 4
+        (4, "four tokens right here"),   # h size 2 -> no window of 4
+        (5, "five tokens sit right here"),  # h size 3 -> no window
+        (6, "six tokens make one full window now"),  # 7 tokens -> h=5 -> fps
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(llm, "load_table", lambda s, sf, t: docs)
+    got = {
+        r["doc_id"]: (r["n_fingerprints"], r["fp_digest"])
+        for r in llm.x23_winnowing_fingerprint(spark, "ignored").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(registry.ORACLE["x23_winnowing_fingerprint"]).fetchall()
+    }
+    assert got == want
+    assert all(got[i][0] == 0 for i in (1, 2, 3, 4, 5))
+    assert got[6][0] >= 1
+
+
+def test_scratch_dir_generations_keep_prior_result(tmp_path, monkeypatch):
+    """scratch_dir must not wipe the previous invocation's files on vend —
+    a still-held lazy DataFrame from run N-1 reads them (round-3 ADVICE).
+    Contract: each vend is a fresh dir, the newest prior generation
+    survives, and anything older is deleted."""
+    import os
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    from dmshadoop_spark.workdirs import scratch_dir
+
+    a = scratch_dir("gen_test")
+    open(os.path.join(a, "data"), "w").write("a")
+    b = scratch_dir("gen_test")
+    assert b != a and os.path.exists(os.path.join(a, "data"))
+    c = scratch_dir("gen_test")
+    assert not os.path.exists(a) and os.path.exists(b) and c not in (a, b)
+
+
+def test_sink_rerun_keeps_prior_result_readable(spark, sf_dir):
+    """End-to-end form of the same contract: re-invoking a sink query
+    in-process must not invalidate the previous invocation's still-held
+    result DataFrame."""
+    from dmshadoop_spark import registry
+
+    registry.load_all()
+    first = registry.QUERIES["s7_delete_sink"](spark, sf_dir)
+    second = registry.QUERIES["s7_delete_sink"](spark, sf_dir)
+    assert first.collect() == second.collect()

@@ -6,10 +6,10 @@ balanced and probe recall is higher; this module is that training step,
 expressed as the standard Spark iteration shape (the same one MLlib's
 KMeans uses underneath):
 
-  * ASSIGN — each vector's distances to all k centroids are staged as
-    one array column (centroids ride the plan as literals — k×dim
-    doubles, broadcast-sized), argmin picks the cell. Scan-local, no
-    shuffle.
+  * ASSIGN — similarity/assign.with_nearest_cell: centroid distances +
+    argmin, scan-local, no shuffle. Centroids ride the plan as literals
+    up to LITERAL_MAX_CENTROIDS and as a broadcast numpy matrix behind
+    an Arrow-batched pandas_udf above it (plan size must stay O(1) in k).
   * UPDATE — element-wise mean per cell via ``posexplode`` →
     groupBy(cell, pos). The partial aggregate combines map-side, so the
     exchange carries ≤ k×dim×partitions rows regardless of corpus size;
@@ -29,23 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dmshadoop_spark.functions.vectors import as_double
-
-
-def _dist_arr(v, cent_lits):
-    """Array of squared L2 distances from ``v`` to each centroid literal."""
-
-    def l2sq(cent):
-        return F.aggregate(
-            F.zip_with(v, cent, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    return F.array(*[l2sq(c) for c in cent_lits])
-
-
-def _lits(cents: np.ndarray):
-    return [F.array(*[F.lit(float(x)) for x in row]) for row in cents]
 
 
 def kmeans_centroids(
@@ -70,13 +53,10 @@ def kmeans_centroids(
     )
     init_rows = vecs.orderBy(*order).limit(k).collect()
     cents = np.array([row["_v"] for row in init_rows], dtype=np.float64)
+    from dmshadoop_spark.similarity.assign import with_nearest_cell
+
     for _ in range(n_iter):
-        staged = vecs.select(
-            "_v", _dist_arr(F.col("_v"), _lits(cents)).alias("_d")
-        ).select(
-            "_v",
-            F.array_position(F.col("_d"), F.array_min(F.col("_d"))).alias("cell"),
-        )
+        staged = with_nearest_cell(vecs.select("_v"), "_v", cents)
         sums = (
             staged.select("cell", F.posexplode("_v").alias("pos", "x"))
             .groupBy("cell", "pos")

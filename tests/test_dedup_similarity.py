@@ -707,3 +707,63 @@ def test_minhash_incremental_equals_full_rebuild(spark, sf_dir):
     assert full  # planted dups exist
     assert old_pairs | inc_pairs == full
     assert old_pairs & inc_pairs == set()  # inc = new-touching pairs only
+
+
+def test_ivf_assign_literal_and_udf_paths_agree(spark, monkeypatch):
+    """The two physical strategies in similarity/assign.py (plan-literal
+    centroids vs broadcast-numpy pandas_udf) must produce identical cell
+    assignments and probe rankings — same first-min / (distance, cell)
+    tie-breaks."""
+    import numpy as np
+
+    from dmshadoop_spark.similarity import assign
+
+    rng = np.random.RandomState(3)
+    cents = rng.randn(12, 8)
+    cents[5] = cents[2]  # duplicated centroid → argmin tie → first wins
+    vecs = [(i, rng.randn(8).tolist()) for i in range(200)]
+    vecs.append((200, cents[2].tolist()))  # exactly on the tied centroid
+    df = spark.createDataFrame(vecs, "vid long, v array<double>")
+
+    lit_cell = {
+        r["vid"]: r["cell"]
+        for r in assign.with_nearest_cell(df, "v", cents).collect()
+    }
+    lit_probe = {
+        r["vid"]: r["cells"]
+        for r in assign.with_probe_cells(df, "v", cents, 4).collect()
+    }
+    monkeypatch.setattr(assign, "LITERAL_MAX_CENTROIDS", 0)
+    udf_cell = {
+        r["vid"]: r["cell"]
+        for r in assign.with_nearest_cell(df, "v", cents).collect()
+    }
+    udf_probe = {
+        r["vid"]: r["cells"]
+        for r in assign.with_probe_cells(df, "v", cents, 4).collect()
+    }
+    assert lit_cell == udf_cell
+    assert lit_probe == udf_probe
+    assert lit_cell[200] == 3  # 1-based first-min tie-break (cell 3 not 6)
+
+
+def test_ivf_large_k_plan_size_bounded(spark):
+    """At a production cell count the assignment plan must NOT embed
+    O(k·dim) centroid literals (round-3 VERDICT: codegen/plan size
+    explodes at k≈√n). Pin: the analyzed plan string stays O(1) as k
+    grows 1024→2048, and far below what literals would produce."""
+    import numpy as np
+
+    from dmshadoop_spark.similarity import assign
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(4)],
+        "vid long, v array<double>",
+    )
+    rng = np.random.RandomState(0)
+    plans = {}
+    for k in (1024, 2048):
+        out = assign.with_nearest_cell(df, "v", rng.randn(k, 4))
+        plans[k] = len(out._jdf.queryExecution().analyzed().toString())
+    assert plans[1024] < 20_000, plans
+    assert abs(plans[2048] - plans[1024]) < 500  # plan size O(1) in k

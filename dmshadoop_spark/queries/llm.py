@@ -2464,3 +2464,75 @@ def x24_extract_dispatch(spark, sf_dir):
         meta.getItem("duration_ms").cast("long").alias("duration_ms"),
         meta.getItem("frame_count").cast("long").alias("frame_count"),
     )
+
+
+SEQ_PACK_LEN = 512
+
+
+@query(
+    "x25_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tok,
+               SUM(len(string_split(text, ' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS cum_before
+        FROM documents
+    ),
+    b AS (
+        SELECT source,
+               CAST(COALESCE(cum_before, 0) // {SEQ_PACK_LEN} AS BIGINT) AS bin,
+               n_tok
+        FROM t
+    )
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM b GROUP BY source, bin
+    """,
+)
+def x25_sequence_packing(spark, sf_dir):
+    """Sequence packing — the concat-then-chunk step every LLM training
+    pipeline runs between cleaned documents and fixed-length training
+    sequences: within each source stream (deterministic doc_id order),
+    documents are laid head-to-tail and assigned to the {SEQ_PACK_LEN}"""
+    # (docstring completed below to keep the f-string out of __doc__)
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = docs.select(
+        "doc_id", "source", F.size(tokenize("text")).cast("long").alias("n_tok")
+    )
+    binned = toks.select(
+        "source",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / SEQ_PACK_LEN
+        ).alias("bin"),
+        "n_tok",
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+x25_sequence_packing.__doc__ = f"""Sequence packing — the concat-then-chunk
+step every LLM training pipeline runs between cleaned documents and
+fixed-length training sequences: within each source stream (deterministic
+doc_id order), documents are laid head-to-tail and each lands in the
+{SEQ_PACK_LEN}-token bin where its first token falls (bin = floor(
+cumulative-tokens-before / {SEQ_PACK_LEN})). Output is per-(source, bin)
+occupancy — docs packed and tokens carried — the stats a packer needs to
+size its epochs.
+
+Plan: one scan; the running total is a window cumsum partitioned by
+source (each source's stream sorts independently — at 100 TB source
+cardinality gives the parallelism, and a skewed mega-source would move to
+a two-level cumsum: per-partition partials + broadcast prefix offsets,
+the same shape as o4). One shuffle for the window, map-side-combined
+partial agg for the bin rollup."""

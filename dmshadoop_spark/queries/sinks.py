@@ -602,3 +602,61 @@ def s19_nested_types(spark, sf_dir):
     return back.select(
         "source", F.explode("lang_stats").alias("s")
     ).select("source", "s.lang", "s.cnt")
+
+
+@query(
+    "s20_compaction",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           1 AS n_generations,
+           2 AS n_part_files
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def s20_compaction(spark, sf_dir):
+    """DocumentStore maintenance as an oracle-checked query (round-3
+    VERDICT item 3c): two hardlink-append ingests accumulate one
+    generation + part-file set each, compact() rewrites the snapshot into
+    2 part-files as a new generation (the OPTIMIZE analogue,
+    dms/store.py), vacuum(keep_last=1) drops the superseded generations.
+    Correctness = not a single row changed across the whole maintenance
+    cycle: the oracle recomputes doc count + total byte length straight
+    from the source table, and the layout facts (1 surviving generation,
+    exactly 2 part-files) are pinned alongside. At 100 TB this cycle is
+    the standard small-file remedy after streaming ingest; compaction
+    cost is one repartition of the current snapshot, never a history
+    rewrite."""
+    import os as _os
+
+    from dmshadoop_spark.dms import DocumentStore
+
+    base = _os.path.join(_scratch("compactq"), "store")
+    store = DocumentStore(spark, base)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    named = docs.select(
+        F.concat(
+            F.lit("doc-"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("name"),
+        F.col("text").cast("binary").alias("content"),
+        F.col("doc_id"),
+    )
+    store.bulk_ingest(named.filter(F.col("doc_id") % 2 == 0).drop("doc_id"))
+    store.bulk_ingest(named.filter(F.col("doc_id") % 2 == 1).drop("doc_id"))
+    store.compact(target_files=2)
+    store.vacuum(keep_last=1)
+    n_generations = len(store.history())
+    gen_dir = store._gen_path(store._current_gen())
+    n_part_files = sum(
+        1 for f in _os.listdir(gen_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    return store.df().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("length").alias("total_bytes"),
+    ).select(
+        "n_docs",
+        "total_bytes",
+        F.lit(n_generations).alias("n_generations"),
+        F.lit(n_part_files).alias("n_part_files"),
+    )

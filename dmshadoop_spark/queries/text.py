@@ -432,3 +432,35 @@ def t10_fuzzy_term(spark, sf_dir):
             F.col("doc_freq").cast("long").alias("doc_freq"),
         )
     )
+
+
+FIELD_QUERY = "lang:en scan fast"
+
+
+@query(
+    "t11_field_scoped_search",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE lang = 'en'
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x = 'scan'))
+                + len(list_filter(toks, x -> x = 'fast'))
+                AS BIGINT) AS score
+    FROM t
+    WHERE list_contains(toks, 'scan') AND list_contains(toks, 'fast')
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def t11_field_scoped_search(spark, sf_dir):
+    """Solr field-scoped query syntax — ``q=field:term`` (src/DMS.py:350),
+    the one /select feature t3-t10 don't cover. search.parse_query_string
+    splits ``lang:en scan fast`` into a column predicate (pushed to the
+    scan — partition-prunable when the corpus is laid out by that field)
+    plus implicitly-ANDed full-text terms scored by total tf. Scan-local
+    except the final top-k."""
+    from dmshadoop_spark.search import field_scoped_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return field_scoped_search(docs, FIELD_QUERY, k=10)

@@ -57,94 +57,69 @@ def load_all() -> None:
 # canaries. Everything not listed follows in registration order, so the
 # window rotates across rounds until every query has a confirmed row.
 #
-# ROUND-3 DECISION: CORRECTNESS_r02 ran and all 50 round-2 window entries
-# passed (rows + schema + hash green, zero err). Cumulative driver-confirmed
-# coverage is 96/160; the remaining 64 have only local oracle confirmation.
-# The window therefore ROTATES: 3 round-2 greens stay as canaries, and the
-# other 47 slots go to oracle-backed queries with no driver row yet.
-#
-# Deferred to the ROUND-4 window (apply after CORRECTNESS_r03):
-#   * the 14 rows-only entries (a7_approx, a7b, a10b, s4, x2_minhash_lsh,
-#     x2_simhash, x5_knn_lsh/ivf/ivf_trained, x6_feature_extract/
-#     resize_thumbnails/png_roundtrip/frame_sample/avi_frames) — their
-#     driver check is weaker (row count only), so oracle-backed queries get
-#     the 50 slots first; each now carries a content digest column so the
-#     round-4 rows-only check still pins output identity;
-#   * oracle-backed (put these FIRST — strongest check): a16, f14, s15,
-#     s16, s18, s19, st11, st12, st13, st14, t8, t10, u5, w10, w11, x16,
-#     x17, x18, x20, x22, x23, x6_mp3_meta, x6_mp4_frames  (23 queries);
-#   * digest-pinned rows-only (16): a7_approx, a7b, a10b, s4,
-#     x2_minhash_lsh, x2_simhash, x5_knn_lsh/ivf/ivf_trained,
-#     x21_dedup_incremental, x6_jpeg/png_roundtrip, and the four
-#     unbounded-output exemptions (x6_feature_extract/resize_thumbnails/
-#     frame_sample/avi_frames — count-only by design).
-#   23 + 16 = 39 slots; with 2-3 canaries the 50-window still has ~8
-#   free slots for round-4 additions — one more round closes the whole
-#   registry (every query then has a driver-confirmed row). Every one of
-#   the 39 has already passed tools/driver_sim.py (plain session,
-#   sf0.01) this round.
-# Keep 2-3 round-3 greens as canaries.
+# ROUND-4 DECISION: CORRECTNESS_r03 ran 50/50 green; cumulative
+# driver-confirmed coverage is 143 of the 183 queries registered through
+# round 3. This window was REGENERATED FROM LIVE STATE (round-3 VERDICT
+# item 1: set(QUERIES) − cumulative_green over CORRECTNESS_r0{1,2,3},
+# tools/rotation.py — not the round-3 comment, which had gone stale by
+# omitting j11_asof_forward): 3 canaries + all 28 oracle-backed
+# unconfirmed queries (the 24 deferred from round 3, plus j11, plus the
+# four new round-4 entries s20/t11/x24/x25) + all 16 digest-pinned
+# rows-only queries = 47 of 50 slots. A green CORRECTNESS_r04 on this
+# window closes the registry: every registered query then carries a
+# driver-confirmed row. Every entry below passed tools/driver_sim.py
+# (plain session, sf0.01) before this window was handed to the driver.
 PRIORITY: list[str] = [
-    # canaries (driver-green in r1/r2 — detect gate drift)
+    # canaries (driver-green in r1/r2/r3 — detect gate drift)
     "a6_q1_pricing_summary",
     "w1_latest_per_group",
     "x2_ngram_jaccard",
-    # sinks / DDL / storage layouts
-    "s6_append_sink",
-    "s7_delete_sink",
-    "s8_overwrite_upsert",
-    "s10_catalog_ddl",
-    "s12_partitioned_sink",
-    "s13_bucketed_join",
-    "s14_zorder_layout",
-    "s17_incremental_rollup",
-    # predicates
-    "p3_regex_predicate",
-    # aggregates
-    "a8_cube",
-    "a8b_grouping_sets",
-    "a_pivot",
-    "a10_percentile",
-    "a11_histogram",
-    "a12_table_profile",
-    "a13_constraint_audit",
-    "a14_heavy_hitters",
-    "a15_mode_per_group",
-    # set ops / scalar fns
-    "u4_unpivot",
-    "f13_levenshtein",
-    # windows
-    "w7_rolling_time_range",
-    "w8_gaps_islands",
-    "w9_funnel",
-    # text/search
-    "t6_phrase_search",
-    "t7_boolean_search",
-    "t9_bm25_topk",
-    # streaming shapes
-    "st8_interval_join",
-    "st9_dedup_within_watermark",
-    "st10_foreach_batch_upsert",
-    # joins
-    "j6b_binned_range_join",
-    "j9_salted_skew_join",
-    "j10_fuzzy_join",
-    # LLM-pipeline operators
-    "x2c_dedup_components",
-    "x3_quality_score",
-    "x3_lang_id",
-    "x3_fingerprint",
-    "x3_token_count",
-    "x4_embedding_norm",
-    "x6_wav_features",
-    "x8_train_test_split",
-    "x9_decontaminate",
-    "x10_chunk_dedup",
-    "x11_stratified_sample",
-    "x12_domain_mix",
-    "x13_pagerank",
-    "x14_repetition_signals",
-    "x15_blocklist_scrub",
+    # oracle-backed, no driver row yet (strongest check first)
+    "a16_stat_moments",
+    "f14_parse_url",
+    "j11_asof_forward",
+    "s15_orc_roundtrip",
+    "s16_csv_roundtrip",
+    "s18_schema_evolution",
+    "s19_nested_types",
+    "s20_compaction",
+    "st11_stream_stream_join",
+    "st12_stream_tumbling",
+    "st13_stream_sliding",
+    "st14_stream_session",
+    "t8_stemmed_lookup",
+    "t10_fuzzy_term",
+    "t11_field_scoped_search",
+    "u5_bag_set_ops",
+    "w10_gap_fill",
+    "w11_window_fn_suite",
+    "x16_pii_redact",
+    "x17_rare_token_filter",
+    "x18_triangle_count",
+    "x20_rag_chunking",
+    "x22_ingest_decontam",
+    "x23_winnowing_fingerprint",
+    "x24_extract_dispatch",
+    "x25_sequence_packing",
+    "x6_mp3_meta",
+    "x6_mp4_frames",
+    # digest-pinned rows-only (weaker driver check: rows + stable digest)
+    "a7_approx_count_distinct",
+    "a7b_hll_sketch_union",
+    "a10b_approx_percentile",
+    "s4_binary_ingest",
+    "x2_minhash_lsh",
+    "x2_simhash",
+    "x5_knn_lsh",
+    "x5_knn_ivf",
+    "x5_knn_ivf_trained",
+    "x21_dedup_incremental",
+    "x6_jpeg_roundtrip",
+    "x6_png_roundtrip",
+    "x6_feature_extract",
+    "x6_resize_thumbnails",
+    "x6_frame_sample",
+    "x6_avi_frames",
 ]
 
 

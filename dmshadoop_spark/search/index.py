@@ -221,3 +221,62 @@ def tfidf_search(
         F.round(F.sum(F.col("tf") * idf), 4).cast("double").alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def parse_query_string(q: str) -> tuple[dict[str, str], list[str]]:
+    """Solr query-string syntax: split ``field:value`` clauses from bare
+    full-text terms (the one /select feature the reference exposes that
+    t3-t10 don't cover — ``q=title:term``, src/DMS.py:350).
+    ``"lang:en scan fast"`` → ({"lang": "en"}, ["scan", "fast"]); all
+    clauses are implicitly ANDed, Solr's default operator."""
+    fields: dict[str, str] = {}
+    terms: list[str] = []
+    for tok in q.split():
+        if ":" in tok:
+            f, v = tok.split(":", 1)
+            fields[f] = v
+        else:
+            terms.append(tok.lower())
+    return fields, terms
+
+
+def field_scoped_search(
+    docs: DataFrame, q: str, text_col: str = "text", k: int = 10
+) -> DataFrame:
+    """Field-scoped boolean search over a documents table: ``field:value``
+    clauses become plain column predicates — they push down to the scan
+    (and prune partitions when the table is laid out by that field, the
+    100 TB case) — and bare terms must ALL appear in the tokenized text,
+    scored by their total term frequency.
+
+    Plan: entirely scan-local (tokenize once per row, one size(filter())
+    per term — no explode, no join, no index build); the only exchange is
+    the final top-k sort. The inverted-index path (boolean_search) wins
+    when the term set is rare; this direct form wins when field filters
+    are selective, which is exactly when Solr's fq= would be used."""
+    fields, terms = parse_query_string(q)
+    out = docs
+    for f, v in fields.items():
+        out = out.filter(F.col(f) == v)
+    if not terms:
+        return out.select("doc_id", F.lit(0).cast("long").alias("score")) \
+                  .orderBy(F.asc("doc_id")).limit(k)
+    out = out.withColumn("_toks", tokenize(text_col))
+
+    def tf_of(term: str):
+        # NB: a two-arg lambda (even via default args) makes F.filter pass
+        # the element INDEX as the second argument — keep arity 1
+        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+
+    tfs = [tf_of(t) for t in terms]
+    score = tfs[0]
+    cond = tfs[0] > 0
+    for tf in tfs[1:]:
+        score = score + tf
+        cond = cond & (tf > 0)
+    return (
+        out.filter(cond)
+        .select("doc_id", score.cast("long").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

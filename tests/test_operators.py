@@ -675,3 +675,34 @@ def test_sink_rerun_keeps_prior_result_readable(spark, sf_dir):
     first = registry.QUERIES["s7_delete_sink"](spark, sf_dir)
     second = registry.QUERIES["s7_delete_sink"](spark, sf_dir)
     assert first.collect() == second.collect()
+
+
+def test_parse_query_string_and_field_scoped_search(spark):
+    """Solr query-string semantics: field:value clauses scope columns,
+    bare terms AND-match, score = total tf, colon values keep their
+    remainder intact (a:b:c → field a, value b:c)."""
+    from dmshadoop_spark.search import field_scoped_search, parse_query_string
+
+    assert parse_query_string("lang:en scan fast") == (
+        {"lang": "en"}, ["scan", "fast"]
+    )
+    assert parse_query_string("source:a:b Scan") == ({"source": "a:b"}, ["scan"])
+    assert parse_query_string("scan") == ({}, ["scan"])
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "scan fast scan"),    # lang hit, both terms, tf 3
+            (2, "en", "scan slow"),         # missing 'fast'
+            (3, "de", "scan fast"),         # wrong lang
+            (4, "en", "fast scan"),         # tf 2
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in field_scoped_search(docs, "lang:en scan fast").collect()
+    ]
+    assert got == [(1, 3), (4, 2)]
+    # field-only query: no text terms → all matching docs, score 0
+    only_field = field_scoped_search(docs, "lang:de").collect()
+    assert [(r["doc_id"], r["score"]) for r in only_field] == [(3, 0)]

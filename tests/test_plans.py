@@ -366,3 +366,34 @@ def test_headline_scan_budget(spark, sf_dir):
                 f"{name} scans {table} {count}x (budget "
                 f"{budget.get(name, {}).get(table, 1)})"
             )
+
+
+def test_field_scoped_search_pushes_field_predicate(spark, sf_dir):
+    """t11's field clause (lang:en) must reach the parquet scan as a
+    pushed filter — that is the whole point of the direct form over the
+    index path (partition-prunable at 100 TB)."""
+    p = plan(spark, sf_dir, "t11_field_scoped_search")
+    assert "PushedFilters" in p and "EqualTo(lang,en)" in p.replace(" ", "")
+
+
+def test_sequence_packing_single_scan_one_window_shuffle(spark, sf_dir):
+    """x25 = one documents scan + ONE window exchange (hashpartitioning
+    on source) + map-side-combined bin rollup; a second scan or a second
+    wide exchange means the cumsum got re-derived."""
+    import re
+
+    p = plan(spark, sf_dir, "x25_sequence_packing")
+    scans = re.findall(r"file:[^\]]*?/(\w+)\.parquet", p)
+    assert scans.count("documents") == 1, scans
+    # exactly one shuffle on the window key; the final agg combines
+    # map-side into the same partitioning (no extra exchange)
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, p[:3000]
+
+
+def test_extract_dispatch_no_shuffle(spark, sf_dir):
+    """x24 is the ingest-scan shape: encode (mapInPandas) → extract
+    (pandas_udf) with the binary column never leaving the executor —
+    any Exchange is a regression."""
+    p = plan(spark, sf_dir, "x24_extract_dispatch")
+    assert "Exchange" not in p, p[:2000]

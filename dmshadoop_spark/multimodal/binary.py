@@ -31,6 +31,7 @@ src/DMS.py:122,146-155).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import math
 import struct
@@ -142,6 +143,28 @@ def _png_chunks(data: bytes):
         i += 12 + length  # length + type + payload + crc
 
 
+def _valueerror_on_malformed(fn):
+    """Byte parsers over untrusted input must surface ONE documented
+    error type: wrap every low-level decode failure (cut slice, short
+    struct, bad zlib stream, corrupt table) as ValueError so batch
+    callers can catch-and-fall-back instead of crashing the Spark task
+    (the round-3 decode_jpeg finding, applied to the whole codec
+    family)."""
+
+    @functools.wraps(fn)
+    def wrapper(data, *args, **kwargs):
+        try:
+            return fn(data, *args, **kwargs)
+        except (IndexError, struct.error, KeyError, TypeError, zlib.error,
+                OverflowError, ZeroDivisionError) as exc:
+            raise ValueError(
+                f"malformed input to {fn.__name__}: {exc!r}"
+            ) from exc
+
+    return wrapper
+
+
+@_valueerror_on_malformed
 def decode_png(content: bytes) -> "np.ndarray":
     """Real PNG decode with stdlib zlib: chunk walk → IDAT inflate →
     per-scanline unfilter (all five filter types) → HxWx3 uint8 array.
@@ -346,6 +369,7 @@ def _riff_chunks(data: bytes, start: int, end: int):
         i = lo + size + (size % 2)
 
 
+@_valueerror_on_malformed
 def parse_wav(data: bytes) -> dict:
     """Real WAV parse: verify RIFF/WAVE, walk chunks for fmt + data, return
     {sample_rate, channels, bits, samples(np.int16)}. Raises ValueError on
@@ -422,6 +446,7 @@ def encode_avi(frames: list[bytes], fps: int, width: int = 0, height: int = 0) -
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_valueerror_on_malformed
 def parse_avi(data: bytes) -> tuple[int, list[bytes]]:
     """Real AVI demux: verify RIFF/'AVI ', find avih inside LIST hdrl
     (microseconds per frame), collect '00dc'/'00db' frame payloads inside

@@ -93,3 +93,74 @@ def binned_range_join(
         *[F.col(f"{_PT}.{c}") for c in points.columns],
         *[F.col(f"{_IV}.{c}") for c in intervals.columns],
     )
+
+
+def binned_interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lower: str,
+    left_upper: str,
+    right_lower: str,
+    right_upper: str,
+    bin_width: float,
+    closed: str = "both",
+) -> DataFrame:
+    """Inner-join ``left`` to every ``right`` interval it OVERLAPS — the
+    interval×interval companion to ``binned_range_join`` (time-range
+    conflicts, reservation collisions, span intersection), and like it a
+    shape Spark's planner can only express as a nested-loop.
+
+    Same binning discipline, one extra idea: an interval covers MANY bins
+    (unlike a point), so a naive bin equi-join would emit a qualifying
+    pair once per shared bin. Instead each pair is claimed by exactly ONE
+    owner bin — the bin of the overlap's left edge, max(a.lo, b.lo),
+    which every overlapping pair has and which lies inside both
+    intervals' bin ranges — so emission is exactly-once WITHOUT a
+    distinct/dedup shuffle. Cost: one shuffle per side on the bin id,
+    replication = span/bin_width + 1 per row, residual predicate exact.
+
+    ``closed="both"`` treats intervals as closed ([lo,hi] overlap iff
+    a.lo <= b.hi AND b.lo <= a.hi); ``closed="left"`` as half-open
+    [lo,hi). Column names must not collide between the inputs.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    w = F.lit(float(bin_width))
+
+    def binned(df: DataFrame, lo: str, hi: str, alias: str) -> DataFrame:
+        return (
+            df.filter(F.col(hi) >= F.col(lo))
+            .withColumn(
+                "__bin",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(lo) / w).cast("long"),
+                        F.floor(F.col(hi) / w).cast("long"),
+                    )
+                ),
+            )
+            .alias(alias)
+        )
+
+    a = binned(left, left_lower, left_upper, _PT)
+    b = binned(right, right_lower, right_upper, _IV)
+    a_lo, a_hi = F.col(f"{_PT}.{left_lower}"), F.col(f"{_PT}.{left_upper}")
+    b_lo, b_hi = F.col(f"{_IV}.{right_lower}"), F.col(f"{_IV}.{right_upper}")
+    if closed == "both":
+        overlap = (a_lo <= b_hi) & (b_lo <= a_hi)
+    elif closed == "left":
+        overlap = (a_lo < b_hi) & (b_lo < a_hi)
+    else:
+        raise ValueError(f"closed must be both|left, got {closed!r}")
+    owner = F.floor(F.greatest(a_lo, b_lo) / w).cast("long")
+    joined = a.join(
+        b,
+        (F.col(f"{_PT}.__bin") == F.col(f"{_IV}.__bin"))
+        & (F.col(f"{_PT}.__bin") == owner)
+        & overlap,
+        "inner",
+    )
+    return joined.select(
+        *[F.col(f"{_PT}.{c}") for c in left.columns],
+        *[F.col(f"{_IV}.{c}") for c in right.columns],
+    )

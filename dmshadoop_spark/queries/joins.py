@@ -385,3 +385,54 @@ def j11_asof_forward(spark, sf_dir):
         direction="forward",
     )
     return joined.select("event_id", "event_id_asof")
+
+
+@query(
+    "j12_interval_overlap_join",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_supp_bal
+    FROM (SELECT c_custkey, c_nationkey,
+                 c_acctbal - 250 AS c_lo, c_acctbal + 250 AS c_hi
+          FROM customer) c
+    JOIN (SELECT s_suppkey, s_acctbal,
+                 s_acctbal - 250 AS s_lo, s_acctbal + 250 AS s_hi
+          FROM supplier) s
+      ON c.c_lo <= s.s_hi AND s.s_lo <= c.c_hi
+    GROUP BY c_nationkey
+    """,
+)
+def j12_interval_overlap_join(spark, sf_dir):
+    """Interval×interval OVERLAP join — time-range conflict detection
+    (bookings, maintenance windows, span intersection), here as ±250
+    account-balance bands on BOTH customer and supplier. Neither side is
+    broadcastable at scale and an interval has no single bin, so this
+    runs through operators/rangejoin.binned_interval_overlap_join: each
+    interval replicates to its covered bins, and a pair is emitted by
+    exactly ONE owner bin (the overlap's left edge) — exactly-once
+    semantics without a dedup shuffle. The oracle is the plain theta
+    join."""
+    from dmshadoop_spark.operators.rangejoin import binned_interval_overlap_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        (F.col("c_acctbal") - 250).alias("c_lo"),
+        (F.col("c_acctbal") + 250).alias("c_hi"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal",
+        (F.col("s_acctbal") - 250).alias("s_lo"),
+        (F.col("s_acctbal") + 250).alias("s_hi"),
+    )
+    pairs = binned_interval_overlap_join(
+        cust, supp,
+        left_lower="c_lo", left_upper="c_hi",
+        right_lower="s_lo", right_upper="s_hi",
+        bin_width=500.0,
+    )
+    return pairs.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        money(F.sum(dec2("s_acctbal"))).alias("sum_supp_bal"),
+    )

@@ -2536,3 +2536,60 @@ cardinality gives the parallelism, and a skewed mega-source would move to
 a two-level cumsum: per-partition partials + broadcast prefix offsets,
 the same shape as o4). One shuffle for the window, map-side-combined
 partial agg for the bin rollup."""
+
+
+WSAMPLE_CAP = 800
+
+
+@query(
+    "x26_weighted_sample",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tok,
+               LEAST(n_chars, {WSAMPLE_CAP}) AS w,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS u32
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN u32 * {WSAMPLE_CAP} < w * 4294967296
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN u32 * {WSAMPLE_CAP} < w * 4294967296
+                         THEN n_tok ELSE 0 END) AS BIGINT) AS sampled_tokens
+    FROM t GROUP BY source
+    """,
+)
+def x26_weighted_sample(spark, sf_dir):
+    """Quality-WEIGHTED deterministic subsampling — the data-curation
+    primitive between x8's uniform split and x11's stratified caps
+    (CCNet/DSIR practice: keep a document with probability proportional
+    to a quality weight). Weight = min(n_chars, cap); accept iff
+    u32 · cap < w · 2^32, where u32 is the first 8 hex digits of
+    md5(doc_id) — an integer-EXACT Bernoulli(w/cap) draw with zero
+    floats, so the sample is bit-reproducible across engines, runs, and
+    cluster sizes, and any doc's fate is auditable from its id alone.
+    Output: per-source acceptance accounting.
+
+    Plan: one scan, scan-local hash + integer compare, map-side-combined
+    rollup — the same shuffle profile as a plain count."""
+    docs = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10,
+    ).cast("long")
+    w = F.least(F.col("n_chars"), F.lit(WSAMPLE_CAP)).cast("long")
+    accept = (u32 * WSAMPLE_CAP) < (w * F.lit(4294967296))
+    staged = docs.select(
+        "source",
+        F.size(tokenize("text")).cast("long").alias("n_tok"),
+        accept.alias("ok"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("ok").cast("long")).alias("n_sampled"),
+        F.sum(F.when(F.col("ok"), F.col("n_tok")).otherwise(0)).alias(
+            "sampled_tokens"
+        ),
+    )

@@ -120,6 +120,10 @@ PRIORITY: list[str] = [
     "x6_resize_thumbnails",
     "x6_frame_sample",
     "x6_avi_frames",
+    # round-4 late additions (registered after the rotation above; slots
+    # 48-49 of the 50-window so the registry still closes this round)
+    "j12_interval_overlap_join",
+    "x26_weighted_sample",
 ]
 
 

@@ -426,3 +426,45 @@ def test_sniff_mp3_requires_full_frame_not_sync_prefix():
     frame_len = _mp3_frame_at(mp3, 0)[0]
     assert _sniff(mp3[:frame_len]) == "audio/mpeg"       # exact single frame
     assert _sniff(b"ID3" + bytes(20)) == "audio/mpeg"    # tagged stream
+
+
+def test_codec_family_raises_only_valueerror_on_malformed():
+    """The whole codec family (not just decode_jpeg) surfaces malformed
+    input as the documented ValueError: truncations and mutations of
+    VALID payloads — which get past the magic check into the real parse —
+    must never leak IndexError/struct.error/zlib.error."""
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import (
+        decode_jpeg, decode_png, encode_avi, encode_jpeg, encode_png,
+        encode_wav, parse_avi, parse_wav,
+    )
+
+    img = (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) * 7 % 251)
+    fixtures = [
+        (decode_png, encode_png(img.astype(np.uint8))),
+        (decode_jpeg, encode_jpeg(img.astype(np.uint8), quality=80)),
+        (parse_wav, encode_wav(np.arange(300, dtype=np.int16), 8000)),
+        (parse_avi, encode_avi([b"abc", b"defg"], 10)),
+    ]
+    import random
+
+    rng = random.Random(5)
+    for fn, valid in fixtures:
+        fn(valid)  # the unmutated payload must still parse
+        for cut in range(0, len(valid), 7):
+            try:
+                fn(valid[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        b = bytearray(valid)
+        for _ in range(300):
+            i = rng.randrange(len(b))
+            old = b[i]
+            b[i] = rng.randrange(256)
+            try:
+                fn(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+            finally:
+                b[i] = old

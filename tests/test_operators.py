@@ -706,3 +706,60 @@ def test_parse_query_string_and_field_scoped_search(spark):
     # field-only query: no text terms → all matching docs, score 0
     only_field = field_scoped_search(docs, "lang:de").collect()
     assert [(r["doc_id"], r["score"]) for r in only_field] == [(3, 0)]
+
+
+def test_interval_overlap_join_matches_theta_and_is_exactly_once(spark, sf_dir):
+    """binned_interval_overlap_join must emit each overlapping pair
+    EXACTLY once (owner-bin rule) and match the naive theta join for ANY
+    bin width — coarse, matched, fine, and a width smaller than the
+    span (heavy replication) all give identical multisets."""
+    from dmshadoop_spark.operators.rangejoin import binned_interval_overlap_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        (F.col("c_acctbal") - 250).alias("c_lo"),
+        (F.col("c_acctbal") + 250).alias("c_hi"),
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 250).alias("s_lo"),
+        (F.col("s_acctbal") + 250).alias("s_hi"),
+    )
+    naive = cust.join(
+        supp, (cust.c_lo <= supp.s_hi) & (supp.s_lo <= cust.c_hi)
+    ).select("c_custkey", "s_suppkey")
+    expected = sorted(map(tuple, naive.collect()))
+    assert expected, "overlap fixture matched nothing — widen the bands"
+    assert len(expected) == len(set(expected))  # fixture itself pair-unique
+    for w in (100.0, 500.0, 2000.0, 33.0):
+        got = binned_interval_overlap_join(
+            cust, supp, left_lower="c_lo", left_upper="c_hi",
+            right_lower="s_lo", right_upper="s_hi", bin_width=w,
+        ).select("c_custkey", "s_suppkey")
+        assert sorted(map(tuple, got.collect())) == expected, f"bin_width={w}"
+
+
+def test_interval_overlap_join_half_open(spark):
+    """closed='left' treats intervals as [lo, hi): touching endpoints do
+    NOT overlap; closed='both' says they do."""
+    from dmshadoop_spark.operators.rangejoin import binned_interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0.0, 10.0)], "aid long, alo double, ahi double")
+    b = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 9.9, 30.0), (3, 20.0, 25.0)],
+        "bid long, blo double, bhi double",
+    )
+    both = {
+        r["bid"]
+        for r in binned_interval_overlap_join(
+            a, b, "alo", "ahi", "blo", "bhi", bin_width=5.0
+        ).collect()
+    }
+    half = {
+        r["bid"]
+        for r in binned_interval_overlap_join(
+            a, b, "alo", "ahi", "blo", "bhi", bin_width=5.0, closed="left"
+        ).collect()
+    }
+    assert both == {1, 2}
+    assert half == {2}

@@ -6,8 +6,10 @@ feature-extraction run as Arrow-batched functions over ``mapInPandas``.
 REAL end-to-end paths (pure stdlib, no external codec library):
   * PNG codec — zlib decode → unfilter (all 5 types) → resample →
     re-encode (decode_png/encode_png);
-  * WAV audio — RIFF/WAVE PCM mux + demux + integer-exact PCM statistics
-    (encode_wav/parse_wav/wav_features);
+  * WAV audio — RIFF/WAVE mux + demux + integer-exact PCM statistics
+    (encode_wav/parse_wav/wav_features); decodes PCM-16, G.711
+    µ-law/A-law (ITU expansion tables, telephony audio) and mono
+    IMA/DVI ADPCM (4-bit adaptive) to linear int16;
   * AVI video — RIFF/AVI mux + demux with avih timing and per-frame
     '00dc' payloads (encode_avi/parse_avi), wired into sample_frames;
   * JPEG — real APP1/Exif TIFF encode (encode_exif_jpeg), the IFD-walk
@@ -369,30 +371,241 @@ def _riff_chunks(data: bytes, start: int, end: int):
         i = lo + size + (size % 2)
 
 
+def _g711_tables() -> tuple["np.ndarray", "np.ndarray"]:
+    """256-entry µ-law / A-law decode tables from the ITU-T G.711
+    expansion formulas (the CCITT reference arithmetic found in every
+    codec text): int16 linear value per 8-bit code."""
+    codes = np.arange(256, dtype=np.int32)
+    # µ-law: complement, split sign/segment/mantissa, biased expand
+    u = (~codes) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    # A-law: XOR 0x55, segment 0 is linear, sign bit SET means positive
+    a = codes ^ 0x55
+    seg = (a & 0x70) >> 4
+    q = a & 0x0F
+    t = np.where(seg == 0, (q << 1) + 1 << 3, ((q << 1) + 1 + 32) << (seg + 2))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+_WAV_FMT_PCM, _WAV_FMT_ALAW, _WAV_FMT_ULAW = 1, 6, 7
+_WAV_FMT_IMA_ADPCM = 0x11
+
+# IMA/DVI ADPCM reference tables (IMA "Recommended Practices for
+# Enhancing Digital Audio Compatibility", public spec)
+_IMA_INDEX_ADJUST = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
+)
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ],
+    dtype=np.int32,
+)
+
+
+def _ima_decode_nibbles(nibbles, predictor: int, index: int):
+    """Decode a 4-bit IMA ADPCM nibble stream given the block's initial
+    predictor/index (the IMA reference expansion, integer-exact)."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    for i, n in enumerate(nibbles):
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        predictor = predictor - diff if n & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + int(_IMA_INDEX_ADJUST[n])))
+        out[i] = predictor
+    return out, predictor, index
+
+
+def _ima_encode_sample(sample: int, predictor: int, index: int):
+    """Quantize one sample against the current predictor/index (the IMA
+    reference compressor); returns (nibble, new_predictor, new_index)."""
+    step = int(_IMA_STEPS[index])
+    diff = sample - predictor
+    nibble = 8 if diff < 0 else 0
+    if diff < 0:
+        diff = -diff
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    step >>= 1
+    if diff >= step:
+        nibble |= 2
+        diff -= step
+    step >>= 1
+    if diff >= step:
+        nibble |= 1
+    # reconstruct exactly as the decoder will
+    step = int(_IMA_STEPS[index])
+    acc = step >> 3
+    if nibble & 1:
+        acc += step >> 2
+    if nibble & 2:
+        acc += step >> 1
+    if nibble & 4:
+        acc += step
+    predictor = predictor - acc if nibble & 8 else predictor + acc
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + int(_IMA_INDEX_ADJUST[nibble])))
+    return nibble, predictor, index
+
+
+def encode_wav_ima_adpcm(
+    samples: "np.ndarray", sample_rate: int, block_samples: int = 505
+) -> bytes:
+    """Spec-valid mono IMA ADPCM WAV (format 0x11): block-structured 4:1
+    compression — each block opens with (predictor int16, index uint8, 0)
+    then two nibbles per byte, low nibble first. ``block_samples`` is the
+    per-block sample count (header sample + nibbles; 505 → the common
+    256-byte block)."""
+    s = np.ascontiguousarray(samples, dtype=np.int16)
+    n_nib = block_samples - 1
+    block_align = 4 + (n_nib + 1) // 2
+    blocks = []
+    index = 0
+    for lo in range(0, len(s), block_samples):
+        chunk = s[lo : lo + block_samples]
+        predictor = int(chunk[0])
+        blocks.append(struct.pack("<hBB", predictor, index, 0))
+        nibs = []
+        for sample in chunk[1:]:
+            nib, predictor, index = _ima_encode_sample(
+                int(sample), predictor, index
+            )
+            nibs.append(nib)
+        nibs += [0] * (n_nib - len(nibs))  # final short block zero-pads
+        packed = bytes(
+            (nibs[i] & 0x0F) | ((nibs[i + 1] & 0x0F) << 4)
+            for i in range(0, len(nibs), 2)
+        )
+        blocks.append(packed)
+    payload = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH", _WAV_FMT_IMA_ADPCM, 1, sample_rate,
+        sample_rate * block_align // block_samples, block_align, 4,
+        2, block_samples,
+    )
+    fact = struct.pack("<I", len(s))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_g711(
+    samples: "np.ndarray", sample_rate: int, law: str = "ulaw",
+    channels: int = 1,
+) -> bytes:
+    """Spec-valid RIFF/WAVE with G.711 compression (format 7 = µ-law,
+    6 = A-law): each int16 sample maps to the 8-bit code whose decode is
+    NEAREST (ties to the lower code) — exact inverse on decode-table
+    values, free of the reference encoders' segment-boundary edge cases,
+    and bit-deterministic."""
+    table = {"ulaw": _ULAW_TABLE, "alaw": _ALAW_TABLE}[law]
+    fmt_code = _WAV_FMT_ULAW if law == "ulaw" else _WAV_FMT_ALAW
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order].astype(np.int32)
+    s = np.ascontiguousarray(samples, dtype=np.int16).astype(np.int32)
+    pos = np.searchsorted(sorted_vals, s)
+    pos = np.clip(pos, 1, len(sorted_vals) - 1)
+    left, right = sorted_vals[pos - 1], sorted_vals[pos]
+    pick = np.where(np.abs(s - left) <= np.abs(right - s), pos - 1, pos)
+    payload = order[pick].astype(np.uint8).tobytes()
+    block_align = channels
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, channels, sample_rate,
+        sample_rate * block_align, block_align, 8,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 @_valueerror_on_malformed
 def parse_wav(data: bytes) -> dict:
     """Real WAV parse: verify RIFF/WAVE, walk chunks for fmt + data, return
-    {sample_rate, channels, bits, samples(np.int16)}. Raises ValueError on
-    a malformed container, NotImplementedError on non-PCM-16 encodings."""
+    {sample_rate, channels, bits, samples(np.int16)}. Decodes PCM-16
+    directly, G.711 µ-law/A-law (formats 7/6, 8-bit telephony audio)
+    through the ITU expansion tables, and mono IMA/DVI ADPCM (format
+    0x11, block-structured 4-bit) through the IMA reference expansion —
+    ``samples`` is always linear int16. Raises ValueError on a malformed
+    container, NotImplementedError on other encodings (MS-ADPCM, float,
+    extensible, multi-channel ADPCM)."""
     data = bytes(data)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    fmt = pcm = None
+    fmt = fmt_raw = pcm = fact_samples = None
     for fourcc, lo, hi in _riff_chunks(data, 12, len(data)):
         if fourcc == b"fmt ":
             fmt = struct.unpack("<HHIIHH", data[lo : lo + 16])
+            fmt_raw = data[lo:hi]
         elif fourcc == b"data":
             pcm = data[lo:hi]
+        elif fourcc == b"fact" and hi - lo >= 4:
+            (fact_samples,) = struct.unpack("<I", data[lo : lo + 4])
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, channels, sample_rate, _brate, _balign, bits = fmt
-    if audio_format != 1 or bits != 16:
+    audio_format, channels, sample_rate, _brate, balign, bits = fmt
+    if audio_format == _WAV_FMT_PCM and bits == 16:
+        samples = np.frombuffer(pcm, dtype="<i2")
+    elif audio_format in (_WAV_FMT_ULAW, _WAV_FMT_ALAW) and bits == 8:
+        table = _ULAW_TABLE if audio_format == _WAV_FMT_ULAW else _ALAW_TABLE
+        samples = table[np.frombuffer(pcm, dtype=np.uint8)]
+    elif audio_format == _WAV_FMT_IMA_ADPCM and bits == 4 and channels == 1:
+        if len(fmt_raw) < 20 or balign < 5:
+            raise ValueError("IMA ADPCM fmt missing samplesPerBlock")
+        (spb,) = struct.unpack("<H", fmt_raw[18:20])
+        decoded = []
+        for blo in range(0, len(pcm), balign):
+            block = pcm[blo : blo + balign]
+            if len(block) < 4:
+                break
+            predictor, index, _ = struct.unpack("<hBB", block[:4])
+            index = max(0, min(88, index))
+            packed = np.frombuffer(block[4:], dtype=np.uint8)
+            nibbles = np.empty(len(packed) * 2, dtype=np.uint8)
+            nibbles[0::2] = packed & 0x0F
+            nibbles[1::2] = packed >> 4
+            expanded, _, _ = _ima_decode_nibbles(
+                nibbles[: spb - 1], int(predictor), int(index)
+            )
+            decoded.append(np.concatenate(([np.int16(predictor)], expanded)))
+        samples = (
+            np.concatenate(decoded) if decoded else np.empty(0, np.int16)
+        )
+        if fact_samples is not None:  # trim final-block zero padding
+            samples = samples[:fact_samples]
+    else:
         raise NotImplementedError(f"WAV format={audio_format} bits={bits}")
     return {
         "sample_rate": sample_rate,
         "channels": channels,
         "bits": bits,
-        "samples": np.frombuffer(pcm, dtype="<i2"),
+        "samples": samples,
     }
 
 

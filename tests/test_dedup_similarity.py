@@ -767,3 +767,67 @@ def test_ivf_large_k_plan_size_bounded(spark):
         plans[k] = len(out._jdf.queryExecution().analyzed().toString())
     assert plans[1024] < 20_000, plans
     assert abs(plans[2048] - plans[1024]) < 500  # plan size O(1) in k
+
+
+def test_g711_wav_decode_anchors_and_roundtrip():
+    """parse_wav decodes G.711 µ-law/A-law (WAV formats 7/6) through the
+    ITU expansion: published anchor codes pin the tables (µ-law 0x00 →
+    −32124, 0xFF → 0; A-law 0x55 → −8, 0x2A → −32256), decode-table
+    values survive encode→decode bit-exactly, and arbitrary int16 audio
+    round-trips within the codec's top-segment quantization step."""
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import encode_wav_g711, parse_wav
+    from dmshadoop_spark.multimodal.binary import _ALAW_TABLE, _ULAW_TABLE
+
+    assert _ULAW_TABLE[0x00] == -32124 and _ULAW_TABLE[0xFF] == 0
+    assert _ULAW_TABLE[0x80] == 32124
+    assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+    assert _ALAW_TABLE[0x2A] == -32256 and _ALAW_TABLE[0xAA] == 32256
+    assert np.array_equal(_ULAW_TABLE[:128], -_ULAW_TABLE[128:])
+
+    rng = np.random.RandomState(7)
+    s = rng.randint(-32000, 32000, 2000).astype(np.int16)
+    for law, table in (("ulaw", _ULAW_TABLE), ("alaw", _ALAW_TABLE)):
+        w = parse_wav(encode_wav_g711(s, 8000, law=law))
+        assert w["sample_rate"] == 8000 and w["bits"] == 8
+        err = np.abs(w["samples"].astype(np.int32) - s.astype(np.int32))
+        assert err.max() <= 512, (law, err.max())  # G.711 top-segment step/2
+        exact = parse_wav(encode_wav_g711(table, 8000, law=law))["samples"]
+        assert np.array_equal(exact, table)
+
+
+def test_g711_wav_extract_metadata_duration():
+    """dms.extract surfaces telephony (G.711) WAVs with the same duration
+    math as PCM — the format now rides the standard WAV branch."""
+    import numpy as np
+
+    from dmshadoop_spark.dms import extract_metadata
+    from dmshadoop_spark.multimodal import encode_wav_g711
+
+    wav = encode_wav_g711(np.zeros(16000, dtype=np.int16), 8000, law="alaw")
+    meta = extract_metadata(wav)
+    assert meta["content_type"] == "audio/x-wav"
+    assert meta["sample_rate"] == "8000"
+    assert meta["duration_ms"] == "2000"
+
+
+def test_ima_adpcm_wav_roundtrip():
+    """Mono IMA/DVI ADPCM (WAV format 0x11): encode→parse recovers the
+    signal within adaptive-quantizer error on smooth audio, handles
+    non-block-multiple lengths via the fact chunk, and is byte-
+    deterministic."""
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import encode_wav_ima_adpcm, parse_wav
+
+    t = np.arange(3000)
+    sig = (8000 * np.sin(t / 20.0) + 2000 * np.sin(t / 7.0)).astype(np.int16)
+    w = parse_wav(encode_wav_ima_adpcm(sig, 8000))
+    assert (w["sample_rate"], w["bits"], w["channels"]) == (8000, 4, 1)
+    assert len(w["samples"]) == len(sig)
+    err = np.abs(w["samples"].astype(np.int32) - sig.astype(np.int32))
+    assert err.mean() < 100 and err.max() < 4000  # 4-bit adaptive bound
+    short = parse_wav(encode_wav_ima_adpcm(sig[:777], 8000))["samples"]
+    assert len(short) == 777
+    assert encode_wav_ima_adpcm(sig, 8000) == encode_wav_ima_adpcm(sig, 8000)

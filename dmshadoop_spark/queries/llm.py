@@ -2593,3 +2593,89 @@ def x26_weighted_sample(spark, sf_dir):
             "sampled_tokens"
         ),
     )
+
+
+def _ulaw_values_sql() -> str:
+    """The 256 ITU G.711 µ-law decode constants as a VALUES list (the
+    oracle must recompute the expansion without seeing any bytes)."""
+    from dmshadoop_spark.multimodal.binary import _ULAW_TABLE
+
+    return ", ".join(f"({i}, {int(v)})" for i, v in enumerate(_ULAW_TABLE))
+
+
+@query(
+    "x6_g711_roundtrip",
+    oracle=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    tbl AS (SELECT i AS idx, v FROM (VALUES {_ulaw_values_sql()}) AS t(i, v)),
+    s AS (
+        SELECT ids.doc_id, tbl.v AS v
+        FROM ids, range(0, 600) AS t(i)
+        JOIN tbl ON tbl.idx = (ids.doc_id * 31 + t.i * 17) % 256
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS bits,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           sqrt(CAST(sum(v * v) AS DOUBLE) / CAST(600 AS DOUBLE)) AS rms
+    FROM s GROUP BY doc_id
+    """,
+)
+def x6_g711_roundtrip(spark, sf_dir):
+    """G.711 µ-law audio codec end-to-end under a FULL hash oracle — the
+    compressed-WAV sibling of x6_wav_features: synthesize a signal whose
+    samples are EXACT µ-law expansion values (s_i = ULAW[(doc_id·31 +
+    i·17) mod 256], so companding round-trips bit-exactly), mux a
+    format-7 RIFF/WAVE (encode_wav_g711), demux + expand through the ITU
+    tables (parse_wav), and compute integer-exact PCM statistics. The
+    oracle recomputes the same statistics from the generator formula and
+    its own copy of the 256 ITU constants — it never sees bytes, so a
+    hash match proves compress→mux→demux→expand is sample-exact AND that
+    the stats came through the 8-bit branch (the pinned bits column).
+    Arrow-batched mapInPandas; doc_id < 150 bounds the fixture at every
+    SF."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import encode_wav_g711, wav_features
+    from dmshadoop_spark.multimodal.binary import _ULAW_TABLE
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                i = np.arange(600, dtype=np.int64)
+                pcm = _ULAW_TABLE[(d * 31 + i * 17) % 256]
+                ids.append(d)
+                blobs.append(encode_wav_g711(pcm, 8000, law="ulaw"))
+            yield pd.DataFrame({"doc_id": ids, "wav": blobs})
+
+    wavs = docs.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, wav binary"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [wav_features(bytes(b)) for b in pdf["wav"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "bits": pd.Series([r["bits"] for r in rows], dtype="int64"),
+                    "n_samples": pd.Series(
+                        [r["n_samples"] for r in rows], dtype="int64"
+                    ),
+                    "peak": pd.Series([r["peak"] for r in rows], dtype="int64"),
+                    "rms": pd.Series([r["rms"] for r in rows], dtype="float64"),
+                }
+            )
+
+    return wavs.mapInPandas(
+        feats,
+        schema="doc_id bigint, bits bigint, n_samples bigint, "
+        "peak bigint, rms double",
+    )

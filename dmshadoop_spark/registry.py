@@ -124,6 +124,7 @@ PRIORITY: list[str] = [
     # 48-49 of the 50-window so the registry still closes this round)
     "j12_interval_overlap_join",
     "x26_weighted_sample",
+    "x6_g711_roundtrip",
 ]
 
 

@@ -482,11 +482,17 @@ def x4_cosine_topk(spark, sf_dir):
             "cosine"
         ),
     )
+    # Local-then-merge: each partition keeps its own top-5 per query
+    # before the ranking exchange — at 100 TB the window would otherwise
+    # shuffle |corpus|·|queries| scored rows (similarity/topk.py).
+    from dmshadoop_spark.similarity.topk import local_topk
+
+    pruned = local_topk(scored, ["query_id"], "cosine", "neighbor_id", 5)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        pruned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cosine")
     )

@@ -25,6 +25,29 @@ from dmshadoop_spark.catalog import widen
 from dmshadoop_spark.functions.vectors import as_double, dot, norm_sq
 
 
+def _rank_topk(
+    scored: DataFrame, query_id_col: str, k: int, local_prune: bool = True
+) -> DataFrame:
+    """Exact per-query top-k over (query_id, neighbor_id, cosine): an
+    optional local-then-merge prune (similarity/topk.py) caps what the
+    ranking exchange carries at k·partitions·|queries| rows — without it
+    the window shuffles EVERY scored candidate — then one deterministic
+    row_number window (cosine desc, neighbor_id asc) picks the final
+    rows. Results are identical either way (the prune yields a superset)."""
+    if local_prune:
+        from dmshadoop_spark.similarity.topk import local_topk
+
+        scored = local_topk(scored, [query_id_col], "cosine", "neighbor_id", k)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def brute_force_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,14 +79,7 @@ def brute_force_knn(
             "cosine"
         ),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _rank_topk(scored, query_id_col, k)
 
 
 def _bucket_expr(vec, planes: np.ndarray):
@@ -131,14 +147,7 @@ def lsh_knn(
             "cosine"
         ),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _rank_topk(cand, query_id_col, k)
 
 
 def ivf_knn(
@@ -220,11 +229,4 @@ def ivf_knn(
             "cosine"
         ),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _rank_topk(cand, query_id_col, k)

@@ -6,6 +6,9 @@ feature-extraction run as Arrow-batched functions over ``mapInPandas``.
 REAL end-to-end paths (pure stdlib, no external codec library):
   * PNG codec — zlib decode → unfilter (all 5 types) → resample →
     re-encode (decode_png/encode_png);
+  * GIF codec — real LZW decode (variable code width, interlace, local
+    palettes) + spec-valid LZW encoder (decode_gif/encode_gif),
+    bit-exact BOTH directions against Java ImageIO;
   * WAV audio — RIFF/WAVE mux + demux + integer-exact PCM statistics
     (encode_wav/parse_wav/wav_features); decodes PCM-16, G.711
     µ-law/A-law (ITU expansion tables, telephony audio) and mono
@@ -278,17 +281,21 @@ def decode_image(content: bytes) -> "np.ndarray":
     real too (multimodal.jpeg — baseline, extended sequential AND
     progressive DCT, validated bit-for-bit-close against Java ImageIO,
     including the reference's own demo fixture demo/example_picture.jpg,
-    demo/demo.py:14). Other formats (webp/heic…) raise so callers can
-    fall back; production swaps this dispatch for a full decoder."""
+    demo/demo.py:14); GIF decodes for real as well (LZW + interlace,
+    decode_gif, bit-exact both directions against Java ImageIO). Other
+    formats (webp/heic…) raise so callers can fall back; production
+    swaps this dispatch for a full decoder."""
     data = bytes(content[:8])
     if data == _PNG_MAGIC:
         return decode_png(content)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(content)
     if data[:2] == b"\xff\xd8":
         from dmshadoop_spark.multimodal.jpeg import decode_jpeg
 
         return decode_jpeg(content)
     raise NotImplementedError(
-        "only PNG/JPEG decode ships in-container (webp/heic need external codecs)"
+        "only PNG/JPEG/GIF decode ships in-container (webp/heic need external codecs)"
     )
 
 
@@ -820,4 +827,223 @@ def sample_frames(
 
     return binary_df.select("path", "content").mapInPandas(
         work, schema=FRAMES_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL GIF codec: LZW decode (GIF87a/89a, incl. interlace + local palettes)
+# and a spec-valid LZW encoder — the third real image path beside PNG/JPEG.
+# --------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> "np.ndarray":
+    """GIF-variant LZW: variable code width (min+1 .. 12 bits, LSB-first
+    packing), CLEAR resets the table, EOI terminates."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                bits = 0
+                acc = 0
+                break
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("LZW: first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW: code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+    if len(out) < n_pixels:
+        raise ValueError("LZW: truncated pixel stream")
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def _lzw_encode(indices: "np.ndarray", min_code_size: int) -> bytes:
+    """Spec-valid GIF LZW compressor (greedy longest-match table build,
+    emits CLEAR when the table fills to keep codes <= 12 bits)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for px in bytes(indices.astype(np.uint8).tobytes()):
+        cand = run + bytes([px])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                width = min_code_size + 1
+        run = bytes([px])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+@_valueerror_on_malformed
+def decode_gif(content: bytes) -> "np.ndarray":
+    """Real GIF decode: header + logical screen descriptor + palette walk,
+    extension skip, LZW expand of the FIRST image (incl. interlace and
+    local color tables) → HxWx3 uint8. Raises ValueError on malformed
+    streams, NotImplementedError when the first frame is absent."""
+    data = bytes(content)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+        i += 3 * n
+
+    def skip_subblocks(j: int) -> int:
+        while True:
+            if j >= len(data):
+                raise ValueError("GIF: unterminated sub-blocks")
+            size = data[j]
+            j += 1
+            if size == 0:
+                return j
+            j += size
+
+    while i < len(data):
+        block = data[i]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            i = skip_subblocks(i + 2)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        x0, y0, w, h, iflags = struct.unpack("<HHHHB", data[i + 1 : i + 10])
+        i += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(data[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+            i += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without any color table")
+        min_code_size = data[i]
+        i += 1
+        lzw = bytearray()
+        while True:
+            size = data[i]
+            i += 1
+            if size == 0:
+                break
+            lzw += data[i : i + size]
+            i += size
+        if not (0 < w and 0 < h and w * h <= 64_000_000):
+            raise ValueError(f"implausible GIF dimensions {w}x{h}")
+        idx = _lzw_decode(bytes(lzw), min_code_size, w * h)
+        if (idx >= len(pal)).any():
+            raise ValueError("GIF: pixel index outside color table")
+        rows = idx.reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            ordered = np.empty_like(rows)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for y in range(start, h, step):
+                    ordered[y] = rows[src]
+                    src += 1
+            rows = ordered
+        return pal[rows]
+    raise NotImplementedError("GIF contains no image data block")
+
+
+def encode_gif(arr: "np.ndarray") -> bytes:
+    """Spec-valid single-frame GIF89a from an HxWx3 uint8 array whose
+    distinct colors fit a 256-entry palette (built deterministically in
+    first-appearance order); real LZW compression."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_gif expects an HxWx3 uint8 array")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif: {len(colors)} colors exceed a GIF palette")
+    # palette in first-appearance order (np.unique sorts — remap)
+    first_pos = np.full(len(colors), len(flat), dtype=np.int64)
+    np.minimum.at(first_pos, idx, np.arange(len(flat)))
+    order = np.argsort(first_pos, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    palette = colors[order]
+    indices = rank[idx].astype(np.uint8)
+    pal_bits = max(1, int(len(palette) - 1).bit_length())
+    pal_n = 1 << pal_bits
+    pal_bytes = palette.tobytes() + b"\x00" * (3 * (pal_n - len(palette)))
+    min_code_size = max(2, pal_bits)
+    lzw = _lzw_encode(indices, min_code_size)
+    blocks = b"".join(
+        bytes([len(lzw[j : j + 255])]) + lzw[j : j + 255]
+        for j in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+        + pal_bytes
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code_size])
+        + blocks
+        + b"\x00\x3b"
     )

@@ -53,6 +53,8 @@ def _sniff(content: bytes) -> str:
             return "video/x-msvideo"
     if content[4:8] == b"ftyp":  # ISO BMFF: size then 'ftyp'
         return "video/mp4"
+    if content[:4] == b"\x1a\x45\xdf\xa3":  # EBML (Matroska/WebM)
+        return "video/x-matroska"
     if content[:3] == b"ID3":
         return "audio/mpeg"
     if len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0:
@@ -279,6 +281,28 @@ def extract_metadata(content: bytes) -> dict[str, str]:
                 meta["width"] = str(vid["width"])
                 meta["height"] = str(vid["height"])
                 meta["frame_count"] = str(len(vid["samples"]))
+        except (ValueError, struct.error):
+            pass
+    elif ctype == "video/x-matroska":
+        try:
+            from dmshadoop_spark.multimodal.ebml import parse_mkv
+
+            m = parse_mkv(content)
+            if m["doc_type"]:
+                meta["doc_type"] = m["doc_type"]
+            if m["duration"] is not None:
+                meta["duration_ms"] = str(int(m["duration"] * 1000))
+            vid = next(
+                (t for t in m["tracks"] if t.get("type") == "video"), None
+            )
+            if vid and "width" in vid and "height" in vid:
+                meta["width"] = str(vid["width"])
+                meta["height"] = str(vid["height"])
+            aud = next(
+                (t for t in m["tracks"] if t.get("type") == "audio"), None
+            )
+            if aud and "sample_rate" in aud:
+                meta["sample_rate"] = str(int(aud["sample_rate"]))
         except (ValueError, struct.error):
             pass
     if ctype == "text/plain":

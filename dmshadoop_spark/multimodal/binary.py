@@ -22,10 +22,11 @@ REAL end-to-end paths (pure stdlib, no external codec library):
   * MP3 / MP4 — real MPEG audio frame-header walk and ISO BMFF
     sample-table demux (multimodal.containers), the hachoir-parity
     metadata surface plus bit-exact mp4 sample extraction.
-Only lossy audio DECODE (mp3 synthesis, aac) and EBML containers (mkv)
-remain stubbed — those need ffmpeg-class libraries this container
-doesn't ship (a deterministic fake keeps those pipelines testable
-end-to-end).
+Matroska/WebM METADATA also demuxes for real (multimodal.ebml: EBML
+varint walk over Segment/Info/Tracks). Only lossy media DECODE (mp3
+synthesis, aac, and mkv Cluster payloads) remains stubbed — that needs
+ffmpeg-class codec libraries this container doesn't ship (a
+deterministic fake keeps those pipelines testable end-to-end).
 
 ``ingest_binary_dir`` is the reference's blob-ingest path
 (open().read() + create_file, src/DMS.py:106-121) as Spark's binaryFile
@@ -763,8 +764,10 @@ def sample_frames(
     frame chunks), and ISO BMFF (mp4) payloads demux for real too
     (containers.parse_mp4: full stts/stsc/stsz/stco sample-table walk) —
     both emit every stride-th actual frame payload with its
-    container-derived timestamp. Remaining containers (mkv needs an EBML
-    parser) fall back to the deterministic stub: duration :=
+    container-derived timestamp. Matroska metadata parses for real
+    (multimodal.ebml) but its Cluster payloads need external codecs, so
+    mkv — like any other remaining container — falls back to the
+    deterministic stub: duration :=
     length / bytes_per_s, frames at every_s intervals, each frame a
     sha256(content || idx) pseudo-payload. Partitioning, batch fan-out,
     and the (path, frame_idx, ts_sec, frame) contract are identical on

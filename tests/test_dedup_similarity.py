@@ -878,3 +878,30 @@ def test_gif_codec_roundtrip_and_interlace():
         + bytes([8]) + blocks + b"\x00\x3b"
     )
     assert np.array_equal(decode_gif(gif), img)
+
+
+def test_mkv_metadata_roundtrip():
+    """EBML/Matroska metadata demux (multimodal/ebml.py): the skeleton
+    mux writes EBML header + Segment/Info/Tracks, parse_mkv walks the
+    varints back — doc type, millisecond duration, video dims, audio
+    rate/channels all recovered; dms.extract sniffs and surfaces it."""
+    from dmshadoop_spark.dms import extract_metadata
+    from dmshadoop_spark.multimodal import encode_mkv_skeleton, parse_mkv
+
+    mkv = encode_mkv_skeleton(4500.0, video=(640, 480), audio=(48000, 2))
+    m = parse_mkv(mkv)
+    assert m["doc_type"] == "matroska"
+    assert abs(m["duration"] - 4.5) < 1e-9
+    assert m["tracks"][0] == {
+        "number": 1, "type": "video", "codec": "V_UNCOMPRESSED",
+        "width": 640, "height": 480,
+    }
+    assert m["tracks"][1]["codec"] == "A_PCM/INT/LIT"
+    assert m["tracks"][1]["sample_rate"] == 48000.0
+
+    meta = extract_metadata(mkv)
+    assert meta["content_type"] == "video/x-matroska"
+    assert meta["duration_ms"] == "4500"
+    assert (meta["width"], meta["height"]) == ("640", "480")
+    assert meta["sample_rate"] == "48000"
+    assert mkv == encode_mkv_skeleton(4500.0, video=(640, 480), audio=(48000, 2))

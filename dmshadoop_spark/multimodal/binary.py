@@ -12,7 +12,7 @@ REAL end-to-end paths (pure stdlib, no external codec library):
   * WAV audio — RIFF/WAVE mux + demux + integer-exact PCM statistics
     (encode_wav/parse_wav/wav_features); decodes PCM-16, G.711
     µ-law/A-law (ITU expansion tables, telephony audio) and mono
-    IMA/DVI ADPCM (4-bit adaptive) to linear int16;
+    IMA/DVI + Microsoft ADPCM (both 4-bit adaptive) to linear int16;
   * AVI video — RIFF/AVI mux + demux with avih timing and per-frame
     '00dc' payloads (encode_avi/parse_avi), wired into sample_frames;
   * JPEG — real APP1/Exif TIFF encode (encode_exif_jpeg), the IFD-walk
@@ -474,6 +474,103 @@ def _ima_encode_sample(sample: int, predictor: int, index: int):
     return nibble, predictor, index
 
 
+# MS-ADPCM reference tables (Microsoft WAVE spec / multimedia standards
+# update; the 7 standard predictor coefficient pairs)
+_MS_ADPCM_COEFFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+    (392, -232),
+)
+_MS_ADPCM_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230,
+    230, 230,
+)
+_WAV_FMT_MS_ADPCM = 2
+
+
+def _ms_adpcm_decode_block(block: bytes, n_samples: int) -> "np.ndarray":
+    """Decode one mono MS-ADPCM block (7-byte header + 4-bit codes)."""
+    if len(block) < 7:
+        raise ValueError("MS-ADPCM block too short")
+    pred_idx = block[0]
+    if pred_idx >= len(_MS_ADPCM_COEFFS):
+        raise ValueError(f"MS-ADPCM predictor {pred_idx} out of range")
+    c1, c2 = _MS_ADPCM_COEFFS[pred_idx]
+    delta, s1, s2 = struct.unpack("<hhh", block[1:7])
+    out = np.empty(n_samples, dtype=np.int16)
+    out[0] = s2
+    if n_samples > 1:
+        out[1] = s1
+    pos = 2
+    for byte in block[7:]:
+        for nib in (byte >> 4, byte & 0x0F):
+            if pos >= n_samples:
+                break
+            signed = nib - 16 if nib >= 8 else nib
+            # C-truncating division (the spec decoders), not Python floor
+            acc = s1 * c1 + s2 * c2
+            pred = (abs(acc) // 256) * (1 if acc >= 0 else -1) + signed * delta
+            pred = max(-32768, min(32767, pred))
+            s2, s1 = s1, pred
+            delta = max(16, (_MS_ADPCM_ADAPT[nib] * delta) // 256)
+            out[pos] = pred
+            pos += 1
+    return out[:pos] if pos < n_samples else out
+
+
+def encode_wav_ms_adpcm(
+    samples: "np.ndarray", sample_rate: int, block_samples: int = 500,
+    predictor: int = 0,
+) -> bytes:
+    """Spec-valid mono MS-ADPCM WAV (format 2): per block, a 7-byte
+    header (predictor index, initial delta, two seed samples) then 4-bit
+    codes quantized greedily against the adaptive delta — the reference
+    compressor shape, deterministic."""
+    s = np.ascontiguousarray(samples, dtype=np.int16).astype(np.int32)
+    c1, c2 = _MS_ADPCM_COEFFS[predictor]
+    n_codes = block_samples - 2
+    block_align = 7 + (n_codes + 1) // 2
+    blocks = []
+    for lo in range(0, len(s), block_samples):
+        chunk = s[lo : lo + block_samples]
+        if len(chunk) < 2:
+            chunk = np.concatenate([chunk, np.zeros(2 - len(chunk), np.int32)])
+        s2, s1 = int(chunk[0]), int(chunk[1])
+        delta = 128
+        header = struct.pack("<Bhhh", predictor, delta, s1, s2)
+        codes = []
+        for sample in chunk[2:]:
+            acc = s1 * c1 + s2 * c2
+            pred = (abs(acc) // 256) * (1 if acc >= 0 else -1)
+            err = int(sample) - pred
+            nib = max(-8, min(7, int(round(err / delta)) if delta else 0))
+            code = nib + 16 if nib < 0 else nib
+            rec = max(-32768, min(32767, pred + nib * delta))
+            s2, s1 = s1, rec
+            delta = max(16, (_MS_ADPCM_ADAPT[code] * delta) // 256)
+            codes.append(code)
+        codes += [0] * (n_codes - len(codes))
+        packed = bytes(
+            ((codes[i] & 0x0F) << 4) | (codes[i + 1] & 0x0F)
+            for i in range(0, len(codes), 2)
+        )
+        blocks.append(header + packed)
+    payload = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHHH", _WAV_FMT_MS_ADPCM, 1, sample_rate,
+        sample_rate * block_align // block_samples, block_align, 4,
+        4, block_samples, len(_MS_ADPCM_COEFFS),
+    ) + b"".join(struct.pack("<hh", a, b) for a, b in _MS_ADPCM_COEFFS)
+    fact = struct.pack("<I", len(samples))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav_ima_adpcm(
     samples: "np.ndarray", sample_rate: int, block_samples: int = 505
 ) -> bytes:
@@ -561,8 +658,8 @@ def parse_wav(data: bytes) -> dict:
     through the ITU expansion tables, and mono IMA/DVI ADPCM (format
     0x11, block-structured 4-bit) through the IMA reference expansion —
     ``samples`` is always linear int16. Raises ValueError on a malformed
-    container, NotImplementedError on other encodings (MS-ADPCM, float,
-    extensible, multi-channel ADPCM)."""
+    container, NotImplementedError on other encodings (float, extensible,
+    multi-channel ADPCM)."""
     data = bytes(data)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -583,6 +680,21 @@ def parse_wav(data: bytes) -> dict:
     elif audio_format in (_WAV_FMT_ULAW, _WAV_FMT_ALAW) and bits == 8:
         table = _ULAW_TABLE if audio_format == _WAV_FMT_ULAW else _ALAW_TABLE
         samples = table[np.frombuffer(pcm, dtype=np.uint8)]
+    elif audio_format == _WAV_FMT_MS_ADPCM and bits == 4 and channels == 1:
+        if len(fmt_raw) < 20 or balign < 8:
+            raise ValueError("MS-ADPCM fmt missing samplesPerBlock")
+        (spb,) = struct.unpack("<H", fmt_raw[18:20])
+        decoded = []
+        for blo in range(0, len(pcm), balign):
+            block = pcm[blo : blo + balign]
+            if len(block) < 7:
+                break
+            decoded.append(_ms_adpcm_decode_block(block, spb))
+        samples = (
+            np.concatenate(decoded) if decoded else np.empty(0, np.int16)
+        )
+        if fact_samples is not None:
+            samples = samples[:fact_samples]
     elif audio_format == _WAV_FMT_IMA_ADPCM and bits == 4 and channels == 1:
         if len(fmt_raw) < 20 or balign < 5:
             raise ValueError("IMA ADPCM fmt missing samplesPerBlock")

@@ -905,3 +905,23 @@ def test_mkv_metadata_roundtrip():
     assert (meta["width"], meta["height"]) == ("640", "480")
     assert meta["sample_rate"] == "48000"
     assert mkv == encode_mkv_skeleton(4500.0, video=(640, 480), audio=(48000, 2))
+
+
+def test_ms_adpcm_wav_roundtrip():
+    """Mono Microsoft ADPCM (WAV format 2): block header (predictor,
+    delta, two seed samples) + 4-bit adaptive codes with C-truncating
+    prediction; smooth audio round-trips tightly, fact chunk trims
+    non-block-multiple lengths, encoder deterministic."""
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import encode_wav_ms_adpcm, parse_wav
+
+    t = np.arange(2500)
+    sig = (6000 * np.sin(t / 18.0) + 1500 * np.sin(t / 5.0)).astype(np.int16)
+    w = parse_wav(encode_wav_ms_adpcm(sig, 8000))
+    assert (w["sample_rate"], w["bits"], w["channels"]) == (8000, 4, 1)
+    assert len(w["samples"]) == len(sig)
+    err = np.abs(w["samples"].astype(np.int32) - sig.astype(np.int32))
+    assert err.mean() < 60 and err.max() < 1500
+    assert len(parse_wav(encode_wav_ms_adpcm(sig[:333], 8000))["samples"]) == 333
+    assert encode_wav_ms_adpcm(sig, 8000) == encode_wav_ms_adpcm(sig, 8000)

@@ -763,3 +763,54 @@ def test_interval_overlap_join_half_open(spark):
     }
     assert both == {1, 2}
     assert half == {2}
+
+
+def test_bpe_train_and_encode(spark):
+    """BPE tokenizer: Sennrich's classic fixture trains the textbook
+    merge order ((e,s), (es,t), (est,</w>), ...), unseen words segment
+    through learned subwords, every token list concatenates back to
+    word+</w> (lossless), and the whole pipeline is deterministic —
+    same corpus, same merges, any partitioning."""
+    from dmshadoop_spark.functions.bpe import (
+        END_OF_WORD, bpe_train, segment_word, with_bpe_tokens,
+    )
+
+    rows = []
+    for w, n in (("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)):
+        rows.extend((i, w) for i in range(n))
+    docs = spark.createDataFrame(
+        [(i, w) for i, (_, w) in enumerate(rows)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=10)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", END_OF_WORD)]
+    assert merges == bpe_train(docs.repartition(7), n_merges=10)
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert segment_word("lowest", ranks) == ["low", "est" + END_OF_WORD]
+
+    enc = spark.createDataFrame(
+        [(1, "low lowest newest unseen")], "doc_id long, text string"
+    )
+    (row,) = with_bpe_tokens(enc, merges).collect()
+    toks = row["bpe_tokens"]
+    # lossless: tokens concatenate back to the words with </w> boundaries
+    assert "".join(toks) == "low</w>lowest</w>newest</w>unseen</w>".replace(
+        "lowest</w>", "low" + "est</w>"
+    ).replace("unseen</w>", "".join(segment_word("unseen", ranks)))
+
+
+def test_bpe_scales_on_corpus(spark, sf_dir):
+    """bpe_train over the documents table: the word-frequency table is
+    the only thing collected (bounded by max_words), merges are
+    non-empty, and encoding appends a well-formed token column."""
+    from dmshadoop_spark.functions.bpe import bpe_train, with_bpe_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, n_merges=50, max_words=5000)
+    assert len(merges) > 10
+    out = with_bpe_tokens(docs.limit(20), merges)
+    rows = out.select("doc_id", "bpe_tokens").collect()
+    assert all(len(r["bpe_tokens"]) > 0 for r in rows)
+    # merged symbols actually appear (compression happened)
+    joined = [t for r in rows for t in r["bpe_tokens"]]
+    assert any(len(t.replace("</w>", "")) > 1 for t in joined)

@@ -4,6 +4,13 @@ queries/llm.py). All implementations are deterministic (seeded hash
 families, no RNG at execution time) and expression-only (JVM-side, no
 Python UDFs in the hot path)."""
 
+from dmshadoop_spark.dedup.hamming import hamming_candidate_pairs
+from dmshadoop_spark.dedup.imagehash import (
+    ahash_int,
+    dhash_int,
+    image_hash_df,
+    image_neardup_pairs,
+)
 from dmshadoop_spark.dedup.components import connected_components, dedup_survivors
 from dmshadoop_spark.dedup.minhash import (
     minhash_incremental_pairs,
@@ -14,7 +21,12 @@ from dmshadoop_spark.dedup.minhash import (
 from dmshadoop_spark.dedup.simhash import simhash, simhash_candidate_pairs, simhash_df, token_hashes
 
 __all__ = [
+    "ahash_int",
     "connected_components",
+    "dhash_int",
+    "hamming_candidate_pairs",
+    "image_hash_df",
+    "image_neardup_pairs",
     "dedup_survivors",
     "minhash_incremental_pairs",
     "minhash_index",

@@ -101,57 +101,17 @@ def simhash_candidate_pairs(
     """(doc_a, doc_b, hamming) for pairs sharing ≥1 of `chunks` exact
     chunks (catches all pairs with hamming ≤ chunks-1).
 
-    Candidate generation mirrors x2_ngram_jaccard: group fingerprints by
-    (chunk_idx, chunk_val), emit upper-triangle pairs from each bucket's
-    sorted posting list JVM-side, then dedupe pairs that share several
-    chunks. One fingerprint computation, two uniform shuffles — no
-    self-join recompute. ``max_bucket`` caps degenerate buckets (the skew
-    guard for the 100 TB path, same policy as minhash_lsh_pairs)."""
-    width = 64 // chunks
-    max_bucket = 100_000
-    base = simhash_df(docs, id_col, text_col, seed)
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("chunk_idx"),
-                (
-                    F.shiftrightunsigned(F.col("sh"), i * width)
-                    % F.lit(1 << width).cast("long")
-                ).alias("chunk_val"),
-            )
-            for i in range(chunks)
-        ]
-    )
-    chunked = base.select(
-        F.struct("doc_id", "sh").alias("d"), F.explode(chunk_structs).alias("c")
-    ).select("d", "c.chunk_idx", "c.chunk_val")
+    Candidate generation is the shared Hamming-banding construction
+    (dedup/hamming.py, also under perceptual image-hash dedup): group
+    fingerprints by (chunk_idx, chunk_val), emit upper-triangle pairs
+    from each bucket's sorted posting list JVM-side, dedupe, cap
+    degenerate buckets. One fingerprint computation, two uniform
+    shuffles — no self-join recompute."""
+    from dmshadoop_spark.dedup.hamming import hamming_candidate_pairs
 
-    ids = F.array_sort(F.collect_list("d")).alias("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    cand = (
-        chunked.groupBy("chunk_idx", "chunk_val")
-        .agg(ids)
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-        .select(F.explode_outer(pair_structs).alias("p"))
-        .filter(F.col("p").isNotNull())
-        .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.sh").alias("sh_a"),
-            F.col("p.b.sh").alias("sh_b"),
-        )
-        .distinct()
-    )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    base = simhash_df(docs, id_col, text_col, seed)
+    return hamming_candidate_pairs(base, "doc_id", "sh", chunks).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        "hamming",
     )

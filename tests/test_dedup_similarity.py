@@ -956,3 +956,45 @@ def test_lsh_multiprobe_improves_recall(spark, sf_dir):
     # measured on this fixture: 0.325 single-probe → 0.575 with 4 probes
     assert recall4 > 0.5, (recall1, recall4)
     assert run(1) == r1  # deterministic
+
+
+def test_image_perceptual_hash_neardup(spark):
+    """dHash image dedup: identical pixels → hamming 0 across DIFFERENT
+    codecs (PNG vs GIF of the same image), a lightly-noised copy stays
+    near, a different image is far, undecodable payloads drop with NULL,
+    and the banded pair join finds the planted near-dups."""
+    import numpy as np
+
+    from dmshadoop_spark.dedup import dhash_int, image_hash_df, image_neardup_pairs
+    from dmshadoop_spark.multimodal import encode_gif, encode_png
+
+    rng = np.random.RandomState(12)
+    pal = rng.randint(0, 256, (32, 3), dtype=np.uint8)
+    base = pal[rng.randint(0, 32, (40, 56))]
+    noised = base.copy()
+    noised[rng.randint(0, 40, 30), rng.randint(0, 56, 30)] = pal[0]
+    other = pal[rng.randint(0, 32, (40, 56))]
+
+    h_base, h_noise, h_other = map(dhash_int, (base, noised, other))
+    assert bin((h_base ^ h_noise) & (2**64 - 1)).count("1") <= 10
+    assert bin((h_base ^ h_other) & (2**64 - 1)).count("1") > 16
+
+    rows = [
+        ("png", bytearray(encode_png(base))),
+        ("gif", bytearray(encode_gif(base))),       # same pixels, other codec
+        ("noised", bytearray(encode_png(noised))),
+        ("other", bytearray(encode_png(other))),
+        ("junk", bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    hashes = {r["path"]: r["phash"] for r in image_hash_df(df).collect()}
+    assert hashes["junk"] is None
+    assert hashes["png"] == hashes["gif"] == h_base  # codec-independent
+
+    pairs = {
+        tuple(sorted((r["path_a"], r["path_b"]))): r["hamming"]
+        for r in image_neardup_pairs(df, max_hamming=10).collect()
+    }
+    assert pairs[("gif", "png")] == 0
+    assert ("noised", "png") in pairs or ("gif", "noised") in pairs
+    assert all("other" not in p and "junk" not in p for p in pairs)

@@ -814,3 +814,83 @@ def test_bpe_scales_on_corpus(spark, sf_dir):
     # merged symbols actually appear (compression happened)
     joined = [t for r in rows for t in r["bpe_tokens"]]
     assert any(len(t.replace("</w>", "")) > 1 for t in joined)
+
+
+def test_merge_into_semantics(spark):
+    """MERGE INTO in one plan: matched-update, matched-delete,
+    not-matched-insert, target-only passthrough — checked against a
+    DuckDB-computed expected state; duplicate source keys raise."""
+    import duckdb
+    import pytest
+
+    from dmshadoop_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id long, name string, qty long",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 200), (3, None, -1), (5, "e", 50)],
+        "id long, name string, qty long",
+    )
+    got = sorted(
+        map(
+            tuple,
+            merge_into(
+                target, source, on=["id"],
+                matched_delete=F.col("__mrg_s.qty") < 0,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        duckdb.sql(
+            """
+            WITH t(id, name, qty) AS (VALUES (1,'a',10),(2,'b',20),(3,'c',30),(4,'d',40)),
+                 s(id, name, qty) AS (VALUES (2,'B',200),(3,NULL,-1),(5,'e',50))
+            SELECT COALESCE(s.id, t.id), COALESCE(CASE WHEN s.id IS NOT NULL THEN s.name END,
+                       CASE WHEN s.id IS NULL THEN t.name END),
+                   COALESCE(CASE WHEN s.id IS NOT NULL THEN s.qty END,
+                       CASE WHEN s.id IS NULL THEN t.qty END)
+            FROM t FULL OUTER JOIN s USING (id)
+            WHERE NOT (s.id IS NOT NULL AND t.id IS NOT NULL AND s.qty < 0)
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert (2, "B", 200) in got and (5, "e", 50) in got
+    assert all(r[0] != 3 for r in got)          # matched-delete applied
+    assert (1, "a", 10) in got and (4, "d", 40) in got
+
+    # additive update expression referencing both sides
+    got2 = {
+        r["id"]: r["qty"]
+        for r in merge_into(
+            target, source.filter("id = 2"), on=["id"],
+            matched_update={"qty": F.col("__mrg_t.qty") + F.col("__mrg_s.qty")},
+        ).collect()
+    }
+    assert got2[2] == 220 and got2[1] == 10
+
+    with pytest.raises(ValueError, match="duplicate key"):
+        dup = spark.createDataFrame([(9, "x", 1), (9, "y", 2)], source.schema)
+        merge_into(target, dup, on=["id"], validate_unique_source=True)
+
+    # insert_not_matched=False: pure update/delete statement
+    no_ins = merge_into(target, source, on=["id"], insert_not_matched=False)
+    assert sorted(r["id"] for r in no_ins.collect()) == [1, 2, 3, 4]
+
+
+def test_merge_into_single_shuffle_plan(spark, sf_dir):
+    """The merge must stay ONE full-outer join — no per-clause rewrite,
+    no extra exchanges beyond the join's own."""
+    from dmshadoop_spark.operators.merge import merge_into
+
+    t = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    s = t.limit(100).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    plan = (
+        merge_into(t, s, on=["o_orderkey"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Join") == 1, plan[:2000]

@@ -750,6 +750,58 @@ def wav_features(data: bytes) -> dict:
     }
 
 
+def audio_features(data: bytes, frame: int = 256) -> dict:
+    """Audio-quality signals over any decodable WAV (PCM/G.711/ADPCM —
+    parse_wav normalizes all of them to linear int16): the features an
+    audio-corpus filter gates on, split by determinism class.
+
+    Integer-EXACT (engine/worker-portable, safe for value oracles):
+      zero_crossings — sign changes over the stream (noise vs tone);
+      n_frames, max_frame_energy, n_silent_frames — Σs² per ``frame``
+      samples in Python int (silence = zero energy frame).
+    Float (deterministic per platform, digest-pin rather than oracle):
+      spectral_centroid_hz, spectral_bandwidth_hz — magnitude-weighted
+      mean/stddev frequency of the one-sided rFFT.
+    """
+    w = parse_wav(data)
+    s = w["samples"].astype(np.int64)
+    n = len(s)
+    if n == 0:
+        return {
+            "sample_rate": w["sample_rate"], "n_samples": 0,
+            "zero_crossings": 0, "n_frames": 0, "max_frame_energy": 0,
+            "n_silent_frames": 0, "spectral_centroid_hz": 0.0,
+            "spectral_bandwidth_hz": 0.0,
+        }
+    signs = np.sign(s)
+    nz = signs != 0
+    zc = int((np.diff(signs[nz]) != 0).sum())
+    n_frames = (n + frame - 1) // frame
+    energies = [
+        int((s[lo : lo + frame] ** 2).sum()) for lo in range(0, n, frame)
+    ]
+    spec = np.abs(np.fft.rfft(s.astype(np.float64)))
+    freqs = np.fft.rfftfreq(n, d=1.0 / w["sample_rate"])
+    total = float(spec.sum())
+    if total > 0.0:
+        centroid = float((spec * freqs).sum() / total)
+        bandwidth = float(
+            np.sqrt((spec * (freqs - centroid) ** 2).sum() / total)
+        )
+    else:
+        centroid = bandwidth = 0.0
+    return {
+        "sample_rate": w["sample_rate"],
+        "n_samples": n,
+        "zero_crossings": zc,
+        "n_frames": n_frames,
+        "max_frame_energy": max(energies),
+        "n_silent_frames": sum(1 for e in energies if e == 0),
+        "spectral_centroid_hz": centroid,
+        "spectral_bandwidth_hz": bandwidth,
+    }
+
+
 # --------------------------------------------------------------------------
 # REAL video container: minimal RIFF/AVI mux + demux (pure stdlib).
 # Frames are opaque per-frame payloads ('00dc' chunks) — pair with the

@@ -998,3 +998,28 @@ def test_image_perceptual_hash_neardup(spark):
     assert pairs[("gif", "png")] == 0
     assert ("noised", "png") in pairs or ("gif", "noised") in pairs
     assert all("other" not in p and "junk" not in p for p in pairs)
+
+
+def test_audio_features_known_tone():
+    """audio_features ground truth on a synthetic 1 kHz tone: spectral
+    centroid lands on the tone, zero-crossing count matches 2f·T,
+    silence is all-silent frames, and the G.711-compressed copy of the
+    same tone yields the same centroid within companding noise."""
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import encode_wav, encode_wav_g711
+    from dmshadoop_spark.multimodal.binary import audio_features
+
+    t = np.arange(8000)
+    tone = (10000 * np.sin(2 * np.pi * 1000 * t / 8000)).astype(np.int16)
+    f = audio_features(encode_wav(tone, 8000))
+    assert abs(f["spectral_centroid_hz"] - 1000) < 30
+    assert abs(f["zero_crossings"] - 2000) <= 4
+    assert f["n_silent_frames"] == 0 and f["spectral_bandwidth_hz"] < 50
+
+    sil = audio_features(encode_wav(np.zeros(2048, dtype=np.int16), 8000))
+    assert sil["n_silent_frames"] == sil["n_frames"] == 8
+    assert sil["zero_crossings"] == 0 and sil["spectral_centroid_hz"] == 0.0
+
+    g = audio_features(encode_wav_g711(tone, 8000, law="ulaw"))
+    assert abs(g["spectral_centroid_hz"] - 1000) < 60

@@ -38,6 +38,8 @@ _MAGIC = (
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
     (b"%PDF", "application/pdf"),
 )
 
@@ -234,6 +236,16 @@ def extract_metadata(content: bytes) -> dict[str, str]:
         dims = _png_dimensions(content)
     elif ctype == "image/gif":
         dims = _gif_dimensions(content)
+    elif ctype == "image/tiff":
+        try:
+            from dmshadoop_spark.multimodal.tiff import _read_ifd_values
+
+            e = "<" if content[:2] == b"II" else ">"
+            tags = _read_ifd_values(bytes(content), e)
+            if 256 in tags and 257 in tags:
+                dims = (tags[256][0], tags[257][0])
+        except (ValueError, struct.error):
+            pass
     if dims:
         meta["width"], meta["height"] = str(dims[0]), str(dims[1])
     if ctype == "audio/x-wav":

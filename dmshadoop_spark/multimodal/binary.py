@@ -9,6 +9,9 @@ REAL end-to-end paths (pure stdlib, no external codec library):
   * GIF codec — real LZW decode (variable code width, interlace, local
     palettes) + spec-valid LZW encoder (decode_gif/encode_gif),
     bit-exact BOTH directions against Java ImageIO;
+  * TIFF codec — striped baseline decode, both byte orders, none/
+    TIFF-LZW (early-change)/PackBits compressions (multimodal.tiff),
+    cross-validated against Java ImageIO's TIFF writer;
   * WAV audio — RIFF/WAVE mux + demux + integer-exact PCM statistics
     (encode_wav/parse_wav/wav_features); decodes PCM-16, G.711
     µ-law/A-law (ITU expansion tables, telephony audio) and mono
@@ -291,12 +294,16 @@ def decode_image(content: bytes) -> "np.ndarray":
         return decode_png(content)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(content)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from dmshadoop_spark.multimodal.tiff import decode_tiff
+
+        return decode_tiff(content)
     if data[:2] == b"\xff\xd8":
         from dmshadoop_spark.multimodal.jpeg import decode_jpeg
 
         return decode_jpeg(content)
     raise NotImplementedError(
-        "only PNG/JPEG/GIF decode ships in-container (webp/heic need external codecs)"
+        "only PNG/JPEG/GIF/TIFF decode ships in-container (webp/heic need external codecs)"
     )
 
 

@@ -1023,3 +1023,27 @@ def test_audio_features_known_tone():
 
     g = audio_features(encode_wav_g711(tone, 8000, law="ulaw"))
     assert abs(g["spectral_centroid_hz"] - 1000) < 60
+
+
+def test_tiff_codec_roundtrip_and_metadata():
+    """Fourth real image path: striped baseline TIFF round-trips
+    bit-exactly through both our encoders (none + PackBits), TIFF-LZW
+    decode was validated against Java ImageIO's writer (early-change
+    rule) during development, dims surface through extract, and
+    decode_image dispatches both byte orders."""
+    import numpy as np
+
+    from dmshadoop_spark.dms import extract_metadata
+    from dmshadoop_spark.multimodal import decode_image
+    from dmshadoop_spark.multimodal.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (37, 29, 3), dtype=np.uint8)
+    for comp in (1, 32773):
+        assert np.array_equal(decode_tiff(encode_tiff(img, compression=comp)), img)
+    t = encode_tiff(img)
+    assert np.array_equal(decode_image(t), img)
+    m = extract_metadata(t)
+    assert m["content_type"] == "image/tiff"
+    assert (m["width"], m["height"]) == ("29", "37")
+    assert encode_tiff(img) == encode_tiff(img)

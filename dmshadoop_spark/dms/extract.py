@@ -295,6 +295,13 @@ def extract_metadata(content: bytes) -> dict[str, str]:
                 meta["frame_count"] = str(len(vid["samples"]))
         except (ValueError, struct.error):
             pass
+    elif ctype == "application/pdf":
+        try:
+            from dmshadoop_spark.multimodal.pdf import parse_pdf
+
+            meta.update(parse_pdf(content))
+        except (ValueError, struct.error):
+            pass
     elif ctype == "video/x-matroska":
         try:
             from dmshadoop_spark.multimodal.ebml import parse_mkv

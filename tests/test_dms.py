@@ -468,3 +468,36 @@ def test_codec_family_raises_only_valueerror_on_malformed():
                 pass
             finally:
                 b[i] = old
+
+
+def test_pdf_metadata_extraction():
+    """PDF metadata surface: Info-dict strings (literal with escapes AND
+    UTF-16BE hex form), page count including FlateDecode-hidden pages,
+    version from the header; wired through extract_metadata."""
+    import zlib
+
+    from dmshadoop_spark.multimodal import encode_pdf, parse_pdf
+
+    pdf = encode_pdf(3, title="Quarterly Report", author="J. Doe",
+                     producer="dmshadoop")
+    m = parse_pdf(pdf)
+    assert m["page_count"] == "3" and m["pdf_title"] == "Quarterly Report"
+    assert m["pdf_version"] == "1.4"
+
+    esc = pdf.replace(b"(Quarterly Report)", rb"(Line\)A\n\101)")
+    assert parse_pdf(esc)["pdf_title"] == "Line)A\nA"
+    hexed = pdf.replace(b"/Author (J. Doe)", b"/Author <FEFF004A00F6>")
+    assert parse_pdf(hexed)["pdf_author"] == "Jö"
+
+    # a page object hidden inside a FlateDecode object stream
+    hidden = zlib.compress(b"<< /Type /Page /Parent 2 0 R >>")
+    with_stream = pdf.replace(
+        b"\nxref\n0 ",
+        b"\n9 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(hidden)
+        + hidden + b"\nendstream\nendobj\nxref\n0 ",
+    )
+    assert parse_pdf(with_stream)["page_count"] == "4"
+
+    meta = extract_metadata(pdf)
+    assert meta["content_type"] == "application/pdf"
+    assert meta["page_count"] == "3" and meta["pdf_title"] == "Quarterly Report"

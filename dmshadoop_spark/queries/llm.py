@@ -2376,26 +2376,37 @@ def x23_winnowing_fingerprint(spark, sf_dir):
     "x24_extract_dispatch",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 5
+           CASE doc_id % 9
                WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
                WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'audio/mpeg'
-               ELSE 'video/mp4' END AS content_type,
-           CASE doc_id % 5
+               WHEN 4 THEN 'video/mp4' WHEN 5 THEN 'image/gif'
+               WHEN 6 THEN 'image/tiff' WHEN 7 THEN 'video/x-matroska'
+               ELSE 'application/pdf' END AS content_type,
+           CASE doc_id % 9
                WHEN 0 THEN 64 + doc_id % 16
                WHEN 1 THEN 40 + doc_id % 16
-               WHEN 4 THEN 320 + (doc_id % 4) * 16 END AS width,
-           CASE doc_id % 5
+               WHEN 4 THEN 320 + (doc_id % 4) * 16
+               WHEN 5 THEN 30 + doc_id % 8
+               WHEN 6 THEN 25 + doc_id % 10
+               WHEN 7 THEN 320 + (doc_id % 4) * 8 END AS width,
+           CASE doc_id % 9
                WHEN 0 THEN 48 + doc_id % 12
                WHEN 1 THEN 32 + doc_id % 8
-               WHEN 4 THEN 240 END AS height,
-           CASE doc_id % 5
+               WHEN 4 THEN 240
+               WHEN 5 THEN 20 + doc_id % 6
+               WHEN 6 THEN 15 + doc_id % 5
+               WHEN 7 THEN 200 END AS height,
+           CASE doc_id % 9
                WHEN 2 THEN 500 + 50 * (doc_id % 7)
                WHEN 3 THEN CAST(FLOOR((5 + doc_id % 9) * 1152.0 * 1000.0
                                       / 44100.0) AS BIGINT)
-               WHEN 4 THEN (3 + doc_id % 6) * 100 END AS duration_ms,
-           CASE doc_id % 5
+               WHEN 4 THEN (3 + doc_id % 6) * 100
+               WHEN 7 THEN 1000 + (doc_id % 10) * 500 END AS duration_ms,
+           CASE doc_id % 9
                WHEN 3 THEN 5 + doc_id % 9
-               WHEN 4 THEN 3 + doc_id % 6 END AS frame_count
+               WHEN 4 THEN 3 + doc_id % 6 END AS frame_count,
+           CASE doc_id % 9
+               WHEN 8 THEN 1 + doc_id % 4 END AS page_count
     FROM documents WHERE doc_id < 500
     """,
 )
@@ -2403,12 +2414,12 @@ def x24_extract_dispatch(spark, sf_dir):
     """Mixed-format extract() dispatch — the reference's hachoir call is
     format-AGNOSTIC (src/DMS.py:77-79: one extractMetadata() whatever the
     upload was), but every earlier x6 row exercises a single format. Here
-    one binary column carries five formats interleaved (doc_id % 5 →
-    JPEG/PNG/WAV/MP3/MP4, each encoded by our own codec from row-derived
-    parameters), and ONE with_extracted_meta call must sniff and route
-    each payload to the right parser. Every output field is a pure
-    function of doc_id, so the DuckDB oracle recomputes them all — a
-    full value check over the dispatch path, not rows-only.
+    one binary column carries NINE formats interleaved (doc_id % 9 →
+    JPEG/PNG/WAV/MP3/MP4/GIF/TIFF/MKV/PDF, each encoded by our own codec
+    from row-derived parameters), and ONE with_extracted_meta call must
+    sniff and route each payload to the right parser. Every output field
+    is a pure function of doc_id, so the DuckDB oracle recomputes them
+    all — a full value check over the dispatch path, not rows-only.
 
     Plan: mapInPandas encode → pandas_udf extract, both Arrow-batched,
     zero shuffles; at 100 TB this is the standard ingest-scan shape (the
@@ -2421,16 +2432,20 @@ def x24_extract_dispatch(spark, sf_dir):
     from dmshadoop_spark.dms import with_extracted_meta
     from dmshadoop_spark.multimodal import (
         encode_exif_jpeg,
+        encode_gif,
+        encode_mkv_skeleton,
         encode_mp3,
         encode_mp4,
+        encode_pdf,
         encode_png,
+        encode_tiff,
         encode_wav,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
 
     def make_payload(d: int) -> bytes:
-        fmt = d % 5
+        fmt = d % 9
         if fmt == 0:
             return encode_exif_jpeg(
                 64 + d % 16, 48 + d % 12, make="dmshadoop", model="cam-x",
@@ -2444,10 +2459,28 @@ def x24_extract_dispatch(spark, sf_dir):
             return encode_wav(np.zeros(n, dtype=np.int16), 8000)
         if fmt == 3:
             return encode_mp3(5 + d % 9, 128, 44100)
-        return encode_mp4(
-            [b"frame"] * (3 + d % 6), fps=10,
-            width=320 + (d % 4) * 16, height=240,
-        )
+        if fmt == 4:
+            return encode_mp4(
+                [b"frame"] * (3 + d % 6), fps=10,
+                width=320 + (d % 4) * 16, height=240,
+            )
+        if fmt == 5:
+            arr = np.full(
+                (20 + d % 6, 30 + d % 8, 3), (d % 17, d % 29, d % 31),
+                dtype=np.uint8,
+            )
+            return encode_gif(arr)
+        if fmt == 6:
+            arr = np.full(
+                (15 + d % 5, 25 + d % 10, 3), d % 251, dtype=np.uint8
+            )
+            return encode_tiff(arr)
+        if fmt == 7:
+            return encode_mkv_skeleton(
+                1000.0 + (d % 10) * 500,
+                video=(320 + (d % 4) * 8, 200),
+            )
+        return encode_pdf(1 + d % 4, title=f"doc-{d}")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2469,6 +2502,7 @@ def x24_extract_dispatch(spark, sf_dir):
         meta.getItem("height").cast("long").alias("height"),
         meta.getItem("duration_ms").cast("long").alias("duration_ms"),
         meta.getItem("frame_count").cast("long").alias("frame_count"),
+        meta.getItem("page_count").cast("long").alias("page_count"),
     )
 
 

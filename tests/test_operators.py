@@ -4,6 +4,8 @@ never change results, only the shuffle layout)."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 
@@ -894,3 +896,95 @@ def test_merge_into_single_shuffle_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Join") == 1, plan[:2000]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.text("ab", max_size=2),
+                  st.integers(-5, 5)),
+        max_size=8,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 6), st.text("ab", max_size=2),
+                  st.integers(-5, 5)),
+        max_size=6, unique_by=lambda r: r[0],
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_merge_into_property_vs_reference(t_rows, s_rows):
+    """Property: merge_into over arbitrary small tables equals the
+    reference semantics computed in plain Python — matched rows replaced
+    (or dropped when qty < 0), source-only inserted, target-only kept."""
+    spark = _hyp_spark()
+    from dmshadoop_spark.operators.merge import merge_into
+
+    schema = "id long, name string, qty long"
+    target = spark.createDataFrame(t_rows, schema) if t_rows else (
+        spark.createDataFrame([], schema)
+    )
+    source = spark.createDataFrame(s_rows, schema) if s_rows else (
+        spark.createDataFrame([], schema)
+    )
+    got = sorted(
+        map(tuple, merge_into(
+            target, source, on=["id"],
+            matched_delete=F.col("__mrg_s.qty") < 0,
+        ).collect())
+    )
+    s_by_id = {r[0]: r for r in s_rows}
+    t_ids = {r[0] for r in t_rows}
+    want = []
+    for r in t_rows:
+        if r[0] in s_by_id:
+            if s_by_id[r[0]][2] >= 0:
+                want.append(s_by_id[r[0]])
+        else:
+            want.append(r)
+    want.extend(r for rid, r in s_by_id.items() if rid not in t_ids)
+    assert got == sorted(want)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 50), st.integers(0, 12)), max_size=10),
+    st.lists(st.tuples(st.integers(0, 50), st.integers(0, 12)), max_size=10),
+    st.sampled_from([1.0, 3.0, 7.5, 40.0]),
+)
+@settings(max_examples=25, deadline=None)
+def test_interval_overlap_property_vs_reference(a_rows, b_rows, width):
+    """Property: binned_interval_overlap_join equals the naive closed
+    overlap predicate for arbitrary intervals and any bin width, each
+    pair exactly once."""
+    spark = _hyp_spark()
+    from dmshadoop_spark.operators.rangejoin import binned_interval_overlap_join
+
+    a = [(i, float(lo), float(lo + span)) for i, (lo, span) in enumerate(a_rows)]
+    b = [(i, float(lo), float(lo + span)) for i, (lo, span) in enumerate(b_rows)]
+    adf = spark.createDataFrame(a or [(0, 1.0, 0.0)], "aid long, alo double, ahi double")
+    bdf = spark.createDataFrame(b or [(0, 1.0, 0.0)], "bid long, blo double, bhi double")
+    if not a:
+        a = [(0, 1.0, 0.0)]
+    if not b:
+        b = [(0, 1.0, 0.0)]
+    got = sorted(
+        (r["aid"], r["bid"])
+        for r in binned_interval_overlap_join(
+            adf, bdf, "alo", "ahi", "blo", "bhi", bin_width=width
+        ).collect()
+    )
+    want = sorted(
+        (ai, bi)
+        for ai, alo, ahi in a
+        for bi, blo, bhi in b
+        if ahi >= alo and bhi >= blo and alo <= bhi and blo <= ahi
+    )
+    assert got == want
+
+
+def _hyp_spark():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )

@@ -1047,3 +1047,60 @@ def test_tiff_codec_roundtrip_and_metadata():
     assert m["content_type"] == "image/tiff"
     assert (m["width"], m["height"]) == ("29", "37")
     assert encode_tiff(img) == encode_tiff(img)
+
+
+def test_webdataset_shard_ingest(spark):
+    """WebDataset tar-shard pipeline: shards unpack in place, stems
+    group samples across extensions, the parts map feeds the real
+    codecs, corrupt shards drop silently, and the shard writer is
+    byte-deterministic."""
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import decode_image, encode_png
+    from dmshadoop_spark.multimodal.webdataset import (
+        explode_tar_members, group_samples, write_tar_shard,
+    )
+
+    rng = np.random.RandomState(13)
+    imgs = {i: rng.randint(0, 256, (8, 10, 3), dtype=np.uint8) for i in range(3)}
+    shard0 = write_tar_shard([
+        ("000000.png", encode_png(imgs[0])),
+        ("000000.txt", b"a red square"),
+        ("000001.png", encode_png(imgs[1])),
+        ("000001.txt", b"a blue circle"),
+        ("000001.meta.json", b'{"lang": "en"}'),
+    ])
+    shard1 = write_tar_shard([
+        ("000002.png", encode_png(imgs[2])),
+        ("000002.txt", b"a green dot"),
+    ])
+    assert shard0 == write_tar_shard([
+        ("000000.png", encode_png(imgs[0])),
+        ("000000.txt", b"a red square"),
+        ("000001.png", encode_png(imgs[1])),
+        ("000001.txt", b"a blue circle"),
+        ("000001.meta.json", b'{"lang": "en"}'),
+    ])
+
+    shards = spark.createDataFrame(
+        [("s0.tar", bytearray(shard0)), ("s1.tar", bytearray(shard1)),
+         ("bad.tar", bytearray(b"not a tar at all"))],
+        "path string, content binary",
+    )
+    members = explode_tar_members(shards)
+    rows = members.collect()
+    assert len(rows) == 7  # corrupt shard contributes nothing
+    exts = {r["ext"] for r in rows}
+    assert exts == {"png", "txt", "meta.json"}
+
+    samples = {
+        (r["shard"], r["stem"]): r for r in group_samples(members).collect()
+    }
+    assert len(samples) == 3
+    s1 = samples[("s0.tar", "000001")]
+    assert set(s1["parts"].keys()) == {"png", "txt", "meta.json"}
+    assert bytes(s1["parts"]["txt"]) == b"a blue circle"
+    assert np.array_equal(
+        decode_image(bytes(s1["parts"]["png"])), imgs[1]
+    )
+    assert s1["n_members"] == 3

@@ -14,8 +14,9 @@ REAL end-to-end paths (pure stdlib, no external codec library):
     cross-validated against Java ImageIO's TIFF writer;
   * WAV audio — RIFF/WAVE mux + demux + integer-exact PCM statistics
     (encode_wav/parse_wav/wav_features); decodes PCM-16, G.711
-    µ-law/A-law (ITU expansion tables, telephony audio) and mono
-    IMA/DVI + Microsoft ADPCM (both 4-bit adaptive) to linear int16;
+    µ-law/A-law (ITU expansion tables — bit-exact against Java
+    AudioSystem's converter, both laws) and mono IMA/DVI + Microsoft
+    ADPCM (both 4-bit adaptive) to linear int16;
   * AVI video — RIFF/AVI mux + demux with avih timing and per-frame
     '00dc' payloads (encode_avi/parse_avi), wired into sample_frames;
   * JPEG — real APP1/Exif TIFF encode (encode_exif_jpeg), the IFD-walk

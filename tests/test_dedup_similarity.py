@@ -774,7 +774,9 @@ def test_g711_wav_decode_anchors_and_roundtrip():
     ITU expansion: published anchor codes pin the tables (µ-law 0x00 →
     −32124, 0xFF → 0; A-law 0x55 → −8, 0x2A → −32256), decode-table
     values survive encode→decode bit-exactly, and arbitrary int16 audio
-    round-trips within the codec's top-segment quantization step."""
+    round-trips within the codec's top-segment quantization step.
+    Cross-validated BIT-EXACT (max deviation 0, both laws) against Java
+    AudioSystem's ULAW/ALAW→PCM conversion during development."""
     import numpy as np
 
     from dmshadoop_spark.multimodal import encode_wav_g711, parse_wav

@@ -57,6 +57,8 @@ def _sniff(content: bytes) -> str:
         return "video/mp4"
     if content[:4] == b"\x1a\x45\xdf\xa3":  # EBML (Matroska/WebM)
         return "video/x-matroska"
+    if content[:4] == b"fLaC":
+        return "audio/flac"
     if content[:3] == b"ID3":
         return "audio/mpeg"
     if len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0:
@@ -271,8 +273,12 @@ def extract_metadata(content: bytes) -> dict[str, str]:
             pass
     elif ctype == "audio/mpeg":
         try:
-            from dmshadoop_spark.multimodal.containers import parse_mp3
+            from dmshadoop_spark.multimodal.containers import (
+                parse_id3v2,
+                parse_mp3,
+            )
 
+            meta.update(parse_id3v2(content))
             m = parse_mp3(content)
             meta["frame_count"] = str(m["n_frames"])
             meta["sample_rate"] = str(m["sample_rate"])
@@ -293,6 +299,15 @@ def extract_metadata(content: bytes) -> dict[str, str]:
                 meta["width"] = str(vid["width"])
                 meta["height"] = str(vid["height"])
                 meta["frame_count"] = str(len(vid["samples"]))
+        except (ValueError, struct.error):
+            pass
+    elif ctype == "audio/flac":
+        try:
+            from dmshadoop_spark.multimodal.containers import (
+                parse_flac_streaminfo,
+            )
+
+            meta.update(parse_flac_streaminfo(content))
         except (ValueError, struct.error):
             pass
     elif ctype == "application/pdf":

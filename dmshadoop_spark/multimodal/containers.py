@@ -449,3 +449,144 @@ def encode_mp4(
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+# --------------------------------------------------------------------------
+# ID3v2 text tags + FLAC STREAMINFO — the audio-metadata surface hachoir
+# exposed (title/artist/album, duration) without any audio decode.
+# --------------------------------------------------------------------------
+
+_ID3_TEXT_FRAMES = {
+    b"TIT2": "id3_title",
+    b"TPE1": "id3_artist",
+    b"TALB": "id3_album",
+    b"TDRC": "id3_year",   # v2.4 recording time
+    b"TYER": "id3_year",   # v2.3 year
+    b"TCON": "id3_genre",
+    b"TRCK": "id3_track",
+}
+
+
+def _id3_text(payload: bytes) -> str:
+    """Decode one ID3v2 text frame payload: leading encoding byte then
+    the string (0=latin-1, 1=UTF-16 w/BOM, 2=UTF-16BE, 3=UTF-8)."""
+    if not payload:
+        return ""
+    enc, body = payload[0], payload[1:]
+    codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}.get(
+        enc, "latin-1"
+    )
+    return body.decode(codec, "replace").rstrip("\x00")
+
+
+def parse_id3v2(data: bytes) -> dict[str, str]:
+    """ID3v2.3/2.4 text-frame walk → {id3_title, id3_artist, ...}.
+    Returns {} for payloads without a tag; never raises on malformed
+    frames (skips them) — the extract_metadata contract."""
+    data = bytes(data)
+    if data[:3] != b"ID3" or len(data) < 10:
+        return {}
+    ver = data[3]
+    size = (
+        (data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+        | (data[8] & 0x7F) << 7 | (data[9] & 0x7F)
+    )
+    end = min(10 + size, len(data))
+    out: dict[str, str] = {}
+    i = 10
+    if data[5] & 0x40 and end - i >= 4:  # extended header: skip it
+        ext = int.from_bytes(data[i : i + 4], "big")
+        if ver == 4:  # syncsafe in v2.4
+            ext = (
+                (data[i] & 0x7F) << 21 | (data[i + 1] & 0x7F) << 14
+                | (data[i + 2] & 0x7F) << 7 | (data[i + 3] & 0x7F)
+            )
+        i += max(ext, 4)
+    while i + 10 <= end:
+        fid = data[i : i + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break
+        raw_size = data[i + 4 : i + 8]
+        if ver == 4:  # syncsafe frame sizes in v2.4
+            fsize = (
+                (raw_size[0] & 0x7F) << 21 | (raw_size[1] & 0x7F) << 14
+                | (raw_size[2] & 0x7F) << 7 | (raw_size[3] & 0x7F)
+            )
+        else:
+            fsize = int.from_bytes(raw_size, "big")
+        if fsize <= 0 or i + 10 + fsize > end:
+            break
+        key = _ID3_TEXT_FRAMES.get(fid)
+        if key is not None and key not in out:
+            out[key] = _id3_text(data[i + 10 : i + 10 + fsize])
+        i += 10 + fsize
+    return out
+
+
+def encode_id3v2(
+    audio: bytes,
+    title: str | None = None,
+    artist: str | None = None,
+    album: str | None = None,
+) -> bytes:
+    """Prepend a deterministic ID3v2.3 tag (UTF-8-capable text frames use
+    latin-1 when possible, UTF-16 otherwise) to an audio payload."""
+    frames = b""
+    for fid, value in ((b"TIT2", title), (b"TPE1", artist), (b"TALB", album)):
+        if value is None:
+            continue
+        try:
+            payload = b"\x00" + value.encode("latin-1")
+        except UnicodeEncodeError:
+            payload = b"\x01" + value.encode("utf-16")
+        frames += fid + len(payload).to_bytes(4, "big") + b"\x00\x00" + payload
+    size = len(frames)
+    header = b"ID3\x03\x00\x00" + bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+    )
+    return header + frames + audio
+
+
+def parse_flac_streaminfo(data: bytes) -> dict[str, str]:
+    """FLAC STREAMINFO metadata block (the mandatory first block):
+    sample_rate, channels, bits_per_sample, total_samples, duration_ms —
+    no audio decode. Raises ValueError on non-FLAC payloads."""
+    data = bytes(data)
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    if len(data) < 4 + 4 + 34:
+        raise ValueError("FLAC: truncated STREAMINFO")
+    btype = data[4] & 0x7F
+    if btype != 0:
+        raise ValueError("FLAC: first block is not STREAMINFO")
+    body = data[8:42]
+    sample_rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+    channels = ((body[12] >> 1) & 0x07) + 1
+    bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+    total = ((body[13] & 0x0F) << 32) | int.from_bytes(body[14:18], "big")
+    out = {
+        "sample_rate": str(sample_rate),
+        "channels": str(channels),
+        "bits_per_sample": str(bps),
+        "total_samples": str(total),
+    }
+    if sample_rate:
+        out["duration_ms"] = str(total * 1000 // sample_rate)
+    return out
+
+
+def encode_flac_skeleton(
+    sample_rate: int, channels: int, bits: int, total_samples: int
+) -> bytes:
+    """Deterministic metadata-only FLAC: magic + last-block STREAMINFO
+    (zeroed min/max block/frame fields + MD5) — the structure
+    parse_flac_streaminfo reads; no audio frames."""
+    body = bytearray(34)
+    body[10] = (sample_rate >> 12) & 0xFF
+    body[11] = (sample_rate >> 4) & 0xFF
+    body[12] = ((sample_rate & 0x0F) << 4) | ((channels - 1) << 1) | (
+        (bits - 1) >> 4
+    )
+    body[13] = (((bits - 1) & 0x0F) << 4) | ((total_samples >> 32) & 0x0F)
+    body[14:18] = (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + bytes(body)

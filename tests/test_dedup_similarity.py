@@ -1106,3 +1106,35 @@ def test_webdataset_shard_ingest(spark):
         decode_image(bytes(s1["parts"]["png"])), imgs[1]
     )
     assert s1["n_members"] == 3
+
+
+def test_id3v2_and_flac_metadata():
+    """ID3v2.3/2.4 text-frame walk (latin-1 AND UTF-16 fallback) and
+    FLAC STREAMINFO extraction, wired through extract_metadata; the MP3
+    frame walk still works past the prepended tag."""
+    from dmshadoop_spark.dms import extract_metadata
+    from dmshadoop_spark.multimodal import (
+        encode_flac_skeleton, encode_id3v2, encode_mp3,
+        parse_flac_streaminfo, parse_id3v2,
+    )
+
+    tagged = encode_id3v2(
+        encode_mp3(8, 128, 44100),
+        title="Night Drive", artist="Café Müller", album="Roads",
+    )
+    tags = parse_id3v2(tagged)
+    assert tags["id3_title"] == "Night Drive"
+    assert tags["id3_artist"] == "Café Müller"
+    assert parse_id3v2(encode_id3v2(b"", title="日本語タイトル"))[
+        "id3_title"
+    ] == "日本語タイトル"  # UTF-16 escape hatch
+
+    m = extract_metadata(tagged)
+    assert m["content_type"] == "audio/mpeg"
+    assert m["id3_title"] == "Night Drive" and m["frame_count"] == "8"
+
+    flac = encode_flac_skeleton(44100, 2, 16, 441000)
+    assert parse_flac_streaminfo(flac)["duration_ms"] == "10000"
+    f = extract_metadata(flac)
+    assert f["content_type"] == "audio/flac"
+    assert (f["sample_rate"], f["channels"]) == ("44100", "2")

@@ -15,8 +15,8 @@ REAL end-to-end paths (pure stdlib, no external codec library):
   * WAV audio — RIFF/WAVE mux + demux + integer-exact PCM statistics
     (encode_wav/parse_wav/wav_features); decodes PCM-16, G.711
     µ-law/A-law (ITU expansion tables — bit-exact against Java
-    AudioSystem's converter, both laws) and mono IMA/DVI + Microsoft
-    ADPCM (both 4-bit adaptive) to linear int16;
+    AudioSystem's converter, both laws) and IMA/DVI (mono+stereo) +
+    Microsoft ADPCM (4-bit adaptive) to linear int16;
   * AVI video — RIFF/AVI mux + demux with avih timing and per-frame
     '00dc' payloads (encode_avi/parse_avi), wired into sample_frames;
   * JPEG — real APP1/Exif TIFF encode (encode_exif_jpeg), the IFD-walk
@@ -580,41 +580,69 @@ def encode_wav_ms_adpcm(
 
 
 def encode_wav_ima_adpcm(
-    samples: "np.ndarray", sample_rate: int, block_samples: int = 505
+    samples: "np.ndarray", sample_rate: int, block_samples: int = 505,
+    channels: int = 1,
 ) -> bytes:
-    """Spec-valid mono IMA ADPCM WAV (format 0x11): block-structured 4:1
-    compression — each block opens with (predictor int16, index uint8, 0)
-    then two nibbles per byte, low nibble first. ``block_samples`` is the
-    per-block sample count (header sample + nibbles; 505 → the common
-    256-byte block)."""
+    """Spec-valid IMA ADPCM WAV (format 0x11), mono or stereo:
+    block-structured 4:1 compression — each block opens with one
+    (predictor int16, index uint8, 0) header PER CHANNEL, then nibble
+    data in 4-byte words alternating channels (L first), two nibbles per
+    byte low-first. ``block_samples`` is the per-block sample count per
+    channel (505 → the common 256-byte mono block); stereo ``samples``
+    are frame-interleaved int16."""
+    if channels not in (1, 2):
+        raise ValueError("encode_wav_ima_adpcm supports 1 or 2 channels")
     s = np.ascontiguousarray(samples, dtype=np.int16)
     n_nib = block_samples - 1
-    block_align = 4 + (n_nib + 1) // 2
+    # per channel: nibbles round up to whole 4-byte words in stereo
+    words_per_chan = (n_nib + 7) // 8 if channels == 2 else 0
+    if channels == 1:
+        block_align = 4 + (n_nib + 1) // 2
+    else:
+        block_align = 8 + words_per_chan * 8
+    frames = len(s) // channels
     blocks = []
-    index = 0
-    for lo in range(0, len(s), block_samples):
-        chunk = s[lo : lo + block_samples]
-        predictor = int(chunk[0])
-        blocks.append(struct.pack("<hBB", predictor, index, 0))
-        nibs = []
-        for sample in chunk[1:]:
-            nib, predictor, index = _ima_encode_sample(
-                int(sample), predictor, index
+    index = [0] * channels
+    for lo in range(0, frames, block_samples):
+        chunk = s[lo * channels : (lo + block_samples) * channels]
+        chans = [chunk[c::channels] for c in range(channels)]
+        headers = b""
+        chan_nibs = []
+        for c in range(channels):
+            predictor = int(chans[c][0]) if len(chans[c]) else 0
+            headers += struct.pack("<hBB", predictor, index[c], 0)
+            nibs = []
+            for sample in chans[c][1:]:
+                nib, predictor, index[c] = _ima_encode_sample(
+                    int(sample), predictor, index[c]
+                )
+                nibs.append(nib)
+            pad_to = n_nib if channels == 1 else words_per_chan * 8
+            nibs += [0] * (pad_to - len(nibs))
+            chan_nibs.append(nibs)
+        if channels == 1:
+            nibs = chan_nibs[0]
+            packed = bytes(
+                (nibs[i] & 0x0F) | ((nibs[i + 1] & 0x0F) << 4)
+                for i in range(0, len(nibs), 2)
             )
-            nibs.append(nib)
-        nibs += [0] * (n_nib - len(nibs))  # final short block zero-pads
-        packed = bytes(
-            (nibs[i] & 0x0F) | ((nibs[i + 1] & 0x0F) << 4)
-            for i in range(0, len(nibs), 2)
-        )
-        blocks.append(packed)
+        else:
+            packed = b""
+            for w in range(words_per_chan):
+                for c in range(channels):
+                    nib8 = chan_nibs[c][w * 8 : w * 8 + 8]
+                    packed += bytes(
+                        (nib8[i] & 0x0F) | ((nib8[i + 1] & 0x0F) << 4)
+                        for i in range(0, 8, 2)
+                    )
+        blocks.append(headers + packed)
     payload = b"".join(blocks)
     fmt = struct.pack(
-        "<HHIIHHHH", _WAV_FMT_IMA_ADPCM, 1, sample_rate,
+        "<HHIIHHHH", _WAV_FMT_IMA_ADPCM, channels, sample_rate,
         sample_rate * block_align // block_samples, block_align, 4,
         2, block_samples,
     )
-    fact = struct.pack("<I", len(s))
+    fact = struct.pack("<I", frames)
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -667,7 +695,7 @@ def parse_wav(data: bytes) -> dict:
     0x11, block-structured 4-bit) through the IMA reference expansion —
     ``samples`` is always linear int16. Raises ValueError on a malformed
     container, NotImplementedError on other encodings (float, extensible,
-    multi-channel ADPCM)."""
+    stereo MS-ADPCM)."""
     data = bytes(data)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -703,30 +731,46 @@ def parse_wav(data: bytes) -> dict:
         )
         if fact_samples is not None:
             samples = samples[:fact_samples]
-    elif audio_format == _WAV_FMT_IMA_ADPCM and bits == 4 and channels == 1:
-        if len(fmt_raw) < 20 or balign < 5:
+    elif audio_format == _WAV_FMT_IMA_ADPCM and bits == 4 and channels in (1, 2):
+        if len(fmt_raw) < 20 or balign < 4 * channels + 1:
             raise ValueError("IMA ADPCM fmt missing samplesPerBlock")
         (spb,) = struct.unpack("<H", fmt_raw[18:20])
         decoded = []
         for blo in range(0, len(pcm), balign):
             block = pcm[blo : blo + balign]
-            if len(block) < 4:
+            if len(block) < 4 * channels:
                 break
-            predictor, index, _ = struct.unpack("<hBB", block[:4])
-            index = max(0, min(88, index))
-            packed = np.frombuffer(block[4:], dtype=np.uint8)
-            nibbles = np.empty(len(packed) * 2, dtype=np.uint8)
-            nibbles[0::2] = packed & 0x0F
-            nibbles[1::2] = packed >> 4
-            expanded, _, _ = _ima_decode_nibbles(
-                nibbles[: spb - 1], int(predictor), int(index)
-            )
-            decoded.append(np.concatenate(([np.int16(predictor)], expanded)))
+            chans = []
+            for c in range(channels):
+                predictor, index, _ = struct.unpack(
+                    "<hBB", block[4 * c : 4 * c + 4]
+                )
+                index = max(0, min(88, index))
+                # data region: 4-byte words alternating channels, L first
+                words = [
+                    block[j : j + 4]
+                    for j in range(4 * channels + 4 * c, len(block), 4 * channels)
+                ]
+                packed = np.frombuffer(b"".join(words), dtype=np.uint8)
+                nibbles = np.empty(len(packed) * 2, dtype=np.uint8)
+                nibbles[0::2] = packed & 0x0F
+                nibbles[1::2] = packed >> 4
+                expanded, _, _ = _ima_decode_nibbles(
+                    nibbles[: spb - 1], int(predictor), int(index)
+                )
+                chans.append(
+                    np.concatenate(([np.int16(predictor)], expanded))
+                )
+            n_frames_blk = min(len(c) for c in chans)
+            inter = np.empty(n_frames_blk * channels, dtype=np.int16)
+            for c in range(channels):
+                inter[c::channels] = chans[c][:n_frames_blk]
+            decoded.append(inter)
         samples = (
             np.concatenate(decoded) if decoded else np.empty(0, np.int16)
         )
         if fact_samples is not None:  # trim final-block zero padding
-            samples = samples[:fact_samples]
+            samples = samples[: fact_samples * channels]
     else:
         raise NotImplementedError(f"WAV format={audio_format} bits={bits}")
     return {

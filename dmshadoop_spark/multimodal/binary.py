@@ -15,8 +15,8 @@ REAL end-to-end paths (pure stdlib, no external codec library):
   * WAV audio — RIFF/WAVE mux + demux + integer-exact PCM statistics
     (encode_wav/parse_wav/wav_features); decodes PCM-16, G.711
     µ-law/A-law (ITU expansion tables — bit-exact against Java
-    AudioSystem's converter, both laws) and IMA/DVI (mono+stereo) +
-    Microsoft ADPCM (4-bit adaptive) to linear int16;
+    AudioSystem's converter, both laws) and IMA/DVI + Microsoft ADPCM
+    (4-bit adaptive, mono and stereo) to linear int16;
   * AVI video — RIFF/AVI mux + demux with avih timing and per-frame
     '00dc' payloads (encode_avi/parse_avi), wired into sample_frames;
   * JPEG — real APP1/Exif TIFF encode (encode_exif_jpeg), the IFD-walk
@@ -495,67 +495,111 @@ _MS_ADPCM_ADAPT = (
 _WAV_FMT_MS_ADPCM = 2
 
 
-def _ms_adpcm_decode_block(block: bytes, n_samples: int) -> "np.ndarray":
-    """Decode one mono MS-ADPCM block (7-byte header + 4-bit codes)."""
-    if len(block) < 7:
+def _ms_adpcm_step(nib: int, s1: int, s2: int, c1: int, c2: int, delta: int):
+    """One MS-ADPCM expansion step with C-truncating prediction division
+    (the spec decoders' semantics, not Python floor)."""
+    signed = nib - 16 if nib >= 8 else nib
+    acc = s1 * c1 + s2 * c2
+    pred = (abs(acc) // 256) * (1 if acc >= 0 else -1) + signed * delta
+    pred = max(-32768, min(32767, pred))
+    return pred, max(16, (_MS_ADPCM_ADAPT[nib] * delta) // 256)
+
+
+def _ms_adpcm_decode_block(
+    block: bytes, n_samples: int, channels: int = 1
+) -> "np.ndarray":
+    """Decode one MS-ADPCM block. Mono: 7-byte preamble + 4-bit codes.
+    Stereo: interleaved preamble (bpred L,R; idelta L,R; samp1 L,R;
+    samp2 L,R = 14 bytes), then each byte carries LEFT in the high
+    nibble, RIGHT in the low; output is frame-interleaved.
+    ``n_samples`` is per channel."""
+    pre = 7 * channels
+    if len(block) < pre:
         raise ValueError("MS-ADPCM block too short")
-    pred_idx = block[0]
-    if pred_idx >= len(_MS_ADPCM_COEFFS):
-        raise ValueError(f"MS-ADPCM predictor {pred_idx} out of range")
-    c1, c2 = _MS_ADPCM_COEFFS[pred_idx]
-    delta, s1, s2 = struct.unpack("<hhh", block[1:7])
-    out = np.empty(n_samples, dtype=np.int16)
-    out[0] = s2
-    if n_samples > 1:
-        out[1] = s1
-    pos = 2
-    for byte in block[7:]:
-        for nib in (byte >> 4, byte & 0x0F):
-            if pos >= n_samples:
+    preds = list(block[:channels])
+    if any(p >= len(_MS_ADPCM_COEFFS) for p in preds):
+        raise ValueError(f"MS-ADPCM predictor {preds} out of range")
+    coeffs = [_MS_ADPCM_COEFFS[p] for p in preds]
+    rest = struct.unpack("<" + "h" * (3 * channels), block[channels:pre])
+    delta = list(rest[0:channels])
+    s1 = list(rest[channels : 2 * channels])
+    s2 = list(rest[2 * channels : 3 * channels])
+    out = np.empty(n_samples * channels, dtype=np.int16)
+    for c in range(channels):
+        out[c] = s2[c]
+        if n_samples > 1:
+            out[channels + c] = s1[c]
+    pos = 2 * channels
+    end = n_samples * channels
+    for byte in block[pre:]:
+        for k, nib in enumerate((byte >> 4, byte & 0x0F)):
+            if pos >= end:
                 break
-            signed = nib - 16 if nib >= 8 else nib
-            # C-truncating division (the spec decoders), not Python floor
-            acc = s1 * c1 + s2 * c2
-            pred = (abs(acc) // 256) * (1 if acc >= 0 else -1) + signed * delta
-            pred = max(-32768, min(32767, pred))
-            s2, s1 = s1, pred
-            delta = max(16, (_MS_ADPCM_ADAPT[nib] * delta) // 256)
+            c = (k if channels == 2 else 0)
+            pred, delta[c] = _ms_adpcm_step(
+                nib, s1[c], s2[c], coeffs[c][0], coeffs[c][1], delta[c]
+            )
+            s2[c], s1[c] = s1[c], pred
             out[pos] = pred
             pos += 1
-    return out[:pos] if pos < n_samples else out
+    return out[:pos] if pos < end else out
+
+
+def _ms_adpcm_quantize(sample: int, s1: int, s2: int, c1: int, c2: int,
+                       delta: int):
+    """Greedy one-step quantizer mirroring the decoder's reconstruction."""
+    acc = s1 * c1 + s2 * c2
+    pred = (abs(acc) // 256) * (1 if acc >= 0 else -1)
+    err = sample - pred
+    nib = max(-8, min(7, int(round(err / delta)) if delta else 0))
+    code = nib + 16 if nib < 0 else nib
+    rec = max(-32768, min(32767, pred + nib * delta))
+    return code, rec, max(16, (_MS_ADPCM_ADAPT[code] * delta) // 256)
 
 
 def encode_wav_ms_adpcm(
     samples: "np.ndarray", sample_rate: int, block_samples: int = 500,
-    predictor: int = 0,
+    predictor: int = 0, channels: int = 1,
 ) -> bytes:
-    """Spec-valid mono MS-ADPCM WAV (format 2): per block, a 7-byte
-    header (predictor index, initial delta, two seed samples) then 4-bit
-    codes quantized greedily against the adaptive delta — the reference
-    compressor shape, deterministic."""
+    """Spec-valid MS-ADPCM WAV (format 2), mono or stereo: per block, a
+    7-byte-per-channel preamble (predictor index, initial delta, two
+    seed samples — stereo fields interleaved L,R) then 4-bit codes
+    quantized greedily against the adaptive delta (stereo: LEFT in the
+    high nibble, RIGHT in the low). Deterministic; stereo ``samples``
+    are frame-interleaved int16."""
+    if channels not in (1, 2):
+        raise ValueError("encode_wav_ms_adpcm supports 1 or 2 channels")
     s = np.ascontiguousarray(samples, dtype=np.int16).astype(np.int32)
     c1, c2 = _MS_ADPCM_COEFFS[predictor]
-    n_codes = block_samples - 2
-    block_align = 7 + (n_codes + 1) // 2
+    n_codes = (block_samples - 2) * channels
+    block_align = 7 * channels + (n_codes + 1) // 2
+    frames = len(s) // channels
     blocks = []
-    for lo in range(0, len(s), block_samples):
-        chunk = s[lo : lo + block_samples]
-        if len(chunk) < 2:
-            chunk = np.concatenate([chunk, np.zeros(2 - len(chunk), np.int32)])
-        s2, s1 = int(chunk[0]), int(chunk[1])
-        delta = 128
-        header = struct.pack("<Bhhh", predictor, delta, s1, s2)
+    for lo in range(0, frames, block_samples):
+        chunk = s[lo * channels : (lo + block_samples) * channels]
+        chans = [chunk[c::channels] for c in range(channels)]
+        s1 = [0] * channels
+        s2 = [0] * channels
+        delta = [128] * channels
+        for c in range(channels):
+            seeds = list(chans[c][:2]) + [0, 0]
+            s2[c], s1[c] = int(seeds[0]), int(seeds[1])
+        header = (
+            bytes([predictor] * channels)
+            + b"".join(struct.pack("<h", delta[c]) for c in range(channels))
+            + b"".join(struct.pack("<h", s1[c]) for c in range(channels))
+            + b"".join(struct.pack("<h", s2[c]) for c in range(channels))
+        )
         codes = []
-        for sample in chunk[2:]:
-            acc = s1 * c1 + s2 * c2
-            pred = (abs(acc) // 256) * (1 if acc >= 0 else -1)
-            err = int(sample) - pred
-            nib = max(-8, min(7, int(round(err / delta)) if delta else 0))
-            code = nib + 16 if nib < 0 else nib
-            rec = max(-32768, min(32767, pred + nib * delta))
-            s2, s1 = s1, rec
-            delta = max(16, (_MS_ADPCM_ADAPT[code] * delta) // 256)
-            codes.append(code)
+        n_steps = max(0, max(len(ch) for ch in chans) - 2)
+        for i in range(n_steps):
+            for c in range(channels):
+                sample = int(chans[c][2 + i]) if 2 + i < len(chans[c]) else 0
+                code, rec, delta[c] = _ms_adpcm_quantize(
+                    sample, s1[c], s2[c], c1, c2, delta[c]
+                )
+                s2[c], s1[c] = s1[c], rec
+                codes.append(code)
         codes += [0] * (n_codes - len(codes))
         packed = bytes(
             ((codes[i] & 0x0F) << 4) | (codes[i + 1] & 0x0F)
@@ -564,11 +608,11 @@ def encode_wav_ms_adpcm(
         blocks.append(header + packed)
     payload = b"".join(blocks)
     fmt = struct.pack(
-        "<HHIIHHHHH", _WAV_FMT_MS_ADPCM, 1, sample_rate,
+        "<HHIIHHHHH", _WAV_FMT_MS_ADPCM, channels, sample_rate,
         sample_rate * block_align // block_samples, block_align, 4,
         4, block_samples, len(_MS_ADPCM_COEFFS),
     ) + b"".join(struct.pack("<hh", a, b) for a, b in _MS_ADPCM_COEFFS)
-    fact = struct.pack("<I", len(samples))
+    fact = struct.pack("<I", frames)
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -694,8 +738,7 @@ def parse_wav(data: bytes) -> dict:
     through the ITU expansion tables, and mono IMA/DVI ADPCM (format
     0x11, block-structured 4-bit) through the IMA reference expansion —
     ``samples`` is always linear int16. Raises ValueError on a malformed
-    container, NotImplementedError on other encodings (float, extensible,
-    stereo MS-ADPCM)."""
+    container, NotImplementedError on other encodings (float, extensible)."""
     data = bytes(data)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -716,21 +759,21 @@ def parse_wav(data: bytes) -> dict:
     elif audio_format in (_WAV_FMT_ULAW, _WAV_FMT_ALAW) and bits == 8:
         table = _ULAW_TABLE if audio_format == _WAV_FMT_ULAW else _ALAW_TABLE
         samples = table[np.frombuffer(pcm, dtype=np.uint8)]
-    elif audio_format == _WAV_FMT_MS_ADPCM and bits == 4 and channels == 1:
-        if len(fmt_raw) < 20 or balign < 8:
+    elif audio_format == _WAV_FMT_MS_ADPCM and bits == 4 and channels in (1, 2):
+        if len(fmt_raw) < 20 or balign < 7 * channels + 1:
             raise ValueError("MS-ADPCM fmt missing samplesPerBlock")
         (spb,) = struct.unpack("<H", fmt_raw[18:20])
         decoded = []
         for blo in range(0, len(pcm), balign):
             block = pcm[blo : blo + balign]
-            if len(block) < 7:
+            if len(block) < 7 * channels:
                 break
-            decoded.append(_ms_adpcm_decode_block(block, spb))
+            decoded.append(_ms_adpcm_decode_block(block, spb, channels))
         samples = (
             np.concatenate(decoded) if decoded else np.empty(0, np.int16)
         )
         if fact_samples is not None:
-            samples = samples[:fact_samples]
+            samples = samples[: fact_samples * channels]
     elif audio_format == _WAV_FMT_IMA_ADPCM and bits == 4 and channels in (1, 2):
         if len(fmt_raw) < 20 or balign < 4 * channels + 1:
             raise ValueError("IMA ADPCM fmt missing samplesPerBlock")

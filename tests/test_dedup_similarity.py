@@ -1186,3 +1186,29 @@ def test_ms_adpcm_stereo_roundtrip():
     assert np.abs(gl - left).mean() < 80 and np.abs(gr - right).mean() < 80
     assert np.corrcoef(gl, left)[0, 1] > 0.99
     assert abs(np.corrcoef(gl, right)[0, 1]) < 0.5
+
+
+def test_resize_bilinear_properties():
+    """Fixed-point bilinear resample: identity at same size, constants
+    preserved, linear ramps stay exactly linear (the interpolation is
+    exact on affine signals), checkerboard downscale averages to mid-
+    gray (area behavior nearest cannot give), byte-deterministic."""
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import resize_bilinear
+
+    img = (np.arange(20 * 30 * 3, dtype=np.uint8).reshape(20, 30, 3) * 7 % 251)
+    img = img.astype(np.uint8)
+    assert np.array_equal(resize_bilinear(img, 30, 20), img)
+    c = np.full((13, 17, 3), 77, np.uint8)
+    assert (resize_bilinear(c, 40, 9) == 77).all()
+    ramp = np.repeat(
+        np.repeat(np.arange(0, 240, 10, dtype=np.uint8)[None, :, None], 12, 0),
+        3, 2,
+    )
+    small = resize_bilinear(ramp, 12, 6)
+    assert (np.abs(np.diff(small[0, :, 0].astype(int)) - 20) <= 1).all()
+    chk = (np.indices((16, 16)).sum(0) % 2 * 255).astype(np.uint8)
+    chk = np.repeat(chk[:, :, None], 3, 2)
+    assert abs(float(resize_bilinear(chk, 8, 8).mean()) - 127.5) < 2
+    assert np.array_equal(resize_bilinear(img, 7, 5), resize_bilinear(img, 7, 5))

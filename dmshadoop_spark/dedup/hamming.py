@@ -32,9 +32,15 @@ def hamming_candidate_pairs(
         *[
             F.struct(
                 F.lit(i).alias("chunk_idx"),
+                # Mask, not %: Spark's % is Java-signed, so chunk 0 of a
+                # negative fingerprint (sign bit set — ~half of dhash/
+                # ahash values) came out negative and missed its bucket,
+                # breaking the "catches ALL pairs ≤ chunks−1" guarantee
+                # (round-4 ADVICE). bitwiseAND is sign-oblivious.
                 (
-                    F.shiftrightunsigned(F.col(fp_col), i * width)
-                    % F.lit(1 << width).cast("long")
+                    F.shiftrightunsigned(F.col(fp_col), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1).cast("long")
+                    )
                 ).alias("chunk_val"),
             )
             for i in range(chunks)

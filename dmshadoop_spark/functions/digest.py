@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def with_sorted_digest(df: DataFrame, *cols: str) -> DataFrame:
@@ -27,16 +28,25 @@ def with_sorted_digest(df: DataFrame, *cols: str) -> DataFrame:
     with the default seed), and sensitive to every listed column value.
     """
     # Both the returned rows and the 1-row digest aggregate hang off the
-    # same upstream plan; without a persist, one collect would plan and
-    # execute that plan TWICE (LSH banding, IVF k-means, JPEG pipelines —
-    # round-3 ADVICE). Results here are small-and-bounded by construction
-    # (module docstring), so the cache is cheap; never-reused entries are
-    # evicted LRU.
+    # same upstream plan. Execute that plan exactly ONCE: persist, run
+    # the digest aggregate (which materializes the cache), pull the
+    # bounded rows to the driver, then unpersist eagerly — a long session
+    # sweeping many rows-only queries must not accumulate cached copies
+    # (round-4 ADVICE; MEMORY_AND_DISK disk blocks are never LRU-evicted).
+    # Driver materialization is sanctioned by the boundedness contract in
+    # the module docstring.
     df = df.persist()
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
-    digest = df.select(
-        F.xxhash64(
-            F.concat_ws(",", F.array_sort(F.collect_list(key)))
-        ).alias("digest")
+    try:
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        digest_val = df.select(
+            F.xxhash64(
+                F.concat_ws(",", F.array_sort(F.collect_list(key)))
+            ).alias("digest")
+        ).collect()[0]["digest"]
+        rows = [tuple(r) + (digest_val,) for r in df.collect()]
+    finally:
+        df.unpersist(blocking=True)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("digest", T.LongType(), False)]
     )
-    return df.crossJoin(F.broadcast(digest))
+    return df.sparkSession.createDataFrame(rows, schema)

@@ -59,15 +59,20 @@ def merge_into(
             key = {k: dup[0][k] for k in on}
             raise ValueError(f"MERGE source has duplicate key {key}")
 
-    t = target.alias(_T)
-    s = source.alias(_S)
+    # Presence markers, not key-nullness: the join is eqNullSafe, so a
+    # NULL target key CAN match a NULL source key — classifying on
+    # key.isNull() misread that as target-only and silently dropped the
+    # update (round-4 ADVICE). A non-nullable lit(True) per side survives
+    # the full-outer join as NULL exactly when that side is absent.
+    t = target.withColumn("__t_present", F.lit(True)).alias(_T)
+    s = source.withColumn("__s_present", F.lit(True)).alias(_S)
     cond = [F.col(f"{_T}.{k}").eqNullSafe(F.col(f"{_S}.{k}")) for k in on]
     joined = t.join(s, cond, "full_outer")
 
-    t_key = F.col(f"{_T}.{on[0]}")
-    s_key = F.col(f"{_S}.{on[0]}")
-    matched = t_key.isNotNull() & s_key.isNotNull()
-    target_only = s_key.isNull()
+    t_present = F.col(f"{_T}.__t_present").isNotNull()
+    s_present = F.col(f"{_S}.__s_present").isNotNull()
+    matched = t_present & s_present
+    target_only = ~s_present
 
     out_cols = []
     for c in target.columns:

@@ -2376,37 +2376,47 @@ def x23_winnowing_fingerprint(spark, sf_dir):
     "x24_extract_dispatch",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 9
+           CASE doc_id % 11
                WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
                WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'audio/mpeg'
                WHEN 4 THEN 'video/mp4' WHEN 5 THEN 'image/gif'
                WHEN 6 THEN 'image/tiff' WHEN 7 THEN 'video/x-matroska'
-               ELSE 'application/pdf' END AS content_type,
-           CASE doc_id % 9
+               WHEN 8 THEN 'application/pdf' WHEN 9 THEN 'audio/mpeg'
+               ELSE 'audio/flac' END AS content_type,
+           CASE doc_id % 11
                WHEN 0 THEN 64 + doc_id % 16
                WHEN 1 THEN 40 + doc_id % 16
                WHEN 4 THEN 320 + (doc_id % 4) * 16
                WHEN 5 THEN 30 + doc_id % 8
                WHEN 6 THEN 25 + doc_id % 10
                WHEN 7 THEN 320 + (doc_id % 4) * 8 END AS width,
-           CASE doc_id % 9
+           CASE doc_id % 11
                WHEN 0 THEN 48 + doc_id % 12
                WHEN 1 THEN 32 + doc_id % 8
                WHEN 4 THEN 240
                WHEN 5 THEN 20 + doc_id % 6
                WHEN 6 THEN 15 + doc_id % 5
                WHEN 7 THEN 200 END AS height,
-           CASE doc_id % 9
+           CASE doc_id % 11
                WHEN 2 THEN 500 + 50 * (doc_id % 7)
                WHEN 3 THEN CAST(FLOOR((5 + doc_id % 9) * 1152.0 * 1000.0
                                       / 44100.0) AS BIGINT)
                WHEN 4 THEN (3 + doc_id % 6) * 100
-               WHEN 7 THEN 1000 + (doc_id % 10) * 500 END AS duration_ms,
-           CASE doc_id % 9
+               WHEN 7 THEN 1000 + (doc_id % 10) * 500
+               WHEN 9 THEN (6 + doc_id % 5) * 24
+               WHEN 10 THEN (2 + doc_id % 5) * 1000 END AS duration_ms,
+           CASE doc_id % 11
                WHEN 3 THEN 5 + doc_id % 9
-               WHEN 4 THEN 3 + doc_id % 6 END AS frame_count,
-           CASE doc_id % 9
-               WHEN 8 THEN 1 + doc_id % 4 END AS page_count
+               WHEN 4 THEN 3 + doc_id % 6
+               WHEN 9 THEN 6 + doc_id % 5 END AS frame_count,
+           CASE doc_id % 11
+               WHEN 8 THEN 1 + doc_id % 4 END AS page_count,
+           CASE doc_id % 11
+               WHEN 2 THEN 8000 WHEN 3 THEN 44100 WHEN 9 THEN 48000
+               WHEN 10 THEN 16000 END AS sample_rate,
+           CASE doc_id % 11
+               WHEN 9 THEN 'track-' || CAST(doc_id AS VARCHAR)
+               END AS id3_title
     FROM documents WHERE doc_id < 500
     """,
 )
@@ -2414,12 +2424,15 @@ def x24_extract_dispatch(spark, sf_dir):
     """Mixed-format extract() dispatch — the reference's hachoir call is
     format-AGNOSTIC (src/DMS.py:77-79: one extractMetadata() whatever the
     upload was), but every earlier x6 row exercises a single format. Here
-    one binary column carries NINE formats interleaved (doc_id % 9 →
-    JPEG/PNG/WAV/MP3/MP4/GIF/TIFF/MKV/PDF, each encoded by our own codec
-    from row-derived parameters), and ONE with_extracted_meta call must
-    sniff and route each payload to the right parser. Every output field
-    is a pure function of doc_id, so the DuckDB oracle recomputes them
-    all — a full value check over the dispatch path, not rows-only.
+    one binary column carries ELEVEN formats interleaved (doc_id % 11 →
+    JPEG/PNG/WAV/MP3/MP4/GIF/TIFF/MKV/PDF/ID3-tagged-MP3/FLAC, each
+    encoded by our own codec from row-derived parameters), and ONE
+    with_extracted_meta call must sniff and route each payload to the
+    right parser — including the ID3v2 text-frame walk layered over the
+    MPEG frame walk (fmt 9) and the FLAC STREAMINFO bitfield decode
+    (fmt 10). Every output field is a pure function of doc_id, so the
+    DuckDB oracle recomputes them all — a full value check over the
+    dispatch path, not rows-only.
 
     Plan: mapInPandas encode → pandas_udf extract, both Arrow-batched,
     zero shuffles; at 100 TB this is the standard ingest-scan shape (the
@@ -2441,11 +2454,15 @@ def x24_extract_dispatch(spark, sf_dir):
         encode_tiff,
         encode_wav,
     )
+    from dmshadoop_spark.multimodal.containers import (
+        encode_flac_skeleton,
+        encode_id3v2,
+    )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
 
     def make_payload(d: int) -> bytes:
-        fmt = d % 9
+        fmt = d % 11
         if fmt == 0:
             return encode_exif_jpeg(
                 64 + d % 16, 48 + d % 12, make="dmshadoop", model="cam-x",
@@ -2480,7 +2497,17 @@ def x24_extract_dispatch(spark, sf_dir):
                 1000.0 + (d % 10) * 500,
                 video=(320 + (d % 4) * 8, 200),
             )
-        return encode_pdf(1 + d % 4, title=f"doc-{d}")
+        if fmt == 8:
+            return encode_pdf(1 + d % 4, title=f"doc-{d}")
+        if fmt == 9:
+            return encode_id3v2(
+                encode_mp3(6 + d % 5, 192, 48000),
+                title=f"track-{d}",
+                artist="dmshadoop",
+            )
+        return encode_flac_skeleton(
+            16000, 1 + d % 2, 16, (2 + d % 5) * 16000
+        )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2503,6 +2530,8 @@ def x24_extract_dispatch(spark, sf_dir):
         meta.getItem("duration_ms").cast("long").alias("duration_ms"),
         meta.getItem("frame_count").cast("long").alias("frame_count"),
         meta.getItem("page_count").cast("long").alias("page_count"),
+        meta.getItem("sample_rate").cast("long").alias("sample_rate"),
+        meta.getItem("id3_title").alias("id3_title"),
     )
 
 

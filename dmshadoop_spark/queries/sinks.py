@@ -660,3 +660,65 @@ def s20_compaction(spark, sf_dir):
         F.lit(n_generations).alias("n_generations"),
         F.lit(n_part_files).alias("n_part_files"),
     )
+
+
+@query(
+    "s21_merge_into",
+    oracle="""
+    WITH t AS (
+        SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+        FROM customer
+    ),
+    s AS (
+        SELECT c_custkey AS id, c_name AS name, c_acctbal * 2 AS bal
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 'new_' || CAST(c_custkey AS VARCHAR),
+               CAST(0.0 AS DOUBLE)
+        FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT COALESCE(s.id, t.id) AS id,
+           CASE WHEN s.id IS NOT NULL THEN s.name ELSE t.name END AS name,
+           CASE WHEN s.id IS NOT NULL THEN s.bal ELSE t.bal END AS bal
+    FROM t FULL OUTER JOIN s ON t.id = s.id
+    WHERE NOT (t.id IS NOT NULL AND s.id IS NOT NULL AND s.bal > 5000)
+    """,
+)
+def s21_merge_into(spark, sf_dir):
+    """MERGE INTO (operators/merge.py) under a full value oracle — the
+    Delta-style matched-update / matched-delete / not-matched-insert
+    statement the reference's dead update() (src/DMS.py:202-277) needed,
+    as ONE full-outer join + CASE projection (single shuffle per side).
+    Source = doubled balances for every 3rd customer (update; delete when
+    the doubled balance exceeds 5000) ∪ synthesized new customers for
+    every 7th key (insert); target-only rows pass through unchanged. The
+    oracle replays the same MERGE as DuckDB FULL OUTER + CASE — the exact
+    semantics the hypothesis property test pins against plain Python
+    (tests/test_operators.py)."""
+    from dmshadoop_spark.operators.merge import merge_into
+
+    cust = load_table(spark, sf_dir, "customer")
+    target = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        (F.col("c_acctbal") * 2).alias("bal"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("id"),
+        F.concat(F.lit("new_"), F.col("c_custkey").cast("string")).alias(
+            "name"
+        ),
+        F.lit(0.0).cast("double").alias("bal"),
+    )
+    source = updates.unionByName(inserts)
+    return merge_into(
+        target,
+        source,
+        on=["id"],
+        matched_delete=F.col("__mrg_s.bal") > 5000,
+    )

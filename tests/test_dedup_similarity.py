@@ -53,6 +53,40 @@ def test_simhash_identical_docs_zero_hamming(corpus):
     assert near is not None and near <= 16
 
 
+def test_hamming_banding_negative_fingerprints(spark):
+    """Round-4 ADVICE regression: chunk values must be sign-oblivious.
+    fps 1 and 1|bit16|bit32|bit63 (hamming 3, chunks=4) share chunk 0
+    exactly, but bit 63 makes the second fp negative — the old Java-%
+    bucketing sent them to different buckets and emitted zero pairs."""
+    from dmshadoop_spark.dedup.hamming import hamming_candidate_pairs
+
+    fp_a = 1
+    fp_b = 1 | (1 << 16) | (1 << 32) | (1 << 62) | -(1 << 63)  # bit63 set
+    df = spark.createDataFrame(
+        [(0, fp_a), (1, fp_b)], "doc_id long, fp long"
+    )
+    got = hamming_candidate_pairs(df, "doc_id", "fp", chunks=4).collect()
+    # hamming here is 4 (bits 16, 32, 62, 63) — drop bit 62 for exactly 3
+    fp_b3 = 1 | (1 << 16) | (1 << 32) | -(1 << 63)
+    df3 = spark.createDataFrame(
+        [(0, fp_a), (1, fp_b3)], "doc_id long, fp long"
+    )
+    got3 = hamming_candidate_pairs(df3, "doc_id", "fp", chunks=4).collect()
+    assert len(got3) == 1 and got3[0]["hamming"] == 3
+    # the guarantee is ≤ chunks−1; the hamming-4 pair still shares chunk 0
+    # (bits 0-15 identical) so it appears too
+    assert len(got) == 1 and got[0]["hamming"] == 4
+
+    # two negative fps sharing only the TOP chunk pair correctly as well
+    fp_c = -(1 << 63) | (7 << 40)
+    fp_d = -(1 << 63) | (7 << 40) | 0xFFFF | (0xFFFF << 16)
+    dfd = spark.createDataFrame(
+        [(0, fp_c), (1, fp_d)], "doc_id long, fp long"
+    )
+    gotd = hamming_candidate_pairs(dfd, "doc_id", "fp", chunks=4).collect()
+    assert len(gotd) == 1
+
+
 def test_knn_exact_duplicate_vector_is_top1(spark):
     vecs = [
         (0, [1.0, 0.0, 0.0, 0.0]),
@@ -570,13 +604,18 @@ def test_rows_only_digests_pinned(spark, sf_dir):
 
     pinned = {
         "x2_minhash_lsh": -5608828265433481236,
-        "x2_simhash": 9207030713469604900,
+        # re-pinned after the round-4 ADVICE hamming chunk-0 sign fix
+        # (negative fingerprints now land in the correct bucket, so the
+        # candidate set gained the sign-bit-differing pairs)
+        "x2_simhash": -4080970347875792729,
         "x5_knn_lsh": -3244470119333894329,
         "x5_knn_ivf": 1923241679858020679,
         "x5_knn_ivf_trained": 7893893270427542256,
         # codec round-trips: pixel pipelines are code-deterministic
         "x6_png_roundtrip": 4499583823149318019,
-        "x6_jpeg_roundtrip": 3267694135184578302,
+        # re-pinned after resize_images gained fixed-point bilinear
+        # resampling (commit 16c4b4e landed after the previous pin run)
+        "x6_jpeg_roundtrip": -662191405487011748,
         "x21_dedup_incremental": -1740497008895729337,
     }
     at_default_sf = sf_dir.rstrip("/").endswith("sf0.001")

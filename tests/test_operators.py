@@ -882,6 +882,43 @@ def test_merge_into_semantics(spark):
     assert sorted(r["id"] for r in no_ins.collect()) == [1, 2, 3, 4]
 
 
+def test_merge_into_null_keys_match(spark):
+    """eqNullSafe join means NULL keys DO match; classification must use
+    presence markers, not key-nullness (round-4 ADVICE). A NULL-key
+    target row matched by a NULL-key source row is updated, deleted by
+    matched_delete, and never duplicated."""
+    from dmshadoop_spark.operators.merge import merge_into
+
+    schema = "id long, name string, qty long"
+    target = spark.createDataFrame([(None, "old", 1), (1, "a", 10)], schema)
+    source = spark.createDataFrame([(None, "new", 2)], schema)
+
+    got = sorted(
+        map(tuple, merge_into(target, source, on=["id"]).collect()),
+        key=str,
+    )
+    assert (None, "new", 2) in got and (None, "old", 1) not in got
+    assert (1, "a", 10) in got and len(got) == 2
+
+    # matched_delete fires on the NULL-key match too
+    deleted = merge_into(
+        target, source, on=["id"], matched_delete=F.lit(True)
+    ).collect()
+    assert [tuple(r) for r in deleted] == [(1, "a", 10)]
+
+    # NULL-key source row with no NULL-key target row → plain insert
+    ins = sorted(
+        map(
+            tuple,
+            merge_into(
+                target.filter("id IS NOT NULL"), source, on=["id"]
+            ).collect(),
+        ),
+        key=str,
+    )
+    assert (None, "new", 2) in ins and len(ins) == 2
+
+
 def test_merge_into_single_shuffle_plan(spark, sf_dir):
     """The merge must stay ONE full-outer join — no per-clause rewrite,
     no extra exchanges beyond the join's own."""

@@ -2748,3 +2748,554 @@ def x6_g711_roundtrip(spark, sf_dir):
         schema="doc_id bigint, bits bigint, n_samples bigint, "
         "peak bigint, rms double",
     )
+
+
+@query("x27_bpe_tokenize")  # driver-trained merge table → rows-only + digest
+def x27_bpe_tokenize(spark, sf_dir):
+    """BPE tokenizer (functions/bpe.py) end to end: corpus scan → capped
+    (word, count) table → driver Sennrich merge loop (bounded table, a
+    few MB at any corpus size) → broadcast encode over the corpus via an
+    Arrow-batched pandas_udf with per-batch word memoization. The merge
+    order is data-dependent and not SQL-expressible, so this is a
+    rows-only entry; the sorted content digest pins per-doc token counts
+    AND the exact token streams (md5 per doc), so any drift in training
+    tie-breaks, segmentation, or broadcast plumbing flips the digest."""
+    from dmshadoop_spark.functions.bpe import bpe_train, with_bpe_tokens
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 400
+    )
+    merges = bpe_train(docs, n_merges=80, max_words=5000)
+    toks = with_bpe_tokens(docs, merges)
+    out = toks.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(
+            F.encode(F.concat_ws(" ", "bpe_tokens"), "utf-8")
+        ).alias("tokens_md5"),
+    )
+    return with_sorted_digest(out, "doc_id", "n_bpe_tokens", "tokens_md5")
+
+
+@query("x28_image_neardup")  # perceptual-hash banding → rows-only + digest
+def x28_image_neardup(spark, sf_dir):
+    """Image near-dup pairs over REAL codecs (dedup/imagehash.py): per
+    doc, synthesize an 8×8-cell block image whose pattern is the sha256
+    bits of its group (doc_id // 4), perturbed per variant (doc_id % 4 —
+    one cell flipped + a small brightness shift), encode with our PNG
+    codec, dHash via integer luma + nearest resample, then Hamming-banded
+    candidate pairing (dedup/hamming.py — the SimHash shuffle shape, no
+    all-pairs). Measured separation: same-group hamming ≤ 3, cross-group
+    ≥ 7 — so with max_hamming=3 = chunks−1 the banding guarantee is
+    EXACT and the result is precisely the within-group variant pairs
+    (180 at doc_id < 120). Images are pure functions of doc_id, so the
+    digest is pinnable; it also exercises the negative-fingerprint
+    bucket fix (sha256 patterns set bit 63 about half the time)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.dedup.imagehash import image_neardup_pairs
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+    from dmshadoop_spark.multimodal import encode_png
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 120
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                group, variant = d // 4, d % 4
+                bits = np.frombuffer(
+                    hashlib.sha256(str(group).encode()).digest(),
+                    dtype=np.uint8,
+                )
+                cells = (
+                    (bits[:8].repeat(8) >> np.tile(np.arange(8), 8)) & 1
+                ).reshape(8, 8)
+                if variant:
+                    cells = cells.copy()
+                    cells[(variant * 3) % 8, (variant * 5) % 8] ^= 1
+                base = (
+                    np.kron(cells, np.ones((5, 7), dtype=np.int64)) * 200
+                    + 28
+                )
+                img = np.clip(
+                    np.stack([base, base, base], axis=2) + variant * 3,
+                    0,
+                    255,
+                ).astype(np.uint8)
+                paths.append(f"img://{d}")
+                blobs.append(encode_png(img))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    imgs = docs.select("doc_id").mapInPandas(
+        synth, schema="path string, content binary"
+    )
+    pairs = image_neardup_pairs(imgs, max_hamming=3, chunks=4)
+    return with_sorted_digest(pairs, "path_a", "path_b", "hamming")
+
+
+@query(
+    "x29_webdataset_ingest",
+    oracle="""
+    SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS stem,
+           CAST(3 AS BIGINT) AS n_members,
+           CAST(
+               octet_length(encode(text))
+               + octet_length(encode('{"id": ' || CAST(doc_id AS VARCHAR)
+                                     || ', "lang": "' || lang || '"}'))
+               + octet_length(encode(lang)) AS BIGINT
+           ) AS total_bytes,
+           md5(text) AS txt_md5,
+           md5('{"id": ' || CAST(doc_id AS VARCHAR) || ', "lang": "'
+               || lang || '"}') AS json_md5,
+           lang AS cls
+    FROM documents WHERE doc_id < 240 AND text IS NOT NULL
+    """,
+)
+def x29_webdataset_ingest(spark, sf_dir):
+    """WebDataset tar-shard ingest under a FULL value oracle: the corpus
+    is packed cluster-side into .tar shards of 40 samples (each sample =
+    {stem}.txt + {stem}.json + {stem}.cls, the WebDataset basename-stem
+    convention), then unpacked in place (explode_tar_members — member
+    bytes never shuffle) and reassembled per sample (group_samples — ONE
+    uniform (shard, stem) shuffle). Every emitted field (sizes, per-part
+    md5s, class label) is a pure function of the source row, so DuckDB
+    recomputes them all — a hash match proves the tar mux → demux →
+    regroup path is byte-exact, not just row-complete."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal.webdataset import (
+        explode_tar_members,
+        group_samples,
+        write_tar_shard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 240) & F.col("text").isNotNull()
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        samples = []
+        for r in pdf.sort_values("doc_id").itertuples():
+            d, lang, text = int(r.doc_id), r.lang, r.text
+            stem = f"{d:06d}"
+            j = '{"id": %d, "lang": "%s"}' % (d, lang)
+            samples.extend(
+                [
+                    (f"{stem}.txt", text.encode("utf-8")),
+                    (f"{stem}.json", j.encode("utf-8")),
+                    (f"{stem}.cls", lang.encode("utf-8")),
+                ]
+            )
+        shard_id = int(pdf["shard_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "path": [f"shard-{shard_id:05d}.tar"],
+                "content": [write_tar_shard(samples)],
+            }
+        )
+
+    shards = (
+        docs.withColumn("shard_id", (F.col("doc_id") / 40).cast("long"))
+        .groupBy("shard_id")
+        .applyInPandas(build, schema="path string, content binary")
+    )
+    samples = group_samples(explode_tar_members(shards))
+    return samples.select(
+        "stem",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.md5(F.element_at("parts", "txt")).alias("txt_md5"),
+        F.md5(F.element_at("parts", "json")).alias("json_md5"),
+        F.element_at("parts", "cls").cast("string").alias("cls"),
+    )
+
+
+# IMA/DVI ADPCM step + index-adjust tables, re-typed here from the public
+# IMA "Recommended Practices" spec as the ORACLE's own copy (the
+# x6_g711_roundtrip discipline: the SQL side must not read the engine's
+# constants, so a hash match proves two independent transcriptions agree).
+_IMA_STEPS_SQL = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+
+_ADPCM_N_NIB = 96  # nibbles per channel (one block, spb = 97)
+
+_ADPCM_ORACLE = f"""
+    WITH RECURSIVE
+    steps(i, v) AS (VALUES {", ".join(f"({i}, {v})" for i, v in enumerate(_IMA_STEPS_SQL))}),
+    chans AS (
+        SELECT doc_id AS d, c
+        FROM documents CROSS JOIN (VALUES (0), (1)) AS ch(c)
+        WHERE doc_id < 12
+    ),
+    dec(d, c, k, pred, idx) AS (
+        SELECT d, c, 0,
+               ((d * 997 + c * 1471) % 4001) - 2000,
+               (d * 7 + c * 3) % 89
+        FROM chans
+        UNION ALL
+        SELECT d, c, k + 1,
+               GREATEST(-32768, LEAST(32767,
+                   pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)),
+               GREATEST(0, LEAST(88, idx +
+                   CASE nib % 8 WHEN 4 THEN 2 WHEN 5 THEN 4
+                                WHEN 6 THEN 6 WHEN 7 THEN 8
+                                ELSE -1 END))
+        FROM (
+            SELECT d, c, k, pred, idx, nib,
+                   (step // 8)
+                   + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+                   + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+                   + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END
+                       AS diff
+            FROM (
+                SELECT d, c, k, pred, idx,
+                       (d * 7 + c * 11 + k * 13) % 16 AS nib, s.v AS step
+                FROM dec JOIN steps s ON s.i = idx
+                WHERE k < {_ADPCM_N_NIB}
+            )
+        )
+    )
+    SELECT d AS doc_id, CAST(c AS BIGINT) AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(pred)) AS BIGINT) AS peak,
+           CAST(SUM(pred) AS BIGINT) AS sum_samples,
+           CAST(SUM(pred * pred) AS BIGINT) AS sum_sq,
+           CAST(MAX(CASE WHEN k = {_ADPCM_N_NIB} THEN pred END) AS BIGINT)
+               AS last_sample
+    FROM dec GROUP BY d, c
+"""
+
+
+@query("x6_adpcm_roundtrip", oracle=_ADPCM_ORACLE)
+def x6_adpcm_roundtrip(spark, sf_dir):
+    """Stereo IMA/DVI ADPCM decode under a FULL value oracle. Per doc a
+    spec-valid format-0x11 stereo WAV is hand-assembled from a KNOWN
+    per-channel nibble stream, header predictor, and step index (all
+    pure functions of doc_id — the fixture-generator role), then pushed
+    through parse_wav's real block demux (per-channel 4-byte-word
+    de-interleave) and the IMA reference expansion; the emitted
+    per-channel integer statistics are recomputed by DuckDB running the
+    SAME state machine as a recursive CTE over its own copy of the IMA
+    step tables. A hash match therefore proves the mux layout, the
+    channel de-interleave, and every predictor/step-index transition are
+    sample-exact — the compressed-audio sibling of x6_g711_roundtrip,
+    through the 4-bit branch instead of the 8-bit one."""
+    import struct
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import parse_wav
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 12)
+    n_nib = _ADPCM_N_NIB
+
+    def build_wav(d: int) -> bytes:
+        spb, sr = n_nib + 1, 8000
+        headers, chan_words = b"", []
+        for c in (0, 1):
+            pred = ((d * 997 + c * 1471) % 4001) - 2000
+            idx = (d * 7 + c * 3) % 89
+            headers += struct.pack("<hBB", pred, idx, 0)
+            nibs = [(d * 7 + c * 11 + k * 13) % 16 for k in range(n_nib)]
+            packed = bytes(
+                (nibs[i] & 15) | ((nibs[i + 1] & 15) << 4)
+                for i in range(0, n_nib, 2)
+            )
+            chan_words.append(
+                [packed[j : j + 4] for j in range(0, len(packed), 4)]
+            )
+        data = headers + b"".join(
+            w for pair in zip(*chan_words) for w in pair
+        )
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, 2, sr, sr * len(data) // spb, len(data),
+            4, 2, spb,
+        )
+        fact = struct.pack("<I", spb)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "channel", "n_samples", "peak", "sum_samples",
+                "sum_sq", "last_sample",
+            )}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = parse_wav(build_wav(d))
+                assert w["channels"] == 2
+                for c in (0, 1):
+                    s = w["samples"][c::2].astype(np.int64)
+                    rows["doc_id"].append(d)
+                    rows["channel"].append(c)
+                    rows["n_samples"].append(len(s))
+                    rows["peak"].append(int(np.abs(s).max()))
+                    rows["sum_samples"].append(int(s.sum()))
+                    rows["sum_sq"].append(int((s * s).sum()))
+                    rows["last_sample"].append(int(s[-1]))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        work,
+        schema="doc_id bigint, channel bigint, n_samples bigint, "
+        "peak bigint, sum_samples bigint, sum_sq bigint, "
+        "last_sample bigint",
+    )
+
+
+@query(
+    "x6_audio_features",
+    oracle=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    tbl AS (SELECT i AS idx, v FROM (VALUES {{ULAW_VALUES}}) AS t(i, v)),
+    s AS (
+        SELECT ids.doc_id, t.i AS i, tbl.v AS v
+        FROM ids, range(0, 600) AS t(i)
+        JOIN tbl ON tbl.idx = (ids.doc_id * 31 + t.i * 17) % 256
+    ),
+    zc AS (
+        SELECT doc_id, COUNT(*) AS n
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN v > 0 THEN 1 ELSE -1 END AS sgn,
+                   LAG(CASE WHEN v > 0 THEN 1 ELSE -1 END)
+                       OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM s WHERE v <> 0
+        )
+        WHERE prev IS NOT NULL AND sgn <> prev
+        GROUP BY doc_id
+    ),
+    fr AS (
+        SELECT doc_id, i // 256 AS f, SUM(v * v) AS e
+        FROM s GROUP BY doc_id, i // 256
+    ),
+    fragg AS (
+        SELECT doc_id, COUNT(*) AS n_frames, MAX(e) AS max_e,
+               SUM(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS n_silent
+        FROM fr GROUP BY doc_id
+    )
+    SELECT ids.doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(600 AS BIGINT) AS n_samples,
+           CAST(COALESCE(zc.n, 0) AS BIGINT) AS zero_crossings,
+           CAST(fragg.n_frames AS BIGINT) AS n_frames,
+           CAST(fragg.max_e AS BIGINT) AS max_frame_energy,
+           CAST(fragg.n_silent AS BIGINT) AS n_silent_frames
+    FROM ids
+    LEFT JOIN zc ON zc.doc_id = ids.doc_id
+    JOIN fragg ON fragg.doc_id = ids.doc_id
+    """.replace("{ULAW_VALUES}", _ulaw_values_sql()),
+)
+def x6_audio_features(spark, sf_dir):
+    """Audio-quality features (multimodal.audio_features) under a FULL
+    value oracle — the filter signals an audio-corpus pipeline gates on.
+    Signal synthesis reuses the x6_g711_roundtrip discipline (samples
+    are exact ITU µ-law expansion values, so mux→demux round-trips
+    bit-exactly); the integer-exact feature class — zero crossings over
+    nonzero samples, ceil-division frame count, per-256-sample frame
+    energies, max/silent-frame accounting — is recomputed by DuckDB with
+    window + group-by over the generator formula and its own ITU table
+    copy. The float class (spectral centroid/bandwidth over rFFT) is
+    deliberately NOT emitted here: FFT is not SQL-expressible — those
+    stay pytest-pinned against a ground-truth 1 kHz tone."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import audio_features, encode_wav_g711
+    from dmshadoop_spark.multimodal.binary import _ULAW_TABLE
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "zero_crossings",
+                "n_frames", "max_frame_energy", "n_silent_frames",
+            )}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                i = np.arange(600, dtype=np.int64)
+                pcm = _ULAW_TABLE[(d * 31 + i * 17) % 256]
+                feats = audio_features(
+                    encode_wav_g711(pcm, 8000, law="ulaw"), frame=256
+                )
+                rows["doc_id"].append(d)
+                for k in (
+                    "sample_rate", "n_samples", "zero_crossings",
+                    "n_frames", "max_frame_energy", "n_silent_frames",
+                ):
+                    rows[k].append(int(feats[k]))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        work,
+        schema="doc_id bigint, sample_rate bigint, n_samples bigint, "
+        "zero_crossings bigint, n_frames bigint, max_frame_energy bigint, "
+        "n_silent_frames bigint",
+    )
+
+
+@query("x5_knn_multiprobe")  # LSH recall is engine-specific → rows-only
+def x5_knn_multiprobe(spark, sf_dir):
+    """Multi-probe LSH recall measurement as a driver-checkable query:
+    exact top-5 (brute_force_knn — the ground truth) joined against
+    hyperplane-LSH candidates at nprobe=1 and nprobe=4 (lowest-margin
+    Hamming-1 bucket flips, similarity/knn.py). Emits per-query hit
+    counts, so the digest pins BOTH neighbor sets and the recall
+    improvement stays auditable per query (measured on the driver
+    fixture: recall@5 0.325 → 0.575). The probe fan-out multiplies only
+    the query side — corpus rows still hash to ONE bucket each, so the
+    100 TB shuffle profile is unchanged."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+    from dmshadoop_spark.similarity import brute_force_knn, lsh_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = brute_force_knn(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def hits(nprobe: int, name: str):
+        got = lsh_knn(
+            emb, queries_df, dim=64, k=5, planes=4, nprobe=nprobe
+        ).select("query_id", "neighbor_id")
+        return (
+            exact.join(got, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    out = (
+        base.join(hits(1, "hits_probe1"), "query_id", "left")
+        .join(hits(4, "hits_probe4"), "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("hits_probe1", F.lit(0)).alias("hits_probe1"),
+            F.coalesce("hits_probe4", F.lit(0)).alias("hits_probe4"),
+        )
+    )
+    return with_sorted_digest(
+        out, "query_id", "n_exact", "hits_probe1", "hits_probe4"
+    )
+
+
+@query(
+    "x6_bilinear_resize",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS d, 1 + doc_id % 2 AS a, 1 + (doc_id // 2) % 2 AS b,
+               (doc_id * 7) % 40 AS c
+        FROM documents WHERE doc_id < 20
+    ),
+    yy AS (
+        SELECT y, pos_y // 65536 AS y0,
+               LEAST(pos_y // 65536 + 1, 39) AS y1, pos_y % 65536 AS fy
+        FROM (
+            SELECT i AS y,
+                   GREATEST(0, LEAST(39 * 65536,
+                       ((2 * i + 1) * 40 * 65536) // 12 - 32768)) AS pos_y
+            FROM range(0, 6) t(i)
+        )
+    ),
+    xx AS (
+        SELECT x, pos_x // 65536 AS x0,
+               LEAST(pos_x // 65536 + 1, 55) AS x1, pos_x % 65536 AS fx
+        FROM (
+            SELECT i AS x,
+                   GREATEST(0, LEAST(55 * 65536,
+                       ((2 * i + 1) * 56 * 65536) // 16 - 32768)) AS pos_x
+            FROM range(0, 8) t(i)
+        )
+    )
+    SELECT d AS doc_id, y AS oy, x AS ox,
+           CAST((
+               ((a * x0 + b * y0 + c) * (65536 - fx)
+                + (a * x1 + b * y0 + c) * fx) * (65536 - fy)
+               + ((a * x0 + b * y1 + c) * (65536 - fx)
+                  + (a * x1 + b * y1 + c) * fx) * fy
+               + 2147483648
+           ) // 4294967296 AS BIGINT) AS px
+    FROM ids, yy, xx
+    """,
+)
+def x6_bilinear_resize(spark, sf_dir):
+    """Fixed-point bilinear resample under a FULL value oracle. Per doc,
+    a 40×56 image whose pixels are an affine function of coordinates
+    (a·x + b·y + c, coefficients from doc_id, all within uint8 range) is
+    PNG-encoded, decoded, and resampled to 8×6 with resize_bilinear
+    (16.16 arithmetic, half-pixel centers, edge clamp, round-half-up);
+    every output pixel is emitted. The oracle re-derives the SAME
+    fixed-point pipeline — source positions, taps, fractional weights,
+    the 32-bit rounding shift — in pure SQL integer arithmetic from the
+    pixel formula, so a hash match proves the resampler's arithmetic
+    bit-for-bit (not merely 'close'), plus the PNG round-trip en route."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import (
+        decode_image,
+        encode_png,
+        resize_bilinear,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "oy", "ox", "px")}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                a, b, c = 1 + d % 2, 1 + (d // 2) % 2, (d * 7) % 40
+                yy, xx = np.mgrid[0:40, 0:56]
+                plane = a * xx + b * yy + c
+                img = np.stack([plane] * 3, axis=2).astype(np.uint8)
+                thumb = resize_bilinear(
+                    decode_image(encode_png(img)), width=8, height=6
+                )
+                for oy in range(6):
+                    for ox in range(8):
+                        rows["doc_id"].append(d)
+                        rows["oy"].append(oy)
+                        rows["ox"].append(ox)
+                        rows["px"].append(int(thumb[oy, ox, 0]))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        work, schema="doc_id bigint, oy bigint, ox bigint, px bigint"
+    )

@@ -57,74 +57,75 @@ def load_all() -> None:
 # canaries. Everything not listed follows in registration order, so the
 # window rotates across rounds until every query has a confirmed row.
 #
-# ROUND-4 DECISION: CORRECTNESS_r03 ran 50/50 green; cumulative
-# driver-confirmed coverage is 143 of the 183 queries registered through
-# round 3. This window was REGENERATED FROM LIVE STATE (round-3 VERDICT
-# item 1: set(QUERIES) − cumulative_green over CORRECTNESS_r0{1,2,3},
-# tools/rotation.py — not the round-3 comment, which had gone stale by
-# omitting j11_asof_forward): 3 canaries + all 28 oracle-backed
-# unconfirmed queries (the 24 deferred from round 3, plus j11, plus the
-# four new round-4 entries s20/t11/x24/x25) + all 16 digest-pinned
-# rows-only queries = 47 of 50 slots. A green CORRECTNESS_r04 on this
-# window closes the registry: every registered query then carries a
-# driver-confirmed row. Every entry below passed tools/driver_sim.py
-# (plain session, sf0.01) before this window was handed to the driver.
+# ROUND-5 DECISION: CORRECTNESS_r04 ran 50/50 green — cumulative
+# driver-confirmed coverage closed the round-4 registry at 190/190
+# (tools/rotation.py, which now also recognizes the rows-only passing
+# state err="no_oracle" + spark_rows > 0). This window, regenerated from
+# live state: 3 canaries + the 8 round-5 registrations (the round-4
+# VERDICT's "only gap": merge_into, BPE, image near-dup, WebDataset,
+# ADPCM, audio features, multi-probe recall, bilinear resample) + the 3
+# queries whose behavior changed this round (x24 widened to 11 formats;
+# x2_simhash candidate set corrected by the hamming chunk-0 sign fix;
+# x6_jpeg_roundtrip re-pinned after bilinear landed) + 36 of the 48
+# queries last confirmed in ROUND 1 (oldest-green re-validation, so
+# long-green rows keep getting re-exercised as the registry grows).
+# Every entry below passed tools/driver_sim.py (plain session, sf0.01)
+# before this window was handed to the driver.
 PRIORITY: list[str] = [
-    # canaries (driver-green in r1/r2/r3 — detect gate drift)
+    # canaries (driver-green every round since r1 — detect gate drift)
     "a6_q1_pricing_summary",
     "w1_latest_per_group",
     "x2_ngram_jaccard",
-    # oracle-backed, no driver row yet (strongest check first)
-    "a16_stat_moments",
-    "f14_parse_url",
-    "j11_asof_forward",
-    "s15_orc_roundtrip",
-    "s16_csv_roundtrip",
-    "s18_schema_evolution",
-    "s19_nested_types",
-    "s20_compaction",
-    "st11_stream_stream_join",
-    "st12_stream_tumbling",
-    "st13_stream_sliding",
-    "st14_stream_session",
-    "t8_stemmed_lookup",
-    "t10_fuzzy_term",
-    "t11_field_scoped_search",
-    "u5_bag_set_ops",
-    "w10_gap_fill",
-    "w11_window_fn_suite",
-    "x16_pii_redact",
-    "x17_rare_token_filter",
-    "x18_triangle_count",
-    "x20_rag_chunking",
-    "x22_ingest_decontam",
-    "x23_winnowing_fingerprint",
+    # round-5 registrations, oracle-backed first
+    "s21_merge_into",
+    "x29_webdataset_ingest",
+    "x6_adpcm_roundtrip",
+    "x6_audio_features",
+    "x6_bilinear_resize",
+    "x27_bpe_tokenize",
+    "x28_image_neardup",
+    "x5_knn_multiprobe",
+    # changed this round → re-confirm
     "x24_extract_dispatch",
-    "x25_sequence_packing",
-    "x6_mp3_meta",
-    "x6_mp4_frames",
-    # digest-pinned rows-only (weaker driver check: rows + stable digest)
-    "a7_approx_count_distinct",
-    "a7b_hll_sketch_union",
-    "a10b_approx_percentile",
-    "s4_binary_ingest",
-    "x2_minhash_lsh",
     "x2_simhash",
-    "x5_knn_lsh",
-    "x5_knn_ivf",
-    "x5_knn_ivf_trained",
-    "x21_dedup_incremental",
     "x6_jpeg_roundtrip",
-    "x6_png_roundtrip",
-    "x6_feature_extract",
-    "x6_resize_thumbnails",
-    "x6_frame_sample",
-    "x6_avi_frames",
-    # round-4 late additions (registered after the rotation above; slots
-    # 48-49 of the 50-window so the registry still closes this round)
-    "j12_interval_overlap_join",
-    "x26_weighted_sample",
-    "x6_g711_roundtrip",
+    # oldest-green re-validation (last confirmed in round 1)
+    "a1_max_per_group",
+    "a3_count",
+    "a4_distinct",
+    "a5_numeric_rollups",
+    "a7_count_distinct",
+    "a8_rollup",
+    "a9_map_key_count",
+    "s1_full_scan",
+    "s2_regex_scan",
+    "s3_point_lookup",
+    "s5_blob_point_read",
+    "s9_json_source",
+    "p1_project",
+    "p2_eq_predicate",
+    "p4_null_check",
+    "p5_nonempty_guard",
+    "o1_sort_limit",
+    "o2_top1",
+    "o3_topk",
+    "o4_sort_within_partitions",
+    "u1_union_by_name",
+    "u2_intersect",
+    "u2_except",
+    "u3_union_distinct",
+    "f1_concat_key",
+    "f2_split",
+    "f3_regexp_extract",
+    "f4_replace_trim",
+    "f5_cast",
+    "f6_json_extract",
+    "f7_map_ops",
+    "f8_string_funcs",
+    "f9_date_funcs",
+    "f10_hash",
+    "f11_arith",
+    "f12_array_funcs",
 ]
 
 

@@ -617,6 +617,9 @@ def test_rows_only_digests_pinned(spark, sf_dir):
         # resampling (commit 16c4b4e landed after the previous pin run)
         "x6_jpeg_roundtrip": -662191405487011748,
         "x21_dedup_incremental": -1740497008895729337,
+        # image near-dup over sha256-pattern synth images (doc_id-pure):
+        # exactly the 180 within-group variant pairs, hamming ≤ 3
+        "x28_image_neardup": 1764595038801892515,
     }
     at_default_sf = sf_dir.rstrip("/").endswith("sf0.001")
     for name, want in pinned.items():
@@ -633,6 +636,7 @@ def test_rows_only_digests_pinned(spark, sf_dir):
         (aggregates, "a7b_hll_sketch_union"),
         (aggregates, "a10b_approx_percentile"),
         (sinks, "s4_binary_ingest"),
+        (llm, "x27_bpe_tokenize"),  # merges trained on corpus text
     ):
         rows = getattr(mod, name)(spark, sf_dir).collect()
         digests = {r["digest"] for r in rows}

@@ -33,6 +33,14 @@ def cumulative_green(repo_dir: str) -> set[str]:
                 and not row.get("err")
             ):
                 green.add(name)
+            elif (
+                # rows-only entries: the driver records err="no_oracle"
+                # with the executed row count — that IS their passing
+                # state (the weaker check the contract prescribes)
+                row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
+            ):
+                green.add(name)
     return green
 
 

@@ -42,6 +42,12 @@ HEADLINE = [
     "x4_cosine_topk",          # embedding similarity
     "st1_tumbling_window",     # event-time window agg
     "st3_session_window",      # session windows
+    # Arrow/mapInPandas lane (added round 5): the binary-codec path had no
+    # wall-time surveillance. Both are bounded deterministic workloads
+    # (doc_id < 500 / < 120), so they track the Python-worker + Arrow
+    # transfer + codec cost, not SF scaling.
+    "x24_extract_dispatch",    # 11-format encode→sniff→extract dispatch
+    "x28_image_neardup",       # PNG encode→dHash→Hamming-banded pairs
 ]
 
 
@@ -79,6 +85,12 @@ def main() -> None:
             timings[name] = min(t, timings.get(name, t))
 
     total = round(sum(timings.values()), 4)
+    # Round-over-round comparable subtotal: the 19-query set benched in
+    # rounds 1-4, before the round-5 Arrow-lane additions.
+    r5_added = {"x24_extract_dispatch", "x28_image_neardup"}
+    shared = round(
+        sum(t for n, t in timings.items() if n not in r5_added), 4
+    )
     print(
         json.dumps(
             {
@@ -86,6 +98,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shared_set_total": shared,
                 "sf": sf,
                 # Measurement protocol version: round-1 was single-shot cold;
                 # rounds ≥2 warm every shape at the measured SF then take

@@ -320,17 +320,26 @@ class DocumentStore:
         version: int | None = None,
         extra_meta: dict[str, str] | None = None,
     ) -> bool:
-        """Overwrite a version in place (upsert = anti-join out + union in;
-        the reference's update is dead code — bug, src/DMS.py:228)."""
+        """Overwrite a version in place (the reference's update is dead
+        code — bug, src/DMS.py:228). Delegates to the MERGE primitive
+        (operators/merge.py): matched rows take the replacement row's
+        columns, unmatched target rows pass through, and
+        ``insert_not_matched=False`` keeps the update-only contract —
+        one full-outer join instead of the bespoke anti-join ∪ union
+        rewrite this method carried before round 5."""
+        from dmshadoop_spark.operators.merge import merge_into
+
         version = version or self.get_lastest_version(name)
         if version is None or not self._exists(name, version):
             return False
-        keep = self.df().filter(
-            ~((F.col("name") == name) & (F.col("version") == version))
+        self._write_snapshot(
+            merge_into(
+                self.df(),
+                self._make_row_df(name, version, content, extra_meta),
+                on=["name", "version"],
+                insert_not_matched=False,
+            )
         )
-        self._write_snapshot(keep.unionByName(
-            self._make_row_df(name, version, content, extra_meta)
-        ))
         return True
 
     def delete(self, name: str, version: int | None = None) -> bool:

@@ -7,17 +7,16 @@ driver. Appending a constant ``digest`` column — xxhash64 over the sorted,
 content (not just cardinality) flips the digest, and the local test pins
 its value, so a silent semantic drift can't hide behind a stable count.
 
-Scale note: the digest folds the whole result through one single-row
-aggregate, which is only sane because every rows-only result here is
-small-and-bounded by construction (top-k per query, capped candidate
-pairs). Don't attach it to unbounded outputs.
+Scale note: the digest is a global window aggregate, which funnels the
+whole result through ONE partition — only sane because every rows-only
+result here is small-and-bounded by construction (top-k per query, capped
+candidate pairs). Don't attach it to unbounded outputs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def with_sorted_digest(df: DataFrame, *cols: str) -> DataFrame:
@@ -26,27 +25,24 @@ def with_sorted_digest(df: DataFrame, *cols: str) -> DataFrame:
     digest = xxhash64(",".join(sorted("|".join(str(c) for c in cols) per
     row))) — row-order-insensitive, engine-reproducible (Spark's xxhash64
     with the default seed), and sensitive to every listed column value.
+
+    Implemented as ONE global window aggregate (empty partitionBy → whole
+    result in a single window frame): the upstream plan executes exactly
+    once, nothing is persisted (the round-4 ADVICE cache-leak class can't
+    recur), and nothing funnels through the driver — the single-partition
+    exchange the window needs is bounded by the same contract that makes
+    the digest sane at all (module docstring). An earlier round-5 fix
+    collected the rows and rebuilt a local DataFrame, which silently
+    replaced every rows-only query's distributed plan with Scan
+    ExistingRDD and broke the plan-shape pins; this form keeps the real
+    plan underneath.
     """
-    # Both the returned rows and the 1-row digest aggregate hang off the
-    # same upstream plan. Execute that plan exactly ONCE: persist, run
-    # the digest aggregate (which materializes the cache), pull the
-    # bounded rows to the driver, then unpersist eagerly — a long session
-    # sweeping many rows-only queries must not accumulate cached copies
-    # (round-4 ADVICE; MEMORY_AND_DISK disk blocks are never LRU-evicted).
-    # Driver materialization is sanctioned by the boundedness contract in
-    # the module docstring.
-    df = df.persist()
-    try:
-        key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
-        digest_val = df.select(
-            F.xxhash64(
-                F.concat_ws(",", F.array_sort(F.collect_list(key)))
-            ).alias("digest")
-        ).collect()[0]["digest"]
-        rows = [tuple(r) + (digest_val,) for r in df.collect()]
-    finally:
-        df.unpersist(blocking=True)
-    schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("digest", T.LongType(), False)]
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    return df.withColumn(
+        "digest",
+        F.xxhash64(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(key).over(Window.partitionBy()))
+            )
+        ),
     )
-    return df.sparkSession.createDataFrame(rows, schema)

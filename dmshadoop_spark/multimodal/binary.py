@@ -26,11 +26,13 @@ REAL end-to-end paths (pure stdlib, no external codec library):
   * MP3 / MP4 — real MPEG audio frame-header walk and ISO BMFF
     sample-table demux (multimodal.containers), the hachoir-parity
     metadata surface plus bit-exact mp4 sample extraction.
-Matroska/WebM METADATA also demuxes for real (multimodal.ebml: EBML
-varint walk over Segment/Info/Tracks). Only lossy media DECODE (mp3
-synthesis, aac, and mkv Cluster payloads) remains stubbed — that needs
-ffmpeg-class codec libraries this container doesn't ship (a
-deterministic fake keeps those pipelines testable end-to-end).
+Matroska/WebM demuxes for real too (multimodal.ebml: EBML varint walk
+over Segment/Info/Tracks, plus — round 5 — the Cluster payload walk
+with all four lacing modes, so PCM-audio/uncompressed-video mkv decodes
+end-to-end). Only lossy media DECODE (mp3 synthesis, aac, compressed
+mkv codec payloads) remains stubbed — that needs ffmpeg-class codec
+libraries this container doesn't ship (a deterministic fake keeps those
+pipelines testable end-to-end).
 
 ``ingest_binary_dir`` is the reference's blob-ingest path
 (open().read() + create_file, src/DMS.py:106-121) as Spark's binaryFile
@@ -1053,17 +1055,16 @@ def sample_frames(
     sampled frame — the UDTF-shaped (1 row → N rows) multimodal pattern.
 
     RIFF/AVI payloads demux for REAL (parse_avi: avih timing + '00dc'
-    frame chunks), and ISO BMFF (mp4) payloads demux for real too
-    (containers.parse_mp4: full stts/stsc/stsz/stco sample-table walk) —
-    both emit every stride-th actual frame payload with its
-    container-derived timestamp. Matroska metadata parses for real
-    (multimodal.ebml) but its Cluster payloads need external codecs, so
-    mkv — like any other remaining container — falls back to the
-    deterministic stub: duration :=
-    length / bytes_per_s, frames at every_s intervals, each frame a
-    sha256(content || idx) pseudo-payload. Partitioning, batch fan-out,
-    and the (path, frame_idx, ts_sec, frame) contract are identical on
-    both paths."""
+    frame chunks), ISO BMFF (mp4) payloads demux for real too
+    (containers.parse_mp4: full stts/stsc/stsz/stco sample-table walk),
+    and — since round 5 — so do Matroska payloads (ebml.mkv_blocks:
+    Cluster → SimpleBlock/BlockGroup walk, all four lacing modes): each
+    emits every stride-th actual frame payload with its container-derived
+    timestamp. Any other container falls back to the deterministic stub:
+    duration := length / bytes_per_s, frames at every_s intervals, each
+    frame a sha256(content || idx) pseudo-payload. Partitioning, batch
+    fan-out, and the (path, frame_idx, ts_sec, frame) contract are
+    identical on both paths."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1079,6 +1080,39 @@ def sample_frames(
                         out_ts.append(i * uspf / 1_000_000)
                         out_frame.append(all_frames[i])
                     continue
+                if raw[:4] == b"\x1a\x45\xdf\xa3":
+                    from dmshadoop_spark.multimodal.ebml import (
+                        mkv_blocks,
+                        parse_mkv,
+                    )
+
+                    try:
+                        meta = parse_mkv(raw)
+                        vids = {
+                            t["number"]
+                            for t in meta["tracks"]
+                            if t.get("type") == "video"
+                        }
+                        blocks = [
+                            b for b in mkv_blocks(raw) if b["track"] in vids
+                        ]
+                        if blocks:
+                            blocks.sort(key=lambda b: b["ts_ms"])
+                            span = blocks[-1]["ts_ms"] / 1000.0
+                            n = len(blocks)
+                            stride = (
+                                max(1, round(n * every_s / span))
+                                if span > 0
+                                else 1
+                            )
+                            for i in range(0, n, stride):
+                                out_path.append(path)
+                                out_idx.append(i)
+                                out_ts.append(blocks[i]["ts_ms"] / 1000.0)
+                                out_frame.append(blocks[i]["frame"])
+                            continue
+                    except ValueError:
+                        pass  # malformed/cluster-free mkv → stub path
                 if raw[4:8] == b"ftyp":
                     from dmshadoop_spark.multimodal.containers import parse_mp4
 

@@ -1,16 +1,23 @@
-"""Minimal EBML/Matroska (mkv/webm) metadata demux — pure stdlib.
+"""Minimal EBML/Matroska (mkv/webm) demux — pure stdlib.
 
 The hachoir-parity surface the reference exposed for any upload
 (src/DMS.py:77-79) needs container METADATA, not media decode: duration,
 timescale, per-track codec ids, video dimensions, audio rates. That is
-an EBML varint walk over Segment → Info/Tracks — no codec library — so
-the "mkv remains stubbed" boundary (round-2/3 status) shrinks to the
-media BLOCKS only (Clusters are skipped; decoding their payloads would
-need ffmpeg-class codecs).
+an EBML varint walk over Segment → Info/Tracks — no codec library.
 
-Element ids from the public Matroska/EBML RFCs (RFC 8794 + the Matroska
-element registry). ``encode_mkv_skeleton`` writes the same structure for
-round-trip tests — metadata-only (no Clusters), spec-valid varints.
+Round 5 adds the Cluster payload walk (``mkv_blocks``): SimpleBlock and
+BlockGroup/Block frames with all four lacing modes (none/Xiph/fixed/
+EBML) and absolute timestamps — so for codec-FREE tracks (A_PCM/INT/LIT
+audio, V_UNCOMPRESSED video) the container now decodes end-to-end
+(``decode_mkv_pcm``). The stub boundary is down to compressed-codec
+payloads only (Vorbis/AVC/...), which would need ffmpeg-class
+libraries this container doesn't ship.
+
+Element ids and block/lacing layouts from the public Matroska/EBML RFCs
+(RFC 8794 + the Matroska element registry). ``encode_mkv_skeleton``
+writes the metadata-only structure; ``encode_mkv_pcm`` /
+``encode_mkv_frames`` write full files with Clusters for round-trip
+tests — spec-valid varints throughout.
 """
 
 from __future__ import annotations
@@ -36,6 +43,11 @@ AUDIO = 0xE1
 SAMPLING_FREQUENCY = 0xB5
 CHANNELS = 0x9F
 DOC_TYPE = 0x4282
+CLUSTER = 0x1F43B675
+CLUSTER_TIMESTAMP = 0xE7
+SIMPLE_BLOCK = 0xA3
+BLOCK_GROUP = 0xA0
+BLOCK = 0xA1
 
 _TRACK_TYPES = {1: "video", 2: "audio", 17: "subtitle"}
 
@@ -230,4 +242,325 @@ def encode_mkv_skeleton(
             ),
         )
     segment = _elem(SEGMENT, info + _elem(TRACKS, entries))
+    return header + segment
+
+
+# --------------------------------------------------------------------------
+# Cluster payload walk (round 5): SimpleBlock/BlockGroup frames with all
+# four lacing modes, per the public Matroska block-structure spec.
+# --------------------------------------------------------------------------
+
+
+def _read_signed_vint(data: bytes, i: int) -> tuple[int, int]:
+    """EBML-lacing signed vint: unsigned vint minus (2^(7·len−1) − 1)."""
+    v, j = _read_vint(data, i, keep_marker=False)
+    return v - ((1 << (7 * (j - i) - 1)) - 1), j
+
+
+def _block_frames(data: bytes, lo: int, hi: int) -> tuple[int, int, int, list[bytes]]:
+    """Parse one (Simple)Block payload → (track, rel_ts, flags, frames).
+
+    Layout: track-number vint, int16 BE relative timestamp, flags byte,
+    then the frame data — laced per flags bits 0x06 (00 none, 01 Xiph,
+    10 fixed-size, 11 EBML)."""
+    track, i = _read_vint(data, lo, keep_marker=False)
+    if i + 3 > hi:
+        raise ValueError("EBML: truncated block header")
+    rel_ts = struct.unpack(">h", data[i : i + 2])[0]
+    flags = data[i + 2]
+    i += 3
+    lacing = (flags >> 1) & 0x3
+    if lacing == 0:
+        return track, rel_ts, flags, [data[i:hi]]
+    count = data[i] + 1
+    i += 1
+    sizes: list[int] = []
+    if count == 1:
+        sizes = [hi - i]
+    elif lacing == 2:  # fixed-size: equal frames, nothing stored
+        total = hi - i
+        if total % count:
+            raise ValueError("EBML: fixed lacing with unequal frames")
+        sizes = [total // count] * count
+    elif lacing == 1:  # Xiph: 255-run-coded sizes for frames 0..n-2
+        for _ in range(count - 1):
+            s = 0
+            while True:
+                b = data[i]
+                i += 1
+                s += b
+                if b != 255:
+                    break
+            sizes.append(s)
+        sizes.append(hi - i - sum(sizes))
+    else:  # EBML: first size a vint, then signed-vint deltas; last implied
+        first, i = _read_vint(data, i, keep_marker=False)
+        sizes = [first]
+        for _ in range(count - 2):
+            delta, i = _read_signed_vint(data, i)
+            sizes.append(sizes[-1] + delta)
+        sizes.append(hi - i - sum(sizes))
+    frames = []
+    for s in sizes:
+        if s < 0 or i + s > hi:
+            raise ValueError("EBML: lace size exceeds block")
+        frames.append(data[i : i + s])
+        i += s
+    return track, rel_ts, flags, frames
+
+
+def mkv_blocks(data: bytes) -> list[dict]:
+    """Walk Segment → Clusters → (Simple)Blocks and return one dict per
+    FRAME: {track, ts_units (cluster ts + block rel, in timescale units),
+    ts_ms, keyframe, frame (bytes), block_idx (sequential per-file
+    (Simple)Block counter — laced frames share it), lace_idx (position
+    within the block's lace)}. Laced blocks yield one row per laced
+    frame, all at the block timestamp (Matroska leaves intra-lace timing
+    to the codec). Raises ValueError on malformed payloads."""
+    data = bytes(data)
+    if data[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML payload")
+    timescale = 1_000_000
+    out: list[dict] = []
+    block_idx = 0
+    try:
+        for eid, lo, hi in _walk(data, 0, len(data)):
+            if eid != SEGMENT:
+                continue
+            for seid, slo, shi in _walk(data, lo, hi):
+                if seid == INFO:
+                    for ieid, ilo, ihi in _walk(data, slo, shi):
+                        if ieid == TIMESTAMP_SCALE:
+                            timescale = _uint(data, ilo, ihi)
+                elif seid == CLUSTER:
+                    cluster_ts = 0
+                    for ceid, clo, chi in _walk(data, slo, shi):
+                        if ceid == CLUSTER_TIMESTAMP:
+                            cluster_ts = _uint(data, clo, chi)
+                            continue
+                        if ceid == SIMPLE_BLOCK:
+                            spans = [(clo, chi, True)]
+                        elif ceid == BLOCK_GROUP:
+                            spans = [
+                                (blo, bhi, False)
+                                for beid, blo, bhi in _walk(data, clo, chi)
+                                if beid == BLOCK
+                            ]
+                        else:
+                            continue
+                        for blo, bhi, is_simple in spans:
+                            track, rel, flags, frames = _block_frames(
+                                data, blo, bhi
+                            )
+                            ts = cluster_ts + rel
+                            for li, fr in enumerate(frames):
+                                out.append(
+                                    {
+                                        "track": track,
+                                        "ts_units": ts,
+                                        "ts_ms": ts * timescale / 1e6,
+                                        "keyframe": bool(
+                                            is_simple and flags & 0x80
+                                        ),
+                                        "frame": fr,
+                                        "block_idx": block_idx,
+                                        "lace_idx": li,
+                                    }
+                                )
+                            block_idx += 1
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed EBML stream: {exc!r}") from exc
+    return out
+
+
+def decode_mkv_pcm(data: bytes) -> dict:
+    """Full decode of an uncompressed-audio Matroska: find the
+    A_PCM/INT/LIT track, concatenate its block frames in timestamp order,
+    and return {samples (numpy int16, frames×channels interleaved flat),
+    sample_rate, channels, n_blocks}. The one container decode that needs
+    no codec library — int16 little-endian PCM per the Matroska codec
+    registry. Raises ValueError if no PCM track exists."""
+    import numpy as np
+
+    meta = parse_mkv(data)
+    pcm = next(
+        (t for t in meta["tracks"] if t.get("codec") == "A_PCM/INT/LIT"), None
+    )
+    if pcm is None:
+        raise ValueError("no A_PCM/INT/LIT track")
+    frames = [b for b in mkv_blocks(data) if b["track"] == pcm["number"]]
+    frames.sort(key=lambda b: (b["ts_units"], b["lace_idx"]))
+    raw = b"".join(b["frame"] for b in frames)
+    if len(raw) % 2:
+        raise ValueError("PCM payload not int16-aligned")
+    return {
+        "samples": np.frombuffer(raw, dtype="<i2"),
+        "sample_rate": int(pcm.get("sample_rate") or 0),
+        "channels": int(pcm.get("channels") or 1),
+        "n_blocks": len({b["block_idx"] for b in frames}),
+    }
+
+
+def _lace_xiph(frames: list[bytes]) -> bytes:
+    out = bytearray([len(frames) - 1])
+    for fr in frames[:-1]:
+        n = len(fr)
+        out += b"\xff" * (n // 255) + bytes([n % 255])
+    return bytes(out) + b"".join(frames)
+
+
+def _encode_vint(value: int, length: int) -> bytes:
+    marker = 1 << (8 - length)
+    return (value | (marker << (8 * (length - 1)))).to_bytes(length, "big")
+
+
+def _signed_vint(v: int) -> bytes:
+    for length in range(1, 9):
+        bias = (1 << (7 * length - 1)) - 1
+        if -bias <= v <= bias:
+            return _encode_vint(v + bias, length)
+    raise ValueError("signed vint out of range")
+
+
+def _lace_ebml(frames: list[bytes]) -> bytes:
+    out = bytearray([len(frames) - 1])
+    out += _vint_size(len(frames[0]))
+    prev = len(frames[0])
+    for fr in frames[1:-1]:
+        out += _signed_vint(len(fr) - prev)
+        prev = len(fr)
+    return bytes(out) + b"".join(frames)
+
+
+def _simple_block(
+    track: int, rel_ts: int, frames: list[bytes], lacing: str, keyframe: bool
+) -> bytes:
+    flag_bits = {"none": 0x00, "xiph": 0x02, "fixed": 0x04, "ebml": 0x06}
+    if lacing not in flag_bits:
+        raise ValueError(f"unknown lacing {lacing!r}")
+    if lacing == "none" and len(frames) != 1:
+        raise ValueError("lacing='none' takes exactly one frame")
+    flags = flag_bits[lacing] | (0x80 if keyframe else 0)
+    head = _vint_size(track) + struct.pack(">h", rel_ts) + bytes([flags])
+    if lacing == "none":
+        body = frames[0]
+    elif lacing == "xiph":
+        body = _lace_xiph(frames)
+    elif lacing == "ebml":
+        body = _lace_ebml(frames)
+    else:
+        if len({len(f) for f in frames}) != 1:
+            raise ValueError("fixed lacing needs equal-size frames")
+        body = bytes([len(frames) - 1]) + b"".join(frames)
+    return _elem(SIMPLE_BLOCK, head + bytes(body))
+
+
+def encode_mkv_pcm(
+    samples,
+    sample_rate: int,
+    channels: int = 1,
+    cluster_ms: int = 100,
+    lacing: str = "none",
+    frames_per_block: int = 1,
+) -> bytes:
+    """Deterministic full Matroska with int16-LE PCM audio Clusters: one
+    Cluster per ``cluster_ms`` of audio, each holding SimpleBlocks of
+    10 ms frames (``frames_per_block`` laced together per ``lacing``).
+    ``decode_mkv_pcm(encode_mkv_pcm(x, r)) == x`` bit-exactly."""
+    import numpy as np
+
+    samples = np.asarray(samples, dtype="<i2").reshape(-1)
+    if samples.size % channels:
+        raise ValueError("sample count not divisible by channels")
+    frame_samples = max(1, sample_rate // 100) * channels  # 10 ms frames
+    raw = samples.tobytes()
+    frame_bytes = frame_samples * 2
+    frames = [
+        raw[i : i + frame_bytes] for i in range(0, len(raw), frame_bytes)
+    ]
+    n_frames_total = len(samples) // channels
+    duration_ms = n_frames_total * 1000.0 / sample_rate
+    header = _elem(EBML_HEADER, _elem(DOC_TYPE, b"matroska"))
+    info = _elem(
+        INFO,
+        _elem(TIMESTAMP_SCALE, _uint_payload(1_000_000))
+        + _elem(DURATION, struct.pack(">d", duration_ms))
+        + _elem(MUXING_APP, b"dmshadoop"),
+    )
+    track = _elem(
+        TRACK_ENTRY,
+        _elem(TRACK_NUMBER, _uint_payload(1))
+        + _elem(TRACK_TYPE, _uint_payload(2))
+        + _elem(CODEC_ID, b"A_PCM/INT/LIT")
+        + _elem(
+            AUDIO,
+            _elem(SAMPLING_FREQUENCY, struct.pack(">d", float(sample_rate)))
+            + _elem(CHANNELS, _uint_payload(channels)),
+        ),
+    )
+    blocks_per_cluster = max(1, cluster_ms // 10)
+    clusters = b""
+    bi = 0
+    while bi < len(frames):
+        cluster_ts = bi * 10  # ms; 10 ms per frame at 1 ms timescale
+        body = _elem(CLUSTER_TIMESTAMP, _uint_payload(cluster_ts))
+        taken = 0
+        while bi < len(frames) and taken < blocks_per_cluster:
+            # un-laced blocks carry exactly one frame whatever
+            # frames_per_block says; laced groups never cross a cluster
+            take = (
+                1
+                if lacing == "none"
+                else min(frames_per_block, blocks_per_cluster - taken)
+            )
+            group = frames[bi : bi + take]
+            use = lacing if len(group) > 1 else "none"
+            if use == "fixed" and len({len(f) for f in group}) != 1:
+                use = "xiph"  # ragged tail can't fixed-lace
+            body += _simple_block(
+                1, (bi * 10) - cluster_ts, group, use, keyframe=True
+            )
+            bi += len(group)
+            taken += len(group)
+        clusters += _elem(CLUSTER, body)
+    segment = _elem(SEGMENT, info + _elem(TRACKS, track) + clusters)
+    return header + segment
+
+
+def encode_mkv_frames(
+    frames: list[bytes], fps: int, width: int, height: int
+) -> bytes:
+    """Deterministic full Matroska with a V_UNCOMPRESSED video track: one
+    Cluster per second, one keyframe SimpleBlock per frame, 1 ms
+    timescale. ``mkv_blocks`` recovers every payload bit-exactly with its
+    timestamp — the real-demux branch for ``sample_frames``."""
+    duration_ms = len(frames) * 1000.0 / fps
+    header = _elem(EBML_HEADER, _elem(DOC_TYPE, b"matroska"))
+    info = _elem(
+        INFO,
+        _elem(TIMESTAMP_SCALE, _uint_payload(1_000_000))
+        + _elem(DURATION, struct.pack(">d", duration_ms))
+        + _elem(MUXING_APP, b"dmshadoop"),
+    )
+    track = _elem(
+        TRACK_ENTRY,
+        _elem(TRACK_NUMBER, _uint_payload(1))
+        + _elem(TRACK_TYPE, _uint_payload(1))
+        + _elem(CODEC_ID, b"V_UNCOMPRESSED")
+        + _elem(
+            VIDEO,
+            _elem(PIXEL_WIDTH, _uint_payload(width))
+            + _elem(PIXEL_HEIGHT, _uint_payload(height)),
+        ),
+    )
+    clusters = b""
+    per_cluster = max(1, fps)
+    for start in range(0, len(frames), per_cluster):
+        cluster_ts = round(start * 1000 / fps)
+        body = _elem(CLUSTER_TIMESTAMP, _uint_payload(cluster_ts))
+        for i, fr in enumerate(frames[start : start + per_cluster]):
+            rel = round((start + i) * 1000 / fps) - cluster_ts
+            body += _simple_block(1, rel, [bytes(fr)], "none", keyframe=True)
+        clusters += _elem(CLUSTER, body)
+    segment = _elem(SEGMENT, info + _elem(TRACKS, track) + clusters)
     return header + segment

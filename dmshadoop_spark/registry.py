@@ -61,14 +61,17 @@ def load_all() -> None:
 # driver-confirmed coverage closed the round-4 registry at 190/190
 # (tools/rotation.py, which now also recognizes the rows-only passing
 # state err="no_oracle" + spark_rows > 0). This window, regenerated from
-# live state: 3 canaries + the 8 round-5 registrations (the round-4
+# live state: 3 canaries + the 9 round-5 registrations (the round-4
 # VERDICT's "only gap": merge_into, BPE, image near-dup, WebDataset,
-# ADPCM, audio features, multi-probe recall, bilinear resample) + the 3
-# queries whose behavior changed this round (x24 widened to 11 formats;
-# x2_simhash candidate set corrected by the hamming chunk-0 sign fix;
-# x6_jpeg_roundtrip re-pinned after bilinear landed) + 36 of the 48
-# queries last confirmed in ROUND 1 (oldest-green re-validation, so
-# long-green rows keep getting re-exercised as the registry grows).
+# ADPCM, audio features, multi-probe recall, bilinear resample — plus
+# x6_mkv_pcm, the Cluster-payload stretch item) + the 3 queries whose
+# behavior changed this round (x24 widened to 11 formats; x2_simhash
+# candidate set corrected by the hamming chunk-0 sign fix;
+# x6_jpeg_roundtrip re-confirmed after an erroneous round-5 re-pin was
+# reverted — resize_images thumbnails via resize_nearest, so bilinear
+# never touched it) + 35 of the 48 queries last confirmed in ROUND 1
+# (oldest-green re-validation, so long-green rows keep getting
+# re-exercised as the registry grows).
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
 # before this window was handed to the driver.
 PRIORITY: list[str] = [
@@ -79,6 +82,7 @@ PRIORITY: list[str] = [
     # round-5 registrations, oracle-backed first
     "s21_merge_into",
     "x29_webdataset_ingest",
+    "x6_mkv_pcm",
     "x6_adpcm_roundtrip",
     "x6_audio_features",
     "x6_bilinear_resize",
@@ -125,7 +129,9 @@ PRIORITY: list[str] = [
     "f9_date_funcs",
     "f10_hash",
     "f11_arith",
-    "f12_array_funcs",
+    # f12_array_funcs rotated out to make room for x6_mkv_pcm (the
+    # round-5 Cluster-payload registration) — f12 stays cumulatively
+    # green from r1 and returns in a later window.
 ]
 
 

@@ -272,6 +272,8 @@ def run_foreach_batch_upsert(
     import os
     import shutil
 
+    from dmshadoop_spark.operators.merge import merge_into
+
     latest = F.max(
         F.struct(
             F.col("ts").cast("timestamp_ntz").alias("last_ts"),
@@ -295,8 +297,22 @@ def run_foreach_batch_upsert(
                     "last_ts", "last_event_id", "last_value"
                 ).alias("s"),
             )
-            upd = upd.unionByName(prev).groupBy("user_id").agg(
-                F.max("s").alias("s")
+            # MERGE the batch delta into the snapshot (operators/merge.py,
+            # round-5 unification — this replaced a bespoke union+re-reduce
+            # rewrite). matched_update takes greatest(target.s, source.s),
+            # which keeps the commutative-reduce property that makes
+            # checkpoint replays idempotent: re-merging an already-applied
+            # batch is a no-op because max is. Same single-shuffle cost —
+            # one full-outer join on the key instead of union+groupBy.
+            upd = merge_into(
+                prev,
+                upd,
+                on=["user_id"],
+                matched_update={
+                    "s": F.greatest(
+                        F.col("__mrg_t.s"), F.col("__mrg_s.s")
+                    )
+                },
             )
         tmp = state_dir + ".tmp"
         upd.select("user_id", "s.*").write.mode("overwrite").parquet(tmp)

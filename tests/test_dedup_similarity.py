@@ -613,9 +613,13 @@ def test_rows_only_digests_pinned(spark, sf_dir):
         "x5_knn_ivf_trained": 7893893270427542256,
         # codec round-trips: pixel pipelines are code-deterministic
         "x6_png_roundtrip": 4499583823149318019,
-        # re-pinned after resize_images gained fixed-point bilinear
-        # resampling (commit 16c4b4e landed after the previous pin run)
-        "x6_jpeg_roundtrip": -662191405487011748,
+        # NOT affected by the fixed-point bilinear resample (16c4b4e):
+        # resize_images thumbnails via resize_nearest (binary.py:1028);
+        # bilinear is the separate x6_bilinear_resize path. A round-5
+        # "re-pin" on that mistaken premise briefly broke this — the
+        # value below is the measured constant of the nearest+JPEG
+        # pipeline, unchanged since 7aa9f65.
+        "x6_jpeg_roundtrip": 3267694135184578302,
         "x21_dedup_incremental": -1740497008895729337,
         # image near-dup over sha256-pattern synth images (doc_id-pure):
         # exactly the 180 within-group variant pairs, hamming ≤ 3
@@ -950,6 +954,115 @@ def test_mkv_metadata_roundtrip():
     assert (meta["width"], meta["height"]) == ("640", "480")
     assert meta["sample_rate"] == "48000"
     assert mkv == encode_mkv_skeleton(4500.0, video=(640, 480), audio=(48000, 2))
+
+
+def test_mkv_cluster_pcm_roundtrip_all_lacings():
+    """Round 5: the Cluster payload walk. encode_mkv_pcm → decode_mkv_pcm
+    is bit-exact for mono and stereo across all four Matroska lacing
+    modes (none/Xiph/fixed-size/EBML), including ragged tails that force
+    a lacing downgrade, and Xiph sizes that hit the 255-run boundary."""
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import decode_mkv_pcm, encode_mkv_pcm
+
+    rng = np.random.RandomState(11)
+    for channels in (1, 2):
+        for lacing, fpb in (
+            ("none", 1), ("xiph", 3), ("fixed", 4), ("ebml", 3)
+        ):
+            x = rng.randint(-32768, 32768, size=4410 * channels).astype("<i2")
+            blob = encode_mkv_pcm(
+                x, 44100, channels=channels, lacing=lacing,
+                frames_per_block=fpb,
+            )
+            d = decode_mkv_pcm(blob)
+            assert np.array_equal(d["samples"], x), (lacing, channels)
+            assert d["sample_rate"] == 44100 and d["channels"] == channels
+    # non-10ms-multiple length → ragged final frame (xiph run boundary:
+    # 8000 Hz frames are 160 bytes; 2205 samples end on a 72-byte tail)
+    x = np.arange(2205, dtype="<i2")
+    d = decode_mkv_pcm(encode_mkv_pcm(x, 8000, lacing="xiph", frames_per_block=5))
+    assert np.array_equal(d["samples"], x)
+
+
+def test_mkv_blocks_video_frames_and_junk():
+    """encode_mkv_frames → mkv_blocks recovers every V_UNCOMPRESSED frame
+    payload bit-exactly with container timestamps; sample_frames takes
+    the real-mkv branch; malformed EBML raises ValueError."""
+    import pytest
+
+    from dmshadoop_spark.multimodal import (
+        encode_mkv_frames,
+        mkv_blocks,
+        parse_mkv,
+    )
+
+    frames = [bytes([i]) * (3 + i % 5) for i in range(25)]
+    blob = encode_mkv_frames(frames, fps=10, width=64, height=48)
+    m = parse_mkv(blob)
+    assert m["tracks"][0]["codec"] == "V_UNCOMPRESSED"
+    assert abs(m["duration"] - 2.5) < 1e-9
+    bl = mkv_blocks(blob)
+    assert [b["frame"] for b in bl] == frames
+    assert all(b["keyframe"] for b in bl)
+    assert abs(bl[-1]["ts_ms"] - 2400.0) < 1e-9
+    # cluster-free skeleton → zero blocks, not an error
+    from dmshadoop_spark.multimodal import encode_mkv_skeleton
+
+    assert mkv_blocks(encode_mkv_skeleton(1000.0, video=(32, 32))) == []
+    for junk in (b"", b"\x00" * 16, b"RIFF1234"):
+        with pytest.raises(ValueError):
+            mkv_blocks(junk)
+
+
+def test_mkv_lacing_property():
+    """Property: any int16 stream survives encode_mkv_pcm→decode_mkv_pcm
+    bit-exactly for every lacing mode and frames_per_block — exercises
+    Xiph 255-runs, EBML signed-vint deltas (growing AND shrinking lace
+    sizes), fixed-lacing downgrade on ragged tails, and multi-cluster
+    chunking, driven by hypothesis instead of hand-picked sizes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dmshadoop_spark.multimodal import decode_mkv_pcm, encode_mkv_pcm
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=3000),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        channels=st.sampled_from([1, 2]),
+        lacing=st.sampled_from(["none", "xiph", "fixed", "ebml"]),
+        fpb=st.integers(min_value=1, max_value=6),
+    )
+    def check(n, seed, rate, channels, lacing, fpb):
+        rng = np.random.RandomState(seed)
+        x = rng.randint(-32768, 32768, size=n * channels).astype("<i2")
+        blob = encode_mkv_pcm(
+            x, rate, channels=channels, lacing=lacing, frames_per_block=fpb
+        )
+        d = decode_mkv_pcm(blob)
+        assert np.array_equal(d["samples"], x)
+        assert d["sample_rate"] == rate and d["channels"] == channels
+
+    check()
+
+
+def test_sample_frames_real_mkv_path(spark):
+    """sample_frames demuxes Matroska payloads for real: every-stride-th
+    SimpleBlock payload with its cluster-derived timestamp (not the
+    sha256 stub)."""
+    from dmshadoop_spark.multimodal import encode_mkv_frames, sample_frames
+
+    frames = [bytes([70 + i]) * 9 for i in range(20)]
+    blob = encode_mkv_frames(frames, fps=4, width=8, height=8)
+    df = spark.createDataFrame([("v.mkv", bytearray(blob))], "path string, content binary")
+    rows = sample_frames(df, every_s=0.5).orderBy("frame_idx").collect()
+    # 4 fps, every 0.5 s → stride 2 → frames 0, 2, 4, ... 18
+    assert [r["frame_idx"] for r in rows] == list(range(0, 20, 2))
+    assert bytes(rows[1]["frame"]) == frames[2]
+    assert abs(rows[1]["ts_sec"] - 0.5) < 1e-9
 
 
 def test_ms_adpcm_wav_roundtrip():

@@ -3400,3 +3400,30 @@ def x6_mkv_pcm(spark, sf_dir):
             "max_sample bigint, first_sample bigint, last_sample bigint"
         ),
     )
+
+
+@query("x5_knn_pq")  # trained codebooks / ADC ranking are engine-specific → rows-only
+def x5_knn_pq(spark, sf_dir):
+    """Product-quantization ANN (similarity/pq.py — Jégou et al., TPAMI
+    2011): per-subspace codebooks Lloyd-trained on the corpus, vectors
+    compressed to m=8 4-bit codes + an exact stored norm (~16× smaller
+    than the float rows), ADC scoring via a codegen'd
+    zip_with/element_at/aggregate over a broadcast query-LUT — the scan
+    touches CODES ONLY — then exact rerank of the top k·4 candidates
+    through a broadcast point-lookup join (no corpus shuffle anywhere).
+    The fourth ANN strategy beside brute force, hyperplane LSH, and IVF:
+    where IVF cuts candidates, PQ cuts bytes/vector, which is what lets
+    a 100 TB embedding corpus stay memory-resident. Deterministic
+    end-to-end (seeded hash init, first-occurrence argmin, unique-key
+    tie-breaks); digest pins the neighbor sets (see digest.py)."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+    from dmshadoop_spark.similarity import pq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    topk = pq_knn(
+        emb, queries_df, k=5, m=8, nbits=4, rerank=4, train_iters=2
+    )
+    return with_sorted_digest(topk, "query_id", "neighbor_id")

@@ -1,4 +1,17 @@
 from dmshadoop_spark.similarity.kmeans import kmeans_centroids
 from dmshadoop_spark.similarity.knn import brute_force_knn, ivf_knn, lsh_knn
+from dmshadoop_spark.similarity.pq import (
+    pq_encode,
+    pq_knn,
+    train_pq_codebooks,
+)
 
-__all__ = ["brute_force_knn", "ivf_knn", "kmeans_centroids", "lsh_knn"]
+__all__ = [
+    "brute_force_knn",
+    "ivf_knn",
+    "kmeans_centroids",
+    "lsh_knn",
+    "pq_encode",
+    "pq_knn",
+    "train_pq_codebooks",
+]

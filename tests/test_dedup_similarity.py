@@ -125,6 +125,91 @@ def test_ivf_knn_recall_vs_exact(spark, sf_dir):
     assert len(ex & ap) / len(ex) >= 0.3, (len(ex & ap), len(ex))
 
 
+def test_pq_knn_recall_and_determinism(spark, sf_dir):
+    """PQ-ADC + exact rerank (similarity/pq.py): deterministic neighbor
+    sets, partition-layout invariance, and a recall floor vs brute force
+    (measured 0.56 at m=8/nbits=4/rerank=3 on the fixture — assert a
+    safe margin below)."""
+    from dmshadoop_spark.similarity import brute_force_knn, pq_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = brute_force_knn(emb, queries, k=5)
+    approx = pq_knn(emb, queries, k=5, m=8, nbits=4, rerank=3, train_iters=2)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(ap) == 25  # k rows per query
+    assert len(ex & ap) / len(ex) >= 0.35, (len(ex & ap), len(ex))
+    # physical layout must not change training, encoding, or ranking
+    ap2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_knn(
+            emb.repartition(7), queries, k=5, m=8, nbits=4, rerank=3,
+            train_iters=2,
+        ).collect()
+    }
+    assert ap == ap2
+
+
+def test_pq_adc_exact_on_codebook_points(spark):
+    """When every corpus subvector IS a codebook centroid, quantization
+    is lossless: ADC dot == exact dot, so rerank=0 (pure ADC ranking)
+    must MATCH brute force exactly — pins the LUT indexing (j·ksub +
+    code), the encode argmin, and the stored-norm denominator."""
+    import numpy as np
+
+    from dmshadoop_spark.similarity import brute_force_knn, pq_knn
+    from dmshadoop_spark.similarity.pq import pq_encode, train_pq_codebooks
+
+    rng = np.random.RandomState(3)
+    m, ksub, dsub = 4, 4, 3  # dim 12, nbits=2
+    books = rng.randn(m, ksub, dsub).round(3)
+    rows = []
+    for i in range(40):
+        codes = [(i + 7 * j) % ksub for j in range(m)]
+        vec = np.concatenate([books[j][c] for j, c in enumerate(codes)])
+        rows.append((i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    enc = pq_encode(emb, books).collect()
+    by_id = {r["vec_id"]: list(r["pq_code"]) for r in enc}
+    assert by_id[0] == [0, 3, 2, 1]  # (i + 7j) % 4 at i=0
+    exact = brute_force_knn(emb, queries, k=5)
+    adc_only = pq_knn(
+        emb, queries, k=5, rerank=0, codebooks=books
+    )
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in adc_only.collect()}
+    assert ex == ap
+    # scores agree numerically, not just rank order
+    ex_sc = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in exact.collect()
+    }
+    for r in adc_only.collect():
+        assert abs(r["cosine"] - ex_sc[(r["query_id"], r["neighbor_id"])]) < 1e-9
+
+
+def test_pq_codebook_shape_and_dim_guard(spark):
+    """train_pq_codebooks returns (m, 2^nbits, dim/m) and rejects a dim
+    that m doesn't divide."""
+    import numpy as np
+    import pytest
+
+    from dmshadoop_spark.similarity.pq import train_pq_codebooks
+
+    rows = [(i, [float((i * 13 + p) % 7) for p in range(12)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_pq_codebooks(emb, m=4, nbits=2, n_iter=1, id_col="vec_id")
+    assert books.shape == (4, 4, 3) and books.dtype == np.float64
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(emb, m=5, nbits=2, id_col="vec_id")
+
+
 def test_jaccard_df_cap_guards_hot_shingles(spark, sf_dir, monkeypatch):
     """Pin the x2_ngram_jaccard skew guard: postings hotter than
     JACCARD_DF_CAP emit no pairs, and the production cap is far enough above
@@ -611,6 +696,9 @@ def test_rows_only_digests_pinned(spark, sf_dir):
         "x5_knn_lsh": -3244470119333894329,
         "x5_knn_ivf": 1923241679858020679,
         "x5_knn_ivf_trained": 7893893270427542256,
+        # PQ ADC + exact rerank: codebook training, encode argmin, and
+        # the top-k tie-breaks are all deterministic (similarity/pq.py)
+        "x5_knn_pq": -5576533855552935802,
         # codec round-trips: pixel pipelines are code-deterministic
         "x6_png_roundtrip": 4499583823149318019,
         # NOT affected by the fixed-point bilinear resample (16c4b4e):

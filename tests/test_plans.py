@@ -126,6 +126,28 @@ def test_knn_stages_norms_once(spark, sf_dir):
             raise AssertionError(f"dot fold in a condition: {stripped[:200]}")
 
 
+def test_pq_adc_scan_stays_jvm_side(spark, sf_dir):
+    """PQ's scale contract (similarity/pq.py): the Python boundary is
+    crossed ONLY by the Arrow-batched encode/LUT UDFs — the per-candidate
+    ADC scoring expression (zip_with/element_at/aggregate over codes) and
+    both joins run JVM-side. Row-at-a-time Python in the scoring loop
+    would be the 100 TB killer."""
+    p = plan(spark, sf_dir, "x5_knn_pq")
+    assert "BatchEvalPython" not in p, "row-at-a-time Python UDF in PQ plan"
+    import re
+
+    arrow_nodes = set(re.findall(r"ArrowEvalPython \((\d+)\)", p))
+    assert 1 <= len(arrow_nodes) <= 2, arrow_nodes  # encode + query LUT
+    # ADC scoring must never leak into a join/filter condition
+    for line in p.splitlines():
+        stripped = line.strip()
+        if (
+            stripped.startswith("Condition")
+            or stripped.startswith("Join condition")
+        ) and "element_at" in stripped:
+            raise AssertionError(f"ADC fold in a condition: {stripped[:200]}")
+
+
 def test_q7_broadcasts_nations(spark, sf_dir):
     # Nation joins must broadcast (25 rows, SF-invariant) so only the
     # matching dim slices reach the fact-side shuffles.

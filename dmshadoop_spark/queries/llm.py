@@ -3427,3 +3427,29 @@ def x5_knn_pq(spark, sf_dir):
         emb, queries_df, k=5, m=8, nbits=4, rerank=4, train_iters=2
     )
     return with_sorted_digest(topk, "query_id", "neighbor_id")
+
+
+@query("x5_knn_ivfpq")  # trained coarse+residual codebooks → rows-only
+def x5_knn_ivfpq(spark, sf_dir):
+    """IVF-PQ composition (similarity/pq.py:ivfpq_knn — the FAISS IVFPQ
+    layout): coarse k-means cells cut CANDIDATES (nprobe of n_centroids
+    cells scanned per query), product quantization over the RESIDUAL
+    x − c(x) cuts BYTES (residuals have far less variance than raw
+    vectors, so the same codebook budget quantizes them better). Score
+    is the q·c coarse term plus the codegen'd ADC fold over residual
+    codes; candidates join on the cell id (broadcast side = queries ×
+    nprobe, the corpus never shuffles), exact rerank via broadcast
+    point-lookup. Deterministic end-to-end; digest pins the neighbor
+    sets (see digest.py)."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+    from dmshadoop_spark.similarity import ivfpq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    topk = ivfpq_knn(
+        emb, queries_df, k=5, n_centroids=16, nprobe=4, m=8, nbits=4,
+        rerank=4,
+    )
+    return with_sorted_digest(topk, "query_id", "neighbor_id")

@@ -1,6 +1,7 @@
 from dmshadoop_spark.similarity.kmeans import kmeans_centroids
 from dmshadoop_spark.similarity.knn import brute_force_knn, ivf_knn, lsh_knn
 from dmshadoop_spark.similarity.pq import (
+    ivfpq_knn,
     pq_encode,
     pq_knn,
     train_pq_codebooks,
@@ -10,6 +11,7 @@ __all__ = [
     "brute_force_knn",
     "ivf_knn",
     "kmeans_centroids",
+    "ivfpq_knn",
     "lsh_knn",
     "pq_encode",
     "pq_knn",

@@ -164,6 +164,164 @@ def _adc_score(ksub: int, m: int):
     )
 
 
+def _residual_udf(spark: SparkSession, cents: np.ndarray):
+    """pandas_udf: (vector, 1-based cell) → vector − centroid[cell]."""
+    bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(cents, dtype=np.float64)
+    )
+
+    @F.pandas_udf("array<double>")
+    def residual(v: pd.Series, cell: pd.Series) -> pd.Series:
+        c = bc.value
+        X = np.array(list(v), dtype=np.float64)
+        R = X - c[cell.to_numpy(dtype=np.int64) - 1]
+        return pd.Series(list(R))
+
+    return residual
+
+
+def _qdotc_udf(spark: SparkSession, cents: np.ndarray):
+    """pandas_udf: (query vector, 1-based cell) → q · centroid[cell] —
+    the coarse term of the IVF-PQ score decomposition."""
+    bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(cents, dtype=np.float64)
+    )
+
+    @F.pandas_udf("double")
+    def qdotc(v: pd.Series, cell: pd.Series) -> pd.Series:
+        c = bc.value
+        Q = np.array(list(v), dtype=np.float64)
+        picked = c[cell.to_numpy(dtype=np.int64) - 1]
+        return pd.Series((Q * picked).sum(axis=1))
+
+    return qdotc
+
+
+def ivfpq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_emb",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    nbits: int = 4,
+    rerank: int = 4,
+    seed: int = 42,
+    coarse_iters: int = 2,
+    pq_iters: int = 2,
+) -> DataFrame:
+    """IVF-PQ — the standard billion-scale layout (FAISS IVFPQ): coarse
+    cells cut CANDIDATES (only ``nprobe`` of ``n_centroids`` cells are
+    scanned per query), PQ over the RESIDUAL x − c(x) cuts BYTES (the
+    residual has far less variance than x, so the same codebook budget
+    quantizes it much more accurately — the reason IVF-PQ beats flat PQ).
+
+    Score decomposition: q·x ≈ q·c + q·r̂ where r̂ is the PQ-quantized
+    residual — the q·c coarse term is one dot per (query, probed cell)
+    and the q·r̂ term is the same codegen'd ADC fold as ``pq_knn``, with
+    the LUT built from residual codebooks. The candidate join is an
+    equi-join on the cell id (never a corpus shuffle — the broadcast side
+    is queries × nprobe), candidates carry codes + stored norm only, and
+    the exact rerank is the same broadcast point-lookup join."""
+    from dmshadoop_spark.similarity.assign import (
+        with_nearest_cell,
+        with_probe_cells,
+    )
+    from dmshadoop_spark.similarity.kmeans import kmeans_centroids
+    from dmshadoop_spark.similarity.knn import _rank_topk
+
+    spark = corpus.sparkSession
+    corpus2 = (
+        widen(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
+        )
+        .select("neighbor_id", "_v", F.sqrt(norm_sq(F.col("_v"))).alias("_nv"))
+    )
+    cents = kmeans_centroids(
+        corpus2,
+        vec_col="_v",
+        k=n_centroids,
+        n_iter=coarse_iters,
+        seed=seed,
+        id_col="neighbor_id",
+    )
+    residual = _residual_udf(spark, cents)
+    c_cells = with_nearest_cell(corpus2, "_v", cents, out_col="cell")
+    c_resid = c_cells.withColumn("_r", residual(F.col("_v"), F.col("cell")))
+    codebooks = train_pq_codebooks(
+        c_resid,
+        vec_col="_r",
+        m=m,
+        nbits=nbits,
+        seed=seed + 1000,
+        n_iter=pq_iters,
+        id_col="neighbor_id",
+    )
+    encode = _encode_udf(spark, codebooks)
+    enc = c_resid.select(
+        "neighbor_id",
+        "cell",
+        encode(F.col("_r")).alias("pq_code"),
+        F.col("_nv").alias("pq_norm"),
+    )
+    m, ksub, _ = codebooks.shape
+
+    lut = _lut_udf(spark, codebooks)
+    qdotc = _qdotc_udf(spark, cents)
+    q2 = queries.select(
+        F.col(query_id_col), as_double(query_vec_col).alias("_qv")
+    ).select(
+        query_id_col, "_qv", F.sqrt(norm_sq(F.col("_qv"))).alias("_nq")
+    )
+    q_probed = (
+        with_probe_cells(q2, "_qv", cents, nprobe, out_col="_cells")
+        .select(
+            query_id_col,
+            "_qv",
+            "_nq",
+            F.explode("_cells").alias("cell"),
+        )
+        .select(
+            query_id_col,
+            "_nq",
+            "cell",
+            lut(F.col("_qv")).alias("_lut"),
+            qdotc(F.col("_qv"), F.col("cell")).alias("_qc"),
+        )
+    )
+    scored = enc.join(broadcast(q_probed), "cell").select(
+        F.col(query_id_col),
+        "neighbor_id",
+        (
+            (F.col("_qc") + _adc_score(ksub, m))
+            / (F.col("_nq") * F.col("pq_norm"))
+        ).alias("cosine"),
+    )
+    if rerank <= 0:
+        return _rank_topk(scored, query_id_col, k)
+    cand = _rank_topk(scored, query_id_col, k * rerank).select(
+        query_id_col, "neighbor_id"
+    )
+    exact = (
+        corpus2.join(broadcast(cand), "neighbor_id")
+        .join(broadcast(q2), query_id_col)
+        .select(
+            F.col(query_id_col),
+            "neighbor_id",
+            (
+                dot(F.col("_qv"), F.col("_v"))
+                / (F.col("_nq") * F.col("_nv"))
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(exact, query_id_col, k)
+
+
 def pq_knn(
     corpus: DataFrame,
     queries: DataFrame,

@@ -153,6 +153,36 @@ def test_pq_knn_recall_and_determinism(spark, sf_dir):
     assert ap == ap2
 
 
+def test_ivfpq_knn_recall_and_determinism(spark, sf_dir):
+    """IVF-PQ (coarse cells + residual PQ): k rows per query, recall
+    floor vs brute force while scanning only nprobe/n_centroids of the
+    corpus, and partition-layout invariance (coarse training, residual
+    codebooks, encode, probe ranking, tie-breaks all deterministic)."""
+    from dmshadoop_spark.similarity import brute_force_knn, ivfpq_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ex = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(emb, queries, k=5).collect()
+    }
+    kw = dict(k=5, n_centroids=8, nprobe=4, m=8, nbits=4, rerank=3)
+    ap = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_knn(emb, queries, **kw).collect()
+    }
+    assert len(ap) == 25
+    # probing half the cells with 4-bit residual codes (measured 0.52)
+    assert len(ex & ap) / len(ex) >= 0.3, (len(ex & ap), len(ex))
+    ap2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_knn(emb.repartition(5), queries, **kw).collect()
+    }
+    assert ap == ap2
+
+
 def test_pq_adc_exact_on_codebook_points(spark):
     """When every corpus subvector IS a codebook centroid, quantization
     is lossless: ADC dot == exact dot, so rerank=0 (pure ADC ranking)
@@ -699,6 +729,8 @@ def test_rows_only_digests_pinned(spark, sf_dir):
         # PQ ADC + exact rerank: codebook training, encode argmin, and
         # the top-k tie-breaks are all deterministic (similarity/pq.py)
         "x5_knn_pq": -5576533855552935802,
+        # IVF-PQ: coarse cells + residual codebooks, q·c + ADC scoring
+        "x5_knn_ivfpq": 5708955910526947130,
         # codec round-trips: pixel pipelines are code-deterministic
         "x6_png_roundtrip": 4499583823149318019,
         # NOT affected by the fixed-point bilinear resample (16c4b4e):

@@ -93,6 +93,9 @@ def _encode_udf(spark: SparkSession, codebooks: np.ndarray):
         books = bc.value  # (m, ksub, dsub)
         m, _, dsub = books.shape
         for s in it:
+            if len(s) == 0:  # empty Arrow batch → 1-D array, guard it
+                yield pd.Series([], dtype=object)
+                continue
             X = np.array(list(s), dtype=np.float64)  # (n, dim)
             codes = np.empty((X.shape[0], m), dtype=np.int32)
             for j in range(m):
@@ -116,6 +119,9 @@ def _lut_udf(spark: SparkSession, codebooks: np.ndarray):
         books = bc.value
         m, ksub, dsub = books.shape
         for s in it:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
             Q = np.array(list(s), dtype=np.float64)
             out = np.empty((Q.shape[0], m * ksub), dtype=np.float64)
             for j in range(m):
@@ -172,6 +178,8 @@ def _residual_udf(spark: SparkSession, cents: np.ndarray):
 
     @F.pandas_udf("array<double>")
     def residual(v: pd.Series, cell: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
         c = bc.value
         X = np.array(list(v), dtype=np.float64)
         R = X - c[cell.to_numpy(dtype=np.int64) - 1]
@@ -189,6 +197,8 @@ def _qdotc_udf(spark: SparkSession, cents: np.ndarray):
 
     @F.pandas_udf("double")
     def qdotc(v: pd.Series, cell: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=np.float64)
         c = bc.value
         Q = np.array(list(v), dtype=np.float64)
         picked = c[cell.to_numpy(dtype=np.int64) - 1]

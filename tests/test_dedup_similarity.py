@@ -1103,6 +1103,13 @@ def test_mkv_cluster_pcm_roundtrip_all_lacings():
     x = np.arange(2205, dtype="<i2")
     d = decode_mkv_pcm(encode_mkv_pcm(x, 8000, lacing="xiph", frames_per_block=5))
     assert np.array_equal(d["samples"], x)
+    # Cluster elements must not confuse the metadata walk (dms.extract
+    # sniffs full files the same as skeletons)
+    from dmshadoop_spark.dms import extract_metadata
+
+    meta = extract_metadata(encode_mkv_pcm(np.zeros(1600, dtype="<i2"), 8000))
+    assert meta["content_type"] == "video/x-matroska"
+    assert meta["duration_ms"] == "200" and meta["sample_rate"] == "8000"
 
 
 def test_mkv_blocks_video_frames_and_junk():

@@ -242,3 +242,29 @@ def test_streaming_ingest_into_store(spark, tmp_path):
     assert len(gens) >= 3
     for g in gens:
         store.df(g).count()
+
+
+def test_foreach_batch_upsert_replay_idempotent(spark, events_dir, tmp_path):
+    """ST10's merge (operators/merge.py with matched_update =
+    greatest(t.s, s.s) since round 5) must keep the commutative-reduce
+    property that makes at-least-once redelivery safe: re-running the
+    WHOLE stream against an existing snapshot (fresh checkpoint → every
+    micro-batch redelivered) must leave the snapshot byte-for-byte
+    unchanged, because max(x, x) = x."""
+    from dmshadoop_spark.streaming import read_events_stream
+    from dmshadoop_spark.streaming.streams import run_foreach_batch_upsert
+
+    state = str(tmp_path / "state")
+    run_foreach_batch_upsert(
+        read_events_stream(spark, events_dir),
+        state,
+        str(tmp_path / "ckpt1"),
+    )
+    once = _rows(spark.read.parquet(state))
+    assert once  # non-empty keyed snapshot
+    run_foreach_batch_upsert(
+        read_events_stream(spark, events_dir),
+        state,
+        str(tmp_path / "ckpt2"),  # fresh checkpoint = full redelivery
+    )
+    assert _rows(spark.read.parquet(state)) == once

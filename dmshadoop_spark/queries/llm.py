@@ -3453,3 +3453,68 @@ def x5_knn_ivfpq(spark, sf_dir):
         rerank=4,
     )
     return with_sorted_digest(topk, "query_id", "neighbor_id")
+
+
+@query(
+    "x2d_dedup_survivors",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        FROM tok
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sel AS (
+        SELECT doc_a, doc_b FROM prs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM sel
+        UNION SELECT doc_b, doc_a FROM sel
+    ),
+    reach(a, r) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT reach.a, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, least(a, min(r)) AS component
+        FROM reach GROUP BY a
+    )
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    WHERE c.doc_id IS NULL OR d.doc_id = c.component
+    """,
+)
+def x2d_dedup_survivors(spark, sf_dir):
+    """The near-dup pipeline's FINAL stage — the deduplicated corpus a
+    training run actually consumes: Jaccard pairs at 0.5 (x2's inverted-
+    index emission) → pointer-jumping connected components (x2c's
+    clustering) → dedup_survivors (dedup/components.py): docs in no
+    cluster pass through, each cluster keeps only its canonical (min-id)
+    member. One broadcast-friendly left join over the corpus; the oracle
+    closes the same edge set with the recursive CTE and anti-selects
+    non-canonical members — so the driver value-checks the END-TO-END
+    pair→cluster→survivor composition, not just its stages."""
+    from dmshadoop_spark.dedup.components import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    pairs = x2_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return dedup_survivors(docs, comps).select("doc_id")

@@ -3518,3 +3518,69 @@ def x2d_dedup_survivors(spark, sf_dir):
     comps = connected_components(pairs, src="doc_a", dst="doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return dedup_survivors(docs, comps).select("doc_id")
+
+
+@query(
+    "x30_warc_ingest",
+    oracle="""
+    SELECT 'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(200 AS BIGINT) AS http_status,
+           'text/plain' AS content_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           md5(text) AS payload_md5
+    FROM documents WHERE doc_id < 240 AND text IS NOT NULL
+    """,
+)
+def x30_warc_ingest(spark, sf_dir):
+    """WARC crawl-archive ingest (multimodal/warc.py — ISO 28500, the
+    Common Crawl layout) under a FULL value oracle: documents become
+    member-per-record gzipped ``.warc.gz`` shards (one per 40 docs, the
+    fixture-generator role x29 plays for tar), then ``warc_records``
+    parses each shard WHERE IT SITS — gzip member walk, WARC header
+    split, HTTP status/header/payload separation — all mapInPandas,
+    zero shuffles; payload bytes never leave the executor that read the
+    shard. The oracle recomputes url/status/content-type/length/md5 per
+    document, so a hash match proves the mux, the member-boundary gzip
+    handling, and the HTTP envelope split are byte-exact. This is the
+    text-corpus front door a 100 TB training pipeline starts at; the
+    emitted payload column feeds the X-family (lang-ID → quality →
+    dedup) unchanged."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal.warc import warc_records, write_warc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 240) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard_id = int(pdf["shard_id"].iloc[0])
+        pages = [
+            (f"http://corpus.local/doc/{int(d)}", str(t).encode())
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {
+                "path": [f"crawl-{shard_id:05d}.warc.gz"],
+                "content": [write_warc(pages)],
+            }
+        )
+
+    shards = (
+        docs.withColumn("shard_id", (F.col("doc_id") / 40).cast("long"))
+        .groupBy("shard_id")
+        .applyInPandas(build, schema="path string, content binary")
+    )
+    recs = warc_records(shards)
+    return recs.select(
+        "url",
+        F.col("http_status").cast("long").alias("http_status"),
+        "content_type",
+        F.length("payload").cast("long").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )

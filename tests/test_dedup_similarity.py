@@ -1495,3 +1495,58 @@ def test_resize_bilinear_properties():
     chk = np.repeat(chk[:, :, None], 3, 2)
     assert abs(float(resize_bilinear(chk, 8, 8).mean()) - 127.5) < 2
     assert np.array_equal(resize_bilinear(img, 7, 5), resize_bilinear(img, 7, 5))
+
+
+def test_warc_roundtrip_and_junk():
+    """WARC mux/demux (multimodal/warc.py): member-per-record gzip,
+    plain, and whole-file-gzip layouts all parse back to the exact
+    (url, status, content-type, payload) tuples; output is
+    byte-deterministic; malformed input raises ValueError."""
+    import zlib
+
+    import pytest
+
+    from dmshadoop_spark.multimodal import parse_warc, write_warc
+
+    pages = [
+        (f"http://example.org/doc/{i}", (f"body {i} " * (i + 1)).encode())
+        for i in range(5)
+    ]
+    for gz in (True, False):
+        blob = write_warc(pages, gzip_per_record=gz)
+        assert blob == write_warc(pages, gzip_per_record=gz)
+        recs = parse_warc(blob)
+        assert [(r["url"], r["payload"]) for r in recs] == pages
+        assert all(
+            r["http_status"] == 200
+            and r["content_type"] == "text/plain"
+            and r["warc_type"] == "response"
+            for r in recs
+        )
+    # whole-file gzip over the plain stream (the third common layout)
+    gzobj = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    whole = gzobj.compress(write_warc(pages, gzip_per_record=False))
+    whole += gzobj.flush()
+    assert len(parse_warc(whole)) == 5
+    for junk in (b"", b"hello world", b"\x1f\x8b\x00junk",
+                 b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort"):
+        with pytest.raises(ValueError):
+            parse_warc(junk)
+
+
+def test_warc_records_spark_and_corrupt_shard(spark):
+    """warc_records parses shards in place (one row per record) and a
+    corrupt shard yields zero rows instead of failing the task."""
+    from dmshadoop_spark.multimodal import warc_records, write_warc
+
+    good = write_warc([("http://a/1", b"alpha"), ("http://a/2", b"beta")])
+    df = spark.createDataFrame(
+        [("good.warc.gz", bytearray(good)), ("bad.warc.gz", bytearray(b"junk"))],
+        "path string, content binary",
+    )
+    rows = warc_records(df).orderBy("url").collect()
+    assert [(r["url"], bytes(r["payload"])) for r in rows] == [
+        ("http://a/1", b"alpha"),
+        ("http://a/2", b"beta"),
+    ]
+    assert {r["warc"] for r in rows} == {"good.warc.gz"}

@@ -3584,3 +3584,57 @@ def x30_warc_ingest(spark, sf_dir):
         F.length("payload").cast("long").alias("payload_bytes"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+@query("x5_pq_recall")  # quantized rankings are engine-specific → rows-only
+def x5_pq_recall(spark, sf_dir):
+    """PQ-family recall measurement as a driver-checkable query (the
+    x5_knn_multiprobe discipline applied to quantization): exact top-5
+    (brute_force_knn — ground truth) ⟕ flat-PQ candidates ⟕ IVF-PQ
+    candidates, per-query hit counts. The digest pins all three neighbor
+    sets, so codebook-training drift, ADC indexing bugs, or probe-order
+    changes surface as a digest flip even though the row count is stable
+    — and the per-query quantization cost stays auditable round over
+    round. Measured on the sf0.001 fixture at m=8/nbits=4: recall@5
+    0.675 flat PQ, 0.55 IVF-PQ scanning only nprobe 4 of 16 cells."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+    from dmshadoop_spark.similarity import brute_force_knn, ivfpq_knn, pq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = brute_force_knn(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def hits(got, name: str):
+        return (
+            exact.join(
+                got.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    pq = pq_knn(emb, queries_df, k=5, m=8, nbits=4, rerank=4, train_iters=2)
+    ivfpq = ivfpq_knn(
+        emb, queries_df, k=5, n_centroids=16, nprobe=4, m=8, nbits=4,
+        rerank=4,
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    out = (
+        base.join(hits(pq, "hits_pq"), "query_id", "left")
+        .join(hits(ivfpq, "hits_ivfpq"), "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("hits_pq", F.lit(0)).alias("hits_pq"),
+            F.coalesce("hits_ivfpq", F.lit(0)).alias("hits_ivfpq"),
+        )
+    )
+    return with_sorted_digest(
+        out, "query_id", "n_exact", "hits_pq", "hits_ivfpq"
+    )

@@ -731,6 +731,10 @@ def test_rows_only_digests_pinned(spark, sf_dir):
         "x5_knn_pq": -5576533855552935802,
         # IVF-PQ: coarse cells + residual codebooks, q·c + ADC scoring
         "x5_knn_ivfpq": 5708955910526947130,
+        # PQ-family recall measurement: pins exact + PQ + IVF-PQ sets
+        # (measured at this pin: recall@5 = 0.675 flat PQ, 0.55 IVF-PQ
+        # at nprobe 4 of 16 cells)
+        "x5_pq_recall": -2054262330739987033,
         # codec round-trips: pixel pipelines are code-deterministic
         "x6_png_roundtrip": 4499583823149318019,
         # NOT affected by the fixed-point bilinear resample (16c4b4e):

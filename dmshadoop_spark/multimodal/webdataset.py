@@ -117,3 +117,68 @@ def write_tar_shard(samples: list[tuple[str, bytes]]) -> bytes:
             info.uname = info.gname = ""
             tf.addfile(info, io.BytesIO(data))
     return buf.getvalue()
+
+
+def explode_zip_members(
+    shards: DataFrame, content_col: str = "content", path_col: str = "path"
+) -> DataFrame:
+    """ZIP twin of ``explode_tar_members`` (stdlib zipfile): one row per
+    regular member with the same (shard, member, stem, ext, size,
+    content) schema and the same corrupt-shard zero-row posture, so
+    ``group_samples`` reassembles zip shards unchanged. ZIP's central
+    directory lives at the END of the archive — fine here because the
+    shard arrived as one binary value; at 100 TB the parallel unit is
+    the shard either way."""
+    import zipfile
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("shard", "member", "stem", "ext", "size", "content")
+            }
+            for shard, blob in zip(pdf[path_col], pdf[content_col]):
+                if blob is None:
+                    continue
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(bytes(blob)))
+                except (zipfile.BadZipFile, EOFError, ValueError):
+                    continue
+                with zf:
+                    for info in zf.infolist():
+                        if info.is_dir():
+                            continue
+                        try:
+                            data = zf.read(info)
+                        except (zipfile.BadZipFile, EOFError, ValueError):
+                            continue
+                        base = posixpath.basename(info.filename)
+                        stem, _, ext = base.partition(".")
+                        out["shard"].append(shard)
+                        out["member"].append(info.filename)
+                        out["stem"].append(stem)
+                        out["ext"].append(ext)
+                        out["size"].append(len(data))
+                        out["content"].append(data)
+            yield pd.DataFrame(out)
+
+    return shards.select(path_col, content_col).mapInPandas(
+        work, schema=MEMBER_SCHEMA
+    )
+
+
+def write_zip_shard(
+    samples: list[tuple[str, bytes]], compress: bool = False
+) -> bytes:
+    """Deterministic ZIP shard from (member_name, bytes) pairs — fixed
+    DOS timestamp (1980-01-01), no extra fields, stored or deflated."""
+    import zipfile
+
+    buf = io.BytesIO()
+    method = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w", method) as zf:
+        for name, data in samples:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = method
+            zf.writestr(info, data)
+    return buf.getvalue()

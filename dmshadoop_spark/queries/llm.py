@@ -3638,3 +3638,82 @@ def x5_pq_recall(spark, sf_dir):
     return with_sorted_digest(
         out, "query_id", "n_exact", "hits_pq", "hits_ivfpq"
     )
+
+
+@query(
+    "x31_zip_ingest",
+    oracle="""
+    SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS stem,
+           CAST(3 AS BIGINT) AS n_members,
+           CAST(
+               octet_length(encode(text))
+               + octet_length(encode('{"id": ' || CAST(doc_id AS VARCHAR)
+                                     || ', "lang": "' || lang || '"}'))
+               + octet_length(encode(lang)) AS BIGINT
+           ) AS total_bytes,
+           md5(text) AS txt_md5,
+           md5('{"id": ' || CAST(doc_id AS VARCHAR) || ', "lang": "'
+               || lang || '"}') AS json_md5,
+           lang AS cls
+    FROM documents WHERE doc_id < 240 AND text IS NOT NULL
+    """,
+)
+def x31_zip_ingest(spark, sf_dir):
+    """ZIP-shard ingest — x29's tar pipeline through the third shard
+    container (multimodal/webdataset.py:explode_zip_members): samples
+    pack into DEFLATE-compressed .zip shards cluster-side, unpack in
+    place (central-directory walk + inflate, member bytes never
+    shuffle), and reassemble through the SAME group_samples shuffle —
+    the member schema is container-agnostic by design, so swapping
+    tar↔zip↔(warc) changes only the explode step. The oracle is x29's:
+    identical emitted fields prove container-independence of the whole
+    pipeline, and the DEFLATE path gets a full value check."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal.webdataset import (
+        explode_zip_members,
+        group_samples,
+        write_zip_shard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 240) & F.col("text").isNotNull()
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        samples = []
+        for r in pdf.sort_values("doc_id").itertuples():
+            d, lang, text = int(r.doc_id), r.lang, r.text
+            stem = f"{d:06d}"
+            j = '{"id": %d, "lang": "%s"}' % (d, lang)
+            samples.extend(
+                [
+                    (f"{stem}.txt", text.encode("utf-8")),
+                    (f"{stem}.json", j.encode("utf-8")),
+                    (f"{stem}.cls", lang.encode("utf-8")),
+                ]
+            )
+        shard_id = int(pdf["shard_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "path": [f"shard-{shard_id:05d}.zip"],
+                "content": [write_zip_shard(samples, compress=True)],
+            }
+        )
+
+    shards = (
+        docs.withColumn("shard_id", (F.col("doc_id") / 40).cast("long"))
+        .groupBy("shard_id")
+        .applyInPandas(build, schema="path string, content binary")
+    )
+    samples = group_samples(explode_zip_members(shards))
+    return samples.select(
+        "stem",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.md5(F.element_at("parts", "txt")).alias("txt_md5"),
+        F.md5(F.element_at("parts", "json")).alias("json_md5"),
+        F.element_at("parts", "cls").cast("string").alias("cls"),
+    )

@@ -61,7 +61,7 @@ def load_all() -> None:
 # driver-confirmed coverage closed the round-4 registry at 190/190
 # (tools/rotation.py, which now also recognizes the rows-only passing
 # state err="no_oracle" + spark_rows > 0). This window, regenerated from
-# live state: 3 canaries + the 14 round-5 registrations (the round-4
+# live state: 3 canaries + the 15 round-5 registrations (the round-4
 # VERDICT's "only gap": merge_into, BPE, image near-dup, WebDataset,
 # ADPCM, audio features, multi-probe recall, bilinear resample — plus
 # x6_mkv_pcm, the Cluster-payload stretch item, x5_knn_pq, and x5_knn_ivfpq, the
@@ -70,7 +70,7 @@ def load_all() -> None:
 # candidate set corrected by the hamming chunk-0 sign fix;
 # x6_jpeg_roundtrip re-confirmed after an erroneous round-5 re-pin was
 # reverted — resize_images thumbnails via resize_nearest, so bilinear
-# never touched it) + 30 of the 48 queries last confirmed in ROUND 1
+# never touched it) + 29 of the 48 queries last confirmed in ROUND 1
 # (oldest-green re-validation, so long-green rows keep getting
 # re-exercised as the registry grows).
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
@@ -85,6 +85,7 @@ PRIORITY: list[str] = [
     "x2d_dedup_survivors",
     "x29_webdataset_ingest",
     "x30_warc_ingest",
+    "x31_zip_ingest",
     "x6_mkv_pcm",
     "x6_adpcm_roundtrip",
     "x6_audio_features",
@@ -129,12 +130,12 @@ PRIORITY: list[str] = [
     "f3_regexp_extract",
     "f4_replace_trim",
     "f5_cast",
-    "f6_json_extract",
-    # f7_map_ops / f8_string_funcs / f9_date_funcs / f10_hash /
-    # f11_arith / f12_array_funcs rotated out to make room for the
-    # round-5 registrations (x6_mkv_pcm, x5_knn_pq, x5_knn_ivfpq,
-    # x5_pq_recall, x2d_dedup_survivors, x30_warc_ingest) — all six
-    # stay cumulatively green from r1 and return in a later window.
+    # f6_json_extract / f7_map_ops / f8_string_funcs / f9_date_funcs /
+    # f10_hash / f11_arith / f12_array_funcs rotated out to make room
+    # for the round-5 registrations (x6_mkv_pcm, x5_knn_pq,
+    # x5_knn_ivfpq, x5_pq_recall, x2d_dedup_survivors, x30_warc_ingest,
+    # x31_zip_ingest) — all seven stay cumulatively green from r1 and
+    # return in a later window.
 ]
 
 

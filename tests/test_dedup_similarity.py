@@ -1554,3 +1554,37 @@ def test_warc_records_spark_and_corrupt_shard(spark):
         ("http://a/2", b"beta"),
     ]
     assert {r["warc"] for r in rows} == {"good.warc.gz"}
+
+
+def test_zip_shard_roundtrip_and_corrupt(spark):
+    """ZIP shard twin of the tar path: explode_zip_members emits the
+    same member schema (group_samples works unchanged), deterministic
+    mux (fixed DOS timestamp), corrupt shards yield zero rows."""
+    from dmshadoop_spark.multimodal.webdataset import (
+        explode_zip_members,
+        group_samples,
+        write_zip_shard,
+    )
+
+    samples = [
+        ("000001.txt", b"hello"),
+        ("000001.json", b'{"id": 1}'),
+        ("000002.txt", b"world"),
+    ]
+    for comp in (False, True):
+        blob = write_zip_shard(samples, compress=comp)
+        assert blob == write_zip_shard(samples, compress=comp)
+        df = spark.createDataFrame(
+            [("s.zip", bytearray(blob)), ("bad.zip", bytearray(b"PK\x03junk"))],
+            "path string, content binary",
+        )
+        members = explode_zip_members(df)
+        rows = members.orderBy("member").collect()
+        assert [(r["member"], bytes(r["content"])) for r in rows] == sorted(
+            samples
+        )
+        grouped = {
+            r["stem"]: r["n_members"]
+            for r in group_samples(members).collect()
+        }
+        assert grouped == {"000001": 2, "000002": 1}

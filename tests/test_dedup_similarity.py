@@ -1588,3 +1588,41 @@ def test_zip_shard_roundtrip_and_corrupt(spark):
             for r in group_samples(members).collect()
         }
         assert grouped == {"000001": 2, "000002": 1}
+
+
+def test_warc_property_adversarial_payloads():
+    """Property: parse_warc is Content-Length-driven, so payloads that
+    CONTAIN record-looking bytes (WARC/1.0 headers, CRLF-CRLF runs, gzip
+    magic) must round-trip bit-exactly and never confuse the record
+    walk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dmshadoop_spark.multimodal import parse_warc, write_warc
+
+    tricky = st.one_of(
+        st.binary(min_size=0, max_size=200),
+        st.sampled_from(
+            [
+                b"WARC/1.0\r\nWARC-Type: response\r\n\r\n",
+                b"\r\n\r\n\r\n\r\n",
+                b"\x1f\x8b\x08\x00fake",
+                b"HTTP/1.1 500 Oops\r\n\r\nnested",
+            ]
+        ),
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        bodies=st.lists(tricky, min_size=1, max_size=6),
+        gz=st.booleans(),
+    )
+    def check(bodies, gz):
+        pages = [
+            (f"http://t.local/{i}", body) for i, body in enumerate(bodies)
+        ]
+        recs = parse_warc(write_warc(pages, gzip_per_record=gz))
+        assert [(r["url"], r["payload"]) for r in recs] == pages
+        assert all(r["http_status"] == 200 for r in recs)
+
+    check()

@@ -68,13 +68,57 @@ def _read_vint(data: bytes, i: int, keep_marker: bool) -> tuple[int, int]:
     return value, i + length
 
 
+def _read_size(data: bytes, i: int) -> tuple[int, int, bool]:
+    """Read an element size vint → (size, next, is_unknown). RFC 8794:
+    a size whose VALUE bits are all ones (0xFF, 0x7FFF, …) means
+    'unknown size' — the element extends until a byte sequence that is
+    not a valid child, or the parent's end. Live-muxed Matroska
+    (streaming remuxers) writes Segment and Cluster this way."""
+    size, j = _read_vint(data, i, keep_marker=False)
+    return size, j, size == (1 << (7 * (j - i))) - 1
+
+
+# Level-1 children a Cluster may contain (Matroska registry): anything
+# else terminates an unknown-size Cluster.
+_CLUSTER_CHILD_IDS = frozenset(
+    {0xE7, 0xA3, 0xA0, 0xA7, 0xAB, 0x5854, 0xAF, 0xBF, 0xEC}
+)  # Timestamp, SimpleBlock, BlockGroup, Position, PrevSize,
+#    SilentTracks, EncryptedBlock, CRC-32, Void
+
+
+def _scan_cluster_end(data: bytes, lo: int, hi: int) -> int:
+    """Resolve an unknown-size Cluster: parse children until an element
+    id that is not a valid Cluster child (e.g. the next Cluster) or the
+    parent's end — the RFC 8794 termination rule."""
+    i = lo
+    while i < hi:
+        try:
+            eid, j = _read_vint(data, i, keep_marker=True)
+            size, j2, unknown = _read_size(data, j)
+        except ValueError:
+            return i
+        if eid not in _CLUSTER_CHILD_IDS:
+            return i
+        if unknown:  # nested unknown inside a cluster: give up at parent
+            return hi
+        i = min(j2 + size, hi)
+    return hi
+
+
 def _walk(data: bytes, lo: int, hi: int):
-    """Yield (element_id, payload_lo, payload_hi) for EBML children."""
+    """Yield (element_id, payload_lo, payload_hi) for EBML children.
+    Unknown-size elements (RFC 8794) resolve to the parent's end, except
+    Clusters, which end at the first non-Cluster-child id — so
+    live-muxed files (unknown-size Segment + unknown-size Clusters)
+    walk correctly instead of being cut at a bogus 127-byte size."""
     i = lo
     while i < hi:
         eid, i = _read_vint(data, i, keep_marker=True)
-        size, i = _read_vint(data, i, keep_marker=False)
-        end = min(i + size, hi)
+        size, i, unknown = _read_size(data, i)
+        if unknown:
+            end = _scan_cluster_end(data, i, hi) if eid == CLUSTER else hi
+        else:
+            end = min(i + size, hi)
         yield eid, i, end
         i = end
 

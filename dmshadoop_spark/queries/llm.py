@@ -2841,9 +2841,10 @@ def x28_image_neardup(spark, sf_dir):
     return with_sorted_digest(pairs, "path_a", "path_b", "hamming")
 
 
-@query(
-    "x29_webdataset_ingest",
-    oracle="""
+# Shared by x29 (tar) / x31 (zip): the shard-sample pipeline is
+# container-agnostic by design — one oracle, one builder, one select;
+# only the explode/write step differs per container.
+_WDS_ORACLE = """
     SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS stem,
            CAST(3 AS BIGINT) AS n_members,
            CAST(
@@ -2857,26 +2858,21 @@ def x28_image_neardup(spark, sf_dir):
                || lang || '"}') AS json_md5,
            lang AS cls
     FROM documents WHERE doc_id < 240 AND text IS NOT NULL
-    """,
-)
-def x29_webdataset_ingest(spark, sf_dir):
-    """WebDataset tar-shard ingest under a FULL value oracle: the corpus
-    is packed cluster-side into .tar shards of 40 samples (each sample =
-    {stem}.txt + {stem}.json + {stem}.cls, the WebDataset basename-stem
-    convention), then unpacked in place (explode_tar_members — member
-    bytes never shuffle) and reassembled per sample (group_samples — ONE
-    uniform (shard, stem) shuffle). Every emitted field (sizes, per-part
-    md5s, class label) is a pure function of the source row, so DuckDB
-    recomputes them all — a hash match proves the tar mux → demux →
-    regroup path is byte-exact, not just row-complete."""
-    from collections.abc import Iterator
+    """
 
+
+def _webdataset_pipeline(spark, sf_dir, fmt: str):
+    """Pack documents into 40-sample shards of container ``fmt`` ("tar"
+    or "zip"), unpack in place, regroup per sample, emit the oracle
+    fields. x29/x31 differ ONLY in the value of ``fmt``."""
     import pandas as pd
 
     from dmshadoop_spark.multimodal.webdataset import (
         explode_tar_members,
+        explode_zip_members,
         group_samples,
         write_tar_shard,
+        write_zip_shard,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -2897,10 +2893,14 @@ def x29_webdataset_ingest(spark, sf_dir):
                 ]
             )
         shard_id = int(pdf["shard_id"].iloc[0])
+        if fmt == "tar":
+            blob = write_tar_shard(samples)
+        else:  # DEFLATE-compressed zip exercises the inflate path
+            blob = write_zip_shard(samples, compress=True)
         return pd.DataFrame(
             {
-                "path": [f"shard-{shard_id:05d}.tar"],
-                "content": [write_tar_shard(samples)],
+                "path": [f"shard-{shard_id:05d}.{fmt}"],
+                "content": [blob],
             }
         )
 
@@ -2909,7 +2909,8 @@ def x29_webdataset_ingest(spark, sf_dir):
         .groupBy("shard_id")
         .applyInPandas(build, schema="path string, content binary")
     )
-    samples = group_samples(explode_tar_members(shards))
+    explode = explode_tar_members if fmt == "tar" else explode_zip_members
+    samples = group_samples(explode(shards))
     return samples.select(
         "stem",
         F.col("n_members").cast("long").alias("n_members"),
@@ -2918,6 +2919,20 @@ def x29_webdataset_ingest(spark, sf_dir):
         F.md5(F.element_at("parts", "json")).alias("json_md5"),
         F.element_at("parts", "cls").cast("string").alias("cls"),
     )
+
+
+@query("x29_webdataset_ingest", oracle=_WDS_ORACLE)
+def x29_webdataset_ingest(spark, sf_dir):
+    """WebDataset tar-shard ingest under a FULL value oracle: the corpus
+    is packed cluster-side into .tar shards of 40 samples (each sample =
+    {stem}.txt + {stem}.json + {stem}.cls, the WebDataset basename-stem
+    convention), then unpacked in place (explode_tar_members — member
+    bytes never shuffle) and reassembled per sample (group_samples — ONE
+    uniform (shard, stem) shuffle). Every emitted field (sizes, per-part
+    md5s, class label) is a pure function of the source row, so DuckDB
+    recomputes them all — a hash match proves the tar mux → demux →
+    regroup path is byte-exact, not just row-complete."""
+    return _webdataset_pipeline(spark, sf_dir, "tar")
 
 
 # IMA/DVI ADPCM step + index-adjust tables, re-typed here from the public
@@ -3640,80 +3655,15 @@ def x5_pq_recall(spark, sf_dir):
     )
 
 
-@query(
-    "x31_zip_ingest",
-    oracle="""
-    SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS stem,
-           CAST(3 AS BIGINT) AS n_members,
-           CAST(
-               octet_length(encode(text))
-               + octet_length(encode('{"id": ' || CAST(doc_id AS VARCHAR)
-                                     || ', "lang": "' || lang || '"}'))
-               + octet_length(encode(lang)) AS BIGINT
-           ) AS total_bytes,
-           md5(text) AS txt_md5,
-           md5('{"id": ' || CAST(doc_id AS VARCHAR) || ', "lang": "'
-               || lang || '"}') AS json_md5,
-           lang AS cls
-    FROM documents WHERE doc_id < 240 AND text IS NOT NULL
-    """,
-)
+@query("x31_zip_ingest", oracle=_WDS_ORACLE)
 def x31_zip_ingest(spark, sf_dir):
-    """ZIP-shard ingest — x29's tar pipeline through the third shard
+    """ZIP-shard ingest — the same pipeline through the third shard
     container (multimodal/webdataset.py:explode_zip_members): samples
     pack into DEFLATE-compressed .zip shards cluster-side, unpack in
     place (central-directory walk + inflate, member bytes never
     shuffle), and reassemble through the SAME group_samples shuffle —
-    the member schema is container-agnostic by design, so swapping
-    tar↔zip↔(warc) changes only the explode step. The oracle is x29's:
-    identical emitted fields prove container-independence of the whole
-    pipeline, and the DEFLATE path gets a full value check."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from dmshadoop_spark.multimodal.webdataset import (
-        explode_zip_members,
-        group_samples,
-        write_zip_shard,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 240) & F.col("text").isNotNull()
-    )
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        samples = []
-        for r in pdf.sort_values("doc_id").itertuples():
-            d, lang, text = int(r.doc_id), r.lang, r.text
-            stem = f"{d:06d}"
-            j = '{"id": %d, "lang": "%s"}' % (d, lang)
-            samples.extend(
-                [
-                    (f"{stem}.txt", text.encode("utf-8")),
-                    (f"{stem}.json", j.encode("utf-8")),
-                    (f"{stem}.cls", lang.encode("utf-8")),
-                ]
-            )
-        shard_id = int(pdf["shard_id"].iloc[0])
-        return pd.DataFrame(
-            {
-                "path": [f"shard-{shard_id:05d}.zip"],
-                "content": [write_zip_shard(samples, compress=True)],
-            }
-        )
-
-    shards = (
-        docs.withColumn("shard_id", (F.col("doc_id") / 40).cast("long"))
-        .groupBy("shard_id")
-        .applyInPandas(build, schema="path string, content binary")
-    )
-    samples = group_samples(explode_zip_members(shards))
-    return samples.select(
-        "stem",
-        F.col("n_members").cast("long").alias("n_members"),
-        F.col("total_bytes").cast("long").alias("total_bytes"),
-        F.md5(F.element_at("parts", "txt")).alias("txt_md5"),
-        F.md5(F.element_at("parts", "json")).alias("json_md5"),
-        F.element_at("parts", "cls").cast("string").alias("cls"),
-    )
+    x29 and x31 share one builder, one oracle, one output projection
+    (_webdataset_pipeline); only the container differs. Identical
+    emitted fields prove container-independence of the whole pipeline,
+    and the DEFLATE path gets a full value check."""
+    return _webdataset_pipeline(spark, sf_dir, "zip")

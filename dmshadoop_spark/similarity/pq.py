@@ -56,9 +56,10 @@ def train_pq_codebooks(
     divide evenly by ``m`` (standard PQ restriction)."""
     from dmshadoop_spark.similarity.kmeans import kmeans_centroids
 
-    dim = len(
-        df.select(as_double(vec_col).alias("_v")).limit(1).collect()[0]["_v"]
-    )
+    first = df.select(as_double(vec_col).alias("_v")).limit(1).collect()
+    if not first or first[0]["_v"] is None:
+        raise ValueError("PQ training needs a non-empty corpus of vectors")
+    dim = len(first[0]["_v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub, ksub = dim // m, 1 << nbits
@@ -170,6 +171,53 @@ def _adc_score(ksub: int, m: int):
     )
 
 
+def _staged_corpus(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(neighbor_id, _v double-array, _nv exact norm) — the staging both
+    ANN entry points and the rerank share."""
+    return (
+        widen(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
+        )
+        .select("neighbor_id", "_v", F.sqrt(norm_sq(F.col("_v"))).alias("_nv"))
+    )
+
+
+def _exact_rerank(
+    corpus2: DataFrame,
+    q2: DataFrame,
+    scored: DataFrame,
+    query_id_col: str,
+    k: int,
+    rerank: int,
+):
+    """Common tail of pq_knn/ivfpq_knn: top k·rerank by approximate
+    score, broadcast the candidate ids back onto the corpus for exact
+    cosines (a point-lookup join — one extra corpus scan, zero corpus
+    shuffles), final exact top-k. ``rerank<=0`` returns the approximate
+    ranking directly."""
+    from dmshadoop_spark.similarity.knn import _rank_topk
+
+    if rerank <= 0:
+        return _rank_topk(scored, query_id_col, k)
+    cand = _rank_topk(scored, query_id_col, k * rerank).select(
+        query_id_col, "neighbor_id"
+    )
+    exact = (
+        corpus2.join(broadcast(cand), "neighbor_id")
+        .join(broadcast(q2), query_id_col)
+        .select(
+            F.col(query_id_col),
+            "neighbor_id",
+            (
+                dot(F.col("_qv"), F.col("_v"))
+                / (F.col("_nq") * F.col("_nv"))
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(exact, query_id_col, k)
+
+
 def _residual_udf(spark: SparkSession, cents: np.ndarray):
     """pandas_udf: (vector, 1-based cell) → vector − centroid[cell]."""
     bc = spark.sparkContext.broadcast(
@@ -242,16 +290,9 @@ def ivfpq_knn(
         with_probe_cells,
     )
     from dmshadoop_spark.similarity.kmeans import kmeans_centroids
-    from dmshadoop_spark.similarity.knn import _rank_topk
 
     spark = corpus.sparkSession
-    corpus2 = (
-        widen(corpus)
-        .select(
-            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
-        )
-        .select("neighbor_id", "_v", F.sqrt(norm_sq(F.col("_v"))).alias("_nv"))
-    )
+    corpus2 = _staged_corpus(corpus, id_col, vec_col)
     cents = kmeans_centroids(
         corpus2,
         vec_col="_v",
@@ -288,19 +329,31 @@ def ivfpq_knn(
     ).select(
         query_id_col, "_qv", F.sqrt(norm_sq(F.col("_qv"))).alias("_nq")
     )
+    # LUT is cell-independent — compute it BEFORE the probe explode so
+    # the pandas UDF runs once per query, not nprobe times (and the
+    # broadcast carries one LUT copy per (query, cell) row regardless,
+    # but the UDF work is 1/nprobe). Only q·c is per-(query, cell).
     q_probed = (
         with_probe_cells(q2, "_qv", cents, nprobe, out_col="_cells")
         .select(
             query_id_col,
             "_qv",
             "_nq",
+            lut(F.col("_qv")).alias("_lut"),
+            "_cells",
+        )
+        .select(
+            query_id_col,
+            "_qv",
+            "_nq",
+            "_lut",
             F.explode("_cells").alias("cell"),
         )
         .select(
             query_id_col,
             "_nq",
             "cell",
-            lut(F.col("_qv")).alias("_lut"),
+            "_lut",
             qdotc(F.col("_qv"), F.col("cell")).alias("_qc"),
         )
     )
@@ -312,24 +365,7 @@ def ivfpq_knn(
             / (F.col("_nq") * F.col("pq_norm"))
         ).alias("cosine"),
     )
-    if rerank <= 0:
-        return _rank_topk(scored, query_id_col, k)
-    cand = _rank_topk(scored, query_id_col, k * rerank).select(
-        query_id_col, "neighbor_id"
-    )
-    exact = (
-        corpus2.join(broadcast(cand), "neighbor_id")
-        .join(broadcast(q2), query_id_col)
-        .select(
-            F.col(query_id_col),
-            "neighbor_id",
-            (
-                dot(F.col("_qv"), F.col("_v"))
-                / (F.col("_nq") * F.col("_nv"))
-            ).alias("cosine"),
-        )
-    )
-    return _rank_topk(exact, query_id_col, k)
+    return _exact_rerank(corpus2, q2, scored, query_id_col, k, rerank)
 
 
 def pq_knn(
@@ -356,16 +392,8 @@ def pq_knn(
     candidate ids back to the corpus for exact cosines — one extra
     corpus scan, zero corpus shuffles. ``rerank=0`` returns raw ADC
     ranking (approximate cosine) without the second scan."""
-    from dmshadoop_spark.similarity.knn import _rank_topk
-
     spark = corpus.sparkSession
-    corpus2 = (
-        widen(corpus)
-        .select(
-            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
-        )
-        .select("neighbor_id", "_v", F.sqrt(norm_sq(F.col("_v"))).alias("_nv"))
-    )
+    corpus2 = _staged_corpus(corpus, id_col, vec_col)
     if codebooks is None:
         codebooks = train_pq_codebooks(
             corpus2,
@@ -398,21 +426,4 @@ def pq_knn(
             "cosine"
         ),
     )
-    if rerank <= 0:
-        return _rank_topk(scored, query_id_col, k)
-    cand = _rank_topk(scored, query_id_col, k * rerank).select(
-        query_id_col, "neighbor_id"
-    )
-    exact = (
-        corpus2.join(broadcast(cand), "neighbor_id")
-        .join(broadcast(q2), query_id_col)
-        .select(
-            F.col(query_id_col),
-            "neighbor_id",
-            (
-                dot(F.col("_qv"), F.col("_v"))
-                / (F.col("_nq") * F.col("_nv"))
-            ).alias("cosine"),
-        )
-    )
-    return _rank_topk(exact, query_id_col, k)
+    return _exact_rerank(corpus2, q2, scored, query_id_col, k, rerank)

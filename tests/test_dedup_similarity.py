@@ -1626,3 +1626,47 @@ def test_warc_property_adversarial_payloads():
         assert all(r["http_status"] == 200 for r in recs)
 
     check()
+
+
+def test_mkv_unknown_size_elements():
+    """RFC 8794 unknown-size elements (the live-muxed layout: Segment
+    and Clusters written with the all-ones size marker) must walk
+    correctly — an unknown-size Cluster ends at the first id that is
+    not a valid Cluster child (e.g. the next Cluster)."""
+    import struct
+
+    from dmshadoop_spark.multimodal import ebml as E
+
+    def unk(eid, payload):
+        return E._vint_id(eid) + b"\xff" + payload  # 1-byte unknown size
+
+    header = E._elem(E.EBML_HEADER, E._elem(E.DOC_TYPE, b"matroska"))
+    info = E._elem(
+        E.INFO,
+        E._elem(E.TIMESTAMP_SCALE, E._uint_payload(1_000_000))
+        + E._elem(E.DURATION, struct.pack(">d", 2000.0)),
+    )
+    track = E._elem(
+        E.TRACKS,
+        E._elem(
+            E.TRACK_ENTRY,
+            E._elem(E.TRACK_NUMBER, E._uint_payload(1))
+            + E._elem(E.TRACK_TYPE, E._uint_payload(1))
+            + E._elem(E.CODEC_ID, b"V_UNCOMPRESSED"),
+        ),
+    )
+    frames = [bytes([i]) * 7 for i in range(4)]
+
+    def cluster(ts, frs):
+        body = E._elem(E.CLUSTER_TIMESTAMP, E._uint_payload(ts))
+        for k, fr in enumerate(frs):
+            body += E._simple_block(1, k * 250, [fr], "none", True)
+        return unk(E.CLUSTER, body)
+
+    mkv = header + unk(
+        E.SEGMENT, info + track + cluster(0, frames[:2]) + cluster(1000, frames[2:])
+    )
+    assert E.parse_mkv(mkv)["tracks"][0]["codec"] == "V_UNCOMPRESSED"
+    bl = E.mkv_blocks(mkv)
+    assert [bytes(b["frame"]) for b in bl] == frames
+    assert [b["ts_ms"] for b in bl] == [0.0, 250.0, 1000.0, 1250.0]

@@ -78,48 +78,76 @@ def _read_size(data: bytes, i: int) -> tuple[int, int, bool]:
     return size, j, size == (1 << (7 * (j - i))) - 1
 
 
-# Level-1 children a Cluster may contain (Matroska registry): anything
-# else terminates an unknown-size Cluster.
-_CLUSTER_CHILD_IDS = frozenset(
-    {0xE7, 0xA3, 0xA0, 0xA7, 0xAB, 0x5854, 0xAF, 0xBF, 0xEC}
-)  # Timestamp, SimpleBlock, BlockGroup, Position, PrevSize,
-#    SilentTracks, EncryptedBlock, CRC-32, Void
+# Valid children of the two master elements commonly written with
+# unknown size (Matroska registry): an id outside the set terminates
+# the unknown-size element, per RFC 8794.
+_MASTER_CHILDREN = {
+    # Segment level-1: SeekHead, Info, Tracks, Cluster, Cues,
+    # Attachments, Chapters, Tags, Void, CRC-32
+    SEGMENT: frozenset(
+        {0x114D9B74, INFO, TRACKS, 0x1F43B675, 0x1C53BB6B, 0x1941A469,
+         0x1043A770, 0x1254C367, 0xEC, 0xBF}
+    ),
+    # Cluster: Timestamp, SimpleBlock, BlockGroup, Position, PrevSize,
+    # SilentTracks, EncryptedBlock, Void, CRC-32
+    0x1F43B675: frozenset(
+        {0xE7, 0xA3, 0xA0, 0xA7, 0xAB, 0x5854, 0xAF, 0xEC, 0xBF}
+    ),
+}
 
 
-def _scan_cluster_end(data: bytes, lo: int, hi: int) -> int:
-    """Resolve an unknown-size Cluster: parse children until an element
-    id that is not a valid Cluster child (e.g. the next Cluster) or the
-    parent's end — the RFC 8794 termination rule."""
+def _resolve_unknown_end(data: bytes, eid: int, lo: int, hi: int) -> int:
+    """Resolve an unknown-size element's end per RFC 8794: parse
+    children while their ids are valid for ``eid``; the first foreign id
+    (the next Cluster after an unknown-size Cluster, the next EBML
+    header after an unknown-size Segment in appended live captures) or
+    unparseable byte ends the element. Nested unknown-size children
+    (unknown Cluster inside an unknown Segment — the standard live-mux
+    layout) resolve recursively. Elements with no child registry extend
+    to the parent's end. Children are header-walked twice (once here,
+    once by the caller's payload walk) — vint header parsing is cheap
+    next to payload handling."""
+    children = _MASTER_CHILDREN.get(eid)
+    if children is None:
+        return hi
+    i = lo
+    while i < hi:
+        try:
+            cid, j = _read_vint(data, i, keep_marker=True)
+            size, j2, unknown = _read_size(data, j)
+        except ValueError:
+            return i  # corrupt tail: end before it, keep parsed prefix
+        if cid not in children:
+            return i
+        if unknown:
+            i = _resolve_unknown_end(data, cid, j2, hi)
+        else:
+            i = min(j2 + size, hi)
+    return hi
+
+
+def _walk(data: bytes, lo: int, hi: int):
+    """Yield (element_id, payload_lo, payload_hi) for EBML children.
+    Unknown-size elements (RFC 8794) resolve via _resolve_unknown_end —
+    so live-muxed files (unknown-size Segment + unknown-size Clusters,
+    including several appended captures in one stream) walk correctly
+    instead of being cut at a bogus 127-byte size. An unparseable
+    element header ENDS the walk (best-effort demuxer posture: a
+    truncated or corrupt tail — normal for live captures — preserves
+    everything parsed before it; payloads with the wrong magic still
+    raise at the entry points)."""
     i = lo
     while i < hi:
         try:
             eid, j = _read_vint(data, i, keep_marker=True)
             size, j2, unknown = _read_size(data, j)
         except ValueError:
-            return i
-        if eid not in _CLUSTER_CHILD_IDS:
-            return i
-        if unknown:  # nested unknown inside a cluster: give up at parent
-            return hi
-        i = min(j2 + size, hi)
-    return hi
-
-
-def _walk(data: bytes, lo: int, hi: int):
-    """Yield (element_id, payload_lo, payload_hi) for EBML children.
-    Unknown-size elements (RFC 8794) resolve to the parent's end, except
-    Clusters, which end at the first non-Cluster-child id — so
-    live-muxed files (unknown-size Segment + unknown-size Clusters)
-    walk correctly instead of being cut at a bogus 127-byte size."""
-    i = lo
-    while i < hi:
-        eid, i = _read_vint(data, i, keep_marker=True)
-        size, i, unknown = _read_size(data, i)
+            return
         if unknown:
-            end = _scan_cluster_end(data, i, hi) if eid == CLUSTER else hi
+            end = _resolve_unknown_end(data, eid, j2, hi)
         else:
-            end = min(i + size, hi)
-        yield eid, i, end
+            end = min(j2 + size, hi)
+        yield eid, j2, end
         i = end
 
 

@@ -56,9 +56,19 @@ def train_pq_codebooks(
     divide evenly by ``m`` (standard PQ restriction)."""
     from dmshadoop_spark.similarity.kmeans import kmeans_centroids
 
-    first = df.select(as_double(vec_col).alias("_v")).limit(1).collect()
-    if not first or first[0]["_v"] is None:
-        raise ValueError("PQ training needs a non-empty corpus of vectors")
+    # Probe the dimension from a non-NULL vector: filtering first keeps
+    # the diagnostic deterministic (a corpus with a few NULL embeddings
+    # must not randomly abort depending on which row limit(1) samples).
+    first = (
+        df.select(as_double(vec_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError(
+            "PQ training needs at least one non-NULL vector in the corpus"
+        )
     dim = len(first[0]["_v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")

@@ -1670,3 +1670,15 @@ def test_mkv_unknown_size_elements():
     bl = E.mkv_blocks(mkv)
     assert [bytes(b["frame"]) for b in bl] == frames
     assert [b["ts_ms"] for b in bl] == [0.0, 250.0, 1000.0, 1250.0]
+    # A corrupt/truncated tail (the norm for live captures) must keep the
+    # parsed prefix, not discard everything (review finding: the bail-out
+    # used to re-raise on the same offset)
+    damaged = mkv + b"\x00"
+    assert [bytes(b["frame"]) for b in E.mkv_blocks(damaged)] == frames
+    assert E.parse_mkv(damaged)["tracks"][0]["codec"] == "V_UNCOMPRESSED"
+    # Appended captures: two EBML-header+unknown-Segment streams in one
+    # payload surface BOTH tracks (an unknown Segment ends at the next
+    # EBML header, not EOF)
+    both = mkv + mkv
+    assert len(E.mkv_blocks(both)) == 2 * len(frames)
+    assert len(E.parse_mkv(both)["tracks"]) == 2

@@ -430,7 +430,6 @@ def mkv_blocks(data: bytes) -> list[dict]:
                                     {
                                         "track": track,
                                         "ts_units": ts,
-                                        "ts_ms": ts * timescale / 1e6,
                                         "keyframe": bool(
                                             is_simple and flags & 0x80
                                         ),
@@ -442,6 +441,12 @@ def mkv_blocks(data: bytes) -> list[dict]:
                             block_idx += 1
     except (IndexError, struct.error) as exc:
         raise ValueError(f"malformed EBML stream: {exc!r}") from exc
+    # ts_ms is computed AFTER the walk: Matroska permits Info (and its
+    # TimestampScale) to follow Clusters in SeekHead-ordered files, so
+    # scaling during the walk would apply the 1,000,000 default to blocks
+    # that precede a late Info element.
+    for row in out:
+        row["ts_ms"] = row["ts_units"] * timescale / 1e6
     return out
 
 

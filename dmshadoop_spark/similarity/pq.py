@@ -75,7 +75,10 @@ def train_pq_codebooks(
     dsub, ksub = dim // m, 1 << nbits
     books = []
     for j in range(m):
-        sub = df.select(
+        # NULL vectors are excluded subspace-by-subspace too: kmeans init
+        # samples rows by hashed id, so an unfiltered NULL row could be
+        # picked as a seed centroid and abort training.
+        sub = df.filter(F.col(vec_col).isNotNull()).select(
             *([F.col(id_col)] if id_col else []),
             F.slice(as_double(vec_col), j * dsub + 1, dsub).alias("_sub"),
         )
@@ -157,7 +160,7 @@ def pq_encode(
     encode = _encode_udf(spark, codebooks)
     staged = widen(df).select(
         F.col(id_col), as_double(vec_col).alias("_v")
-    )
+    ).filter(F.col("_v").isNotNull())
     return staged.select(
         id_col,
         encode(F.col("_v")).alias("pq_code"),
@@ -189,6 +192,11 @@ def _staged_corpus(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         .select(
             F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
         )
+        # NULL embeddings are droppable, not scoreable: brute_force_knn
+        # yields NULL cosines for them and they can never enter a top-k,
+        # so the PQ family excludes them up front rather than letting
+        # _encode_udf/_residual_udf crash on np.array(list(NULL)).
+        .filter(F.col("_v").isNotNull())
         .select("neighbor_id", "_v", F.sqrt(norm_sq(F.col("_v"))).alias("_nv"))
     )
 

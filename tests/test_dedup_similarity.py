@@ -1682,3 +1682,75 @@ def test_mkv_unknown_size_elements():
     both = mkv + mkv
     assert len(E.mkv_blocks(both)) == 2 * len(frames)
     assert len(E.parse_mkv(both)["tracks"]) == 2
+
+
+def test_mkv_late_info_timestamp_scale():
+    """Matroska permits Info AFTER Clusters (SeekHead-ordered files); the
+    TimestampScale must still apply to every block's ts_ms (round-6 review
+    finding: a streaming scale left earlier blocks at the 1 ms default)."""
+    from dmshadoop_spark.multimodal import ebml as E
+
+    header = E._elem(E.EBML_HEADER, E._elem(E.DOC_TYPE, b"matroska"))
+    track = E._elem(
+        E.TRACKS,
+        E._elem(
+            E.TRACK_ENTRY,
+            E._elem(E.TRACK_NUMBER, E._uint_payload(1))
+            + E._elem(E.TRACK_TYPE, E._uint_payload(1))
+            + E._elem(E.CODEC_ID, b"V_UNCOMPRESSED"),
+        ),
+    )
+    cluster = E._elem(
+        E.CLUSTER,
+        E._elem(E.CLUSTER_TIMESTAMP, E._uint_payload(100))
+        + E._simple_block(1, 5, [b"frame0"], "none", True),
+    )
+    # 2 ms per unit, declared AFTER the cluster
+    late_info = E._elem(
+        E.INFO, E._elem(E.TIMESTAMP_SCALE, E._uint_payload(2_000_000))
+    )
+    mkv = header + E._elem(E.SEGMENT, track + cluster + late_info)
+    bl = E.mkv_blocks(mkv)
+    assert len(bl) == 1
+    assert bl[0]["ts_units"] == 105
+    assert bl[0]["ts_ms"] == 210.0
+
+
+def test_pq_family_tolerates_null_embeddings(spark):
+    """NULL embedding rows must be excluded, not crash the PQ encoders
+    (round-6 review finding: kmeans init could sample a NULL row and
+    np.array(list(None)) aborted the UDF). brute_force_knn already
+    handles NULLs via NULL cosine; pq_knn/ivfpq_knn now match."""
+    import numpy as np
+
+    from dmshadoop_spark.similarity import ivfpq_knn, pq_knn
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.randn(16)] if i % 5 else None)
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id").isin(1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    for fn, kw in (
+        (pq_knn, dict(k=3, m=4, nbits=2, rerank=2, train_iters=1)),
+        (
+            ivfpq_knn,
+            dict(k=3, n_centroids=4, nprobe=2, m=4, nbits=2, rerank=2),
+        ),
+    ):
+        res = fn(emb, queries, **kw).collect()
+        assert len(res) == 6  # k rows per query, no crash
+        null_ids = {i for i in range(50) if i % 5 == 0}
+        assert not ({r["neighbor_id"] for r in res} & null_ids)
+
+
+def test_multimodal_zip_exports():
+    """explode_zip_members/write_zip_shard are public package surface,
+    same as their tar twins (round-6 review finding)."""
+    import dmshadoop_spark.multimodal as mm
+
+    for name in ("explode_zip_members", "write_zip_shard"):
+        assert hasattr(mm, name) and name in mm.__all__

@@ -29,10 +29,17 @@ REAL end-to-end paths (pure stdlib, no external codec library):
 Matroska/WebM demuxes for real too (multimodal.ebml: EBML varint walk
 over Segment/Info/Tracks, plus — round 5 — the Cluster payload walk
 with all four lacing modes, so PCM-audio/uncompressed-video mkv decodes
-end-to-end). Only lossy media DECODE (mp3 synthesis, aac, compressed
-mkv codec payloads) remains stubbed — that needs ffmpeg-class codec
-libraries this container doesn't ship (a deterministic fake keeps those
-pipelines testable end-to-end).
+end-to-end).
+
+THE LOSSY-CODEC BOUNDARY (the contract, stated once): every container
+WALK and frame/sample EXTRACTION in this package is real — what remains
+stubbed is exclusively lossy SAMPLE SYNTHESIS (MP3/AAC MDCT decode,
+compressed-codec video frame decode), which needs ffmpeg-class codec
+libraries this container doesn't ship by design. Operators that can hit
+that boundary (``sample_frames``, ``resize_images``,
+``with_binary_features``) emit a ``real`` boolean column: true = the
+payload came off a real decode/demux path, false = the deterministic
+fake stood in — downstream pipelines filter on it instead of guessing.
 
 ``ingest_binary_dir`` is the reference's blob-ingest path
 (open().read() + create_file, src/DMS.py:106-121) as Spark's binaryFile
@@ -57,7 +64,8 @@ from pyspark.sql import DataFrame, SparkSession
 FEATURE_DIM = 16
 
 FEATURES_SCHEMA = (
-    "path string, content_type string, length bigint, feature array<float>"
+    "path string, content_type string, length bigint, feature array<float>, "
+    "real boolean"
 )
 
 
@@ -345,12 +353,74 @@ def decode_image(content: bytes) -> "np.ndarray":
 
 def fake_image_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in featurizer: sha256 → unit-norm pseudo-vector.
-    Keeps the pipeline testable end-to-end with stable outputs."""
+    The FALLBACK for payloads ``decode_image`` cannot decode (webp/heic,
+    non-image bytes) — decodable formats go through ``image_features``."""
     digest = hashlib.sha256(content).digest()
     raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype="<u4")
     vec = (raw.astype("float64") / 2**32) - 0.5
     norm = float(np.sqrt((vec * vec).sum())) or 1.0
     return [float(x) for x in (vec / norm)]
+
+
+def image_stats(arr: "np.ndarray") -> dict:
+    """Integer-exact pixel statistics from an HxWx3 uint8 array — every
+    sum/count runs in int64 (exact), and each float output is ONE IEEE
+    division or sqrt from exact integers, so any engine recomputing from
+    the same pixels reproduces the values bit-for-bit (the wav_features
+    determinism contract, applied to images). Returns:
+      channel_mean[3], channel_std[3]   — per-channel mean and population
+        std (std = sqrt(n·Σv² − (Σv)²)/n: one sqrt over an exact int,
+        one division);
+      grad_x, grad_y — mean |Δ| of the channel-sum plane s = r+g+b along
+        x / y (edge-energy signals; exact integer numerators);
+      hist[8] — pixel counts of s in 8 equal bins of width 96 (bin 7
+        clamps the 672..765 tail), as exact ints.
+    """
+    a = arr.astype(np.int64)
+    h, w = a.shape[:2]
+    n = h * w
+    flat = a.reshape(-1, 3)
+    sums = flat.sum(axis=0)
+    sumsq = (flat * flat).sum(axis=0)
+    mean = sums / n
+    std = np.sqrt((n * sumsq - sums * sums).astype(np.float64)) / n
+    s = a.sum(axis=2)  # channel-sum plane, 0..765
+    gx = int(np.abs(np.diff(s, axis=1)).sum())
+    gy = int(np.abs(np.diff(s, axis=0)).sum())
+    hist = np.bincount(
+        np.minimum(s // 96, 7).reshape(-1), minlength=8
+    )
+    return {
+        "width": w,
+        "height": h,
+        "channel_mean": [float(x) for x in mean],
+        "channel_std": [float(x) for x in std],
+        "grad_x": gx / (h * (w - 1)) if w > 1 else 0.0,
+        "grad_y": gy / ((h - 1) * w) if h > 1 else 0.0,
+        "hist": [int(x) for x in hist],
+    }
+
+
+def image_features(content: bytes) -> tuple[list[float], bool]:
+    """REAL pixel-statistics featurizer: decode (PNG/JPEG/GIF/TIFF — all
+    four real decoders behind ``decode_image``) → the FEATURE_DIM=16
+    vector [mean_rgb×3, std_rgb×3, grad_x, grad_y, hist_frac×8] from
+    ``image_stats``. Undecodable payloads fall back to the deterministic
+    sha256 pseudo-vector. Returns (vector, real) where ``real`` says
+    which path produced it — downstream filters on the flag."""
+    try:
+        arr = decode_image(bytes(content))
+    except (ValueError, NotImplementedError):
+        return fake_image_features(content), False
+    st = image_stats(arr)
+    n = st["width"] * st["height"]
+    vec = (
+        st["channel_mean"]
+        + st["channel_std"]
+        + [st["grad_x"], st["grad_y"]]
+        + [c / n for c in st["hist"]]
+    )
+    return [float(x) for x in vec], True
 
 
 def _sniff_type(content: bytes) -> str:
@@ -362,18 +432,23 @@ def _sniff_type(content: bytes) -> str:
 def with_binary_features(binary_df: DataFrame) -> DataFrame:
     """mapInPandas feature-extraction over a binaryFile-shaped input
     (columns: path, content). Arrow batches flow in/out; per-batch Python
-    cost is amortized — the pattern a real decoder would drop into."""
+    cost is amortized. PNG/JPEG/GIF/TIFF payloads get REAL pixel-statistic
+    features (``image_features`` over the in-repo decoders, real=true);
+    undecodable payloads get the deterministic sha256 pseudo-vector
+    (real=false) so the pipeline never drops rows."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = pdf["content"]
+            pairs = [image_features(bytes(c)) for c in content]
             yield pd.DataFrame(
                 {
                     "path": pdf["path"],
                     "content_type": content.map(lambda c: _sniff_type(bytes(c))),
                     "length": content.map(len).astype("int64"),
-                    "feature": content.map(
-                        lambda c: fake_image_features(bytes(c))
+                    "feature": [p[0] for p in pairs],
+                    "real": pd.Series(
+                        [p[1] for p in pairs], dtype="bool"
                     ),
                 }
             )
@@ -987,11 +1062,11 @@ def parse_avi(data: bytes) -> tuple[int, list[bytes]]:
 
 
 THUMBNAIL_SCHEMA = (
-    "path string, width int, height int, thumbnail binary"
+    "path string, width int, height int, thumbnail binary, real boolean"
 )
 
 FRAMES_SCHEMA = (
-    "path string, frame_idx int, ts_sec double, frame binary"
+    "path string, frame_idx int, ts_sec double, frame binary, real boolean"
 )
 
 
@@ -1008,17 +1083,24 @@ def resize_images(
     binary_df: DataFrame, width: int = 32, height: int = 32
 ) -> DataFrame:
     """mapInPandas resize over a binaryFile-shaped input → one thumbnail
-    row per image. Arrow batches in/out. Supported PNG payloads go through
-    the REAL codec path (decode_png → nearest resample → encode_png, all
-    stdlib/numpy); everything else falls back to the deterministic fake
-    (the seam a full Pillow decoder would replace). Schema, batching, and
-    partitioning are identical on both paths."""
+    row per image. Arrow batches in/out. All four decodable formats go
+    through the REAL codec path: PNG and JPEG re-encode in their own
+    format (decode → nearest resample → re-encode), GIF and TIFF decode
+    for real and emit PNG thumbnails (the normalized thumbnail format —
+    GIF would force palette re-quantization, TIFF is the archival
+    source, not a thumbnail target). Undecodable payloads fall back to
+    the deterministic fake, flagged real=false so downstream filters can
+    drop them. Schema, batching, and partitioning are identical on both
+    paths."""
 
-    def one(c: bytes) -> bytes:
+    def one(c: bytes) -> tuple[bytes, bool]:
         raw = bytes(c)
         if raw[:8] == _PNG_MAGIC:
             try:
-                return encode_png(resize_nearest(decode_png(raw), width, height))
+                return (
+                    encode_png(resize_nearest(decode_png(raw), width, height)),
+                    True,
+                )
             except (NotImplementedError, ValueError):
                 pass  # exotic PNG variant → fake path
         elif raw[:2] == b"\xff\xd8":
@@ -1027,19 +1109,38 @@ def resize_images(
             try:
                 # real JPEG path: decode (incl. progressive) → resample →
                 # re-encode baseline; thumbnails stay JPEG
-                return encode_jpeg(resize_nearest(decode_jpeg(raw), width, height))
+                return (
+                    encode_jpeg(resize_nearest(decode_jpeg(raw), width, height)),
+                    True,
+                )
             except (NotImplementedError, ValueError):
                 pass  # metadata-only/exotic JPEG → fake path
-        return fake_thumbnail(raw, width, height)
+        elif raw[:6] in (b"GIF87a", b"GIF89a") or raw[:4] in (
+            b"II*\x00",
+            b"MM\x00*",
+        ):
+            try:
+                # GIF/TIFF decode for real; thumbnails normalize to PNG
+                return (
+                    encode_png(
+                        resize_nearest(decode_image(raw), width, height)
+                    ),
+                    True,
+                )
+            except (NotImplementedError, ValueError):
+                pass  # exotic compression/layout → fake path
+        return fake_thumbnail(raw, width, height), False
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pairs = [one(c) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "path": pdf["path"],
                     "width": np.full(len(pdf), width, dtype="int32"),
                     "height": np.full(len(pdf), height, dtype="int32"),
-                    "thumbnail": pdf["content"].map(one),
+                    "thumbnail": [p[0] for p in pairs],
+                    "real": pd.Series([p[1] for p in pairs], dtype="bool"),
                 }
             )
 
@@ -1057,29 +1158,65 @@ def sample_frames(
     RIFF/AVI payloads demux for REAL (parse_avi: avih timing + '00dc'
     frame chunks), ISO BMFF (mp4) payloads demux for real too
     (containers.parse_mp4: full stts/stsc/stsz/stco sample-table walk),
-    and — since round 5 — so do Matroska payloads (ebml.mkv_blocks:
-    Cluster → SimpleBlock/BlockGroup walk, all four lacing modes): each
-    emits every stride-th actual frame payload with its container-derived
-    timestamp. Any other container falls back to the deterministic stub:
-    duration := length / bytes_per_s, frames at every_s intervals, each
-    frame a sha256(content || idx) pseudo-payload. Partitioning, batch
-    fan-out, and the (path, frame_idx, ts_sec, frame) contract are
-    identical on both paths."""
+    Matroska payloads since round 5 (ebml.mkv_blocks: Cluster →
+    SimpleBlock/BlockGroup walk, all four lacing modes), and MPEG audio
+    since round 6 (containers.mp3_frames: the frame-header walk): each
+    emits every stride-th ACTUAL frame payload with its container-derived
+    timestamp, flagged real=true. Any other container falls back to the
+    deterministic stub (real=false): duration := length / bytes_per_s,
+    frames at every_s intervals, each frame a sha256(content || idx)
+    pseudo-payload. Partitioning, batch fan-out, and the (path,
+    frame_idx, ts_sec, frame, real) contract are identical on both
+    paths."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_path, out_idx, out_ts, out_frame = [], [], [], []
+            out_real: list[bool] = []
+
+            def emit(path, idx, ts, frame, real):
+                out_path.append(path)
+                out_idx.append(idx)
+                out_ts.append(ts)
+                out_frame.append(frame)
+                out_real.append(real)
+
             for path, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
                 if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
                     uspf, all_frames = parse_avi(raw)
                     stride = max(1, int(every_s * 1_000_000 / uspf)) if uspf else 1
                     for i in range(0, len(all_frames), stride):
-                        out_path.append(path)
-                        out_idx.append(i)
-                        out_ts.append(i * uspf / 1_000_000)
-                        out_frame.append(all_frames[i])
+                        emit(path, i, i * uspf / 1_000_000, all_frames[i], True)
                     continue
+                if raw[:3] == b"ID3" or (
+                    len(raw) > 1
+                    and raw[0] == 0xFF
+                    and (raw[1] & 0xE0) == 0xE0
+                ):
+                    from dmshadoop_spark.multimodal.containers import (
+                        mp3_frames,
+                    )
+
+                    try:
+                        walk = mp3_frames(raw)
+                        span = walk[-1]["ts_sec"]
+                        n = len(walk)
+                        stride = (
+                            max(1, round(n * every_s / span)) if span > 0 else 1
+                        )
+                        for i in range(0, n, stride):
+                            fr = walk[i]
+                            emit(
+                                path,
+                                i,
+                                fr["ts_sec"],
+                                raw[fr["offset"] : fr["offset"] + fr["length"]],
+                                True,
+                            )
+                        continue
+                    except ValueError:
+                        pass  # sync-less/garbled stream → stub path
                 if raw[:4] == b"\x1a\x45\xdf\xa3":
                     from dmshadoop_spark.multimodal.ebml import (
                         mkv_blocks,
@@ -1106,10 +1243,13 @@ def sample_frames(
                                 else 1
                             )
                             for i in range(0, n, stride):
-                                out_path.append(path)
-                                out_idx.append(i)
-                                out_ts.append(blocks[i]["ts_ms"] / 1000.0)
-                                out_frame.append(blocks[i]["frame"])
+                                emit(
+                                    path,
+                                    i,
+                                    blocks[i]["ts_ms"] / 1000.0,
+                                    blocks[i]["frame"],
+                                    True,
+                                )
                             continue
                     except ValueError:
                         pass  # malformed/cluster-free mkv → stub path
@@ -1129,21 +1269,19 @@ def sample_frames(
                         )
                         for i in range(0, n, stride):
                             off, size, ts = samples[i]
-                            out_path.append(path)
-                            out_idx.append(i)
-                            out_ts.append(ts)
-                            out_frame.append(raw[off : off + size])
+                            emit(path, i, ts, raw[off : off + size], True)
                         continue
                     except (ValueError, StopIteration):
                         pass  # malformed/audio-only mp4 → stub path
                 duration = len(raw) / bytes_per_s
                 n_frames = int(duration / every_s) + 1
                 for i in range(n_frames):
-                    out_path.append(path)
-                    out_idx.append(i)
-                    out_ts.append(i * every_s)
-                    out_frame.append(
-                        hashlib.sha256(raw + i.to_bytes(4, "big")).digest()
+                    emit(
+                        path,
+                        i,
+                        i * every_s,
+                        hashlib.sha256(raw + i.to_bytes(4, "big")).digest(),
+                        False,
                     )
             yield pd.DataFrame(
                 {
@@ -1151,6 +1289,7 @@ def sample_frames(
                     "frame_idx": pd.Series(out_idx, dtype="int32"),
                     "ts_sec": pd.Series(out_ts, dtype="float64"),
                     "frame": out_frame,
+                    "real": pd.Series(out_real, dtype="bool"),
                 }
             )
 

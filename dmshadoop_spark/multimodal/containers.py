@@ -131,6 +131,49 @@ def parse_mp3(data: bytes) -> dict:
     }
 
 
+def mp3_frames(data: bytes) -> list[dict]:
+    """Per-frame walk of an MPEG audio stream (same sync-scan/ID3-skip
+    rules as ``parse_mp3``): one dict {offset, length, ts_sec} per frame,
+    ts_sec from the cumulative sample count over the stream's sample
+    rate. The frame-level view ``sample_frames`` needs to emit actual
+    compressed frame payloads with container-derived timestamps (no
+    MDCT synthesis required). Raises ValueError if no frame exists."""
+    data = bytes(data)
+    i = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = (
+            (data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7 | (data[9] & 0x7F)
+        )
+        i = 10 + size
+    while i < len(data) - 4 and not _mp3_frame_at(data, i):
+        i += 1
+    out: list[dict] = []
+    total_samples = 0
+    sample_rate = None
+    while i + 4 <= len(data):
+        parsed = _mp3_frame_at(data, i)
+        if not parsed:
+            break
+        frame_len, samples, sr, _bitrate = parsed
+        if sample_rate is None:
+            sample_rate = sr
+        if sr != sample_rate or frame_len <= 0:
+            break  # stream changed → stop at the consistent prefix
+        out.append(
+            {
+                "offset": i,
+                "length": frame_len,
+                "ts_sec": total_samples / sample_rate,
+            }
+        )
+        total_samples += samples
+        i += frame_len
+    if not out:
+        raise ValueError("no MPEG audio frame found")
+    return out
+
+
 def encode_mp3(
     n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100
 ) -> bytes:

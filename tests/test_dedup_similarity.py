@@ -765,6 +765,7 @@ def test_rows_only_digests_pinned(spark, sf_dir):
         (aggregates, "a10b_approx_percentile"),
         (sinks, "s4_binary_ingest"),
         (llm, "x27_bpe_tokenize"),  # merges trained on corpus text
+        (llm, "x6_frame_sample"),  # fallback frames hash corpus text
     ):
         rows = getattr(mod, name)(spark, sf_dir).collect()
         digests = {r["digest"] for r in rows}
@@ -1754,3 +1755,115 @@ def test_multimodal_zip_exports():
 
     for name in ("explode_zip_members", "write_zip_shard"):
         assert hasattr(mm, name) and name in mm.__all__
+
+
+def test_resize_images_real_gif_tiff_paths(spark):
+    """GIF and TIFF payloads route through the real decode → resample →
+    encode_png branch (round-5 verdict task 2): the emitted thumbnail is
+    a PNG that decodes to exactly resize_nearest(original), real=true;
+    junk bytes fall back with real=false."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dmshadoop_spark.multimodal import (
+        decode_png,
+        encode_gif,
+        encode_tiff,
+        resize_images,
+        resize_nearest,
+    )
+
+    yy, xx = np.mgrid[0:20, 0:24]
+    t = (xx + 2 * yy) % 60  # ≤60 distinct colors → GIF-encodable
+    img = np.stack(
+        [(t * 3) % 180, t * 2 + 10, (t * t) % 251], axis=2
+    ).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            Row(path="a.gif", content=bytearray(encode_gif(img))),
+            Row(path="b.tiff", content=bytearray(encode_tiff(img))),
+            Row(path="c.bin", content=bytearray(b"not an image")),
+        ]
+    )
+    rows = {r["path"]: r for r in resize_images(df, width=8, height=6).collect()}
+    want = resize_nearest(img, 8, 6)
+    for p in ("a.gif", "b.tiff"):
+        assert rows[p]["real"] is True, p
+        assert (decode_png(bytes(rows[p]["thumbnail"])) == want).all(), p
+    assert rows["c.bin"]["real"] is False
+    assert len(bytes(rows["c.bin"]["thumbnail"])) == 8 * 6 * 3
+
+
+def test_image_features_real_path_all_formats():
+    """The featurizer takes the REAL pixel path for all four decodable
+    formats (round-5 verdict task 1). Lossless formats agree exactly;
+    JPEG (lossy) still decodes for real and lands near the lossless
+    stats — nowhere near the sha256 pseudo-vector."""
+    import numpy as np
+
+    from dmshadoop_spark.multimodal import (
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        encode_tiff,
+        fake_image_features,
+        image_features,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    t = (xx + 3 * yy) % 48  # ≤48 distinct colors → GIF-encodable
+    img = np.stack(
+        [t * 3 + 40, t * 2 + 20, (t * t) % 128], axis=2
+    ).astype(np.uint8)
+    vecs = {}
+    for name, enc in (
+        ("png", encode_png),
+        ("gif", encode_gif),
+        ("tiff", encode_tiff),
+        ("jpeg", encode_jpeg),
+    ):
+        blob = enc(img)
+        vec, real = image_features(blob)
+        assert real, name
+        assert vec != fake_image_features(blob), name
+        vecs[name] = vec
+    assert vecs["png"] == vecs["gif"] == vecs["tiff"]
+    # JPEG is lossy: means within a few levels, not bit-equal
+    for a, b in zip(vecs["jpeg"][:3], vecs["png"][:3]):
+        assert abs(a - b) < 8.0
+
+
+def test_sample_frames_real_mp3_path(spark):
+    """MPEG audio payloads take the real frame-walk branch (round-5
+    verdict task 3): every emitted frame is an actual compressed frame
+    payload sliced at the header-walk boundaries, with the cumulative-
+    sample timestamp and real=true; text payloads stay on the fallback
+    with real=false."""
+    from pyspark.sql import Row
+
+    from dmshadoop_spark.multimodal import encode_mp3, mp3_frames, sample_frames
+
+    blob = encode_mp3(12, 128, 44100)
+    walk = mp3_frames(blob)
+    assert len(walk) == 12
+    df = spark.createDataFrame(
+        [
+            Row(path="a.mp3", content=bytearray(blob)),
+            Row(path="b.txt", content=bytearray(b"x" * 2500)),
+        ]
+    )
+    rows = sample_frames(df, every_s=0.05).collect()
+    mp3_rows = sorted(
+        (r for r in rows if r["path"] == "a.mp3"), key=lambda r: r["frame_idx"]
+    )
+    assert mp3_rows and all(r["real"] for r in mp3_rows)
+    # stride 2 at 26.1 ms frames vs every_s=0.05
+    assert [r["frame_idx"] for r in mp3_rows] == list(range(0, 12, 2))
+    for r in mp3_rows:
+        fr = walk[r["frame_idx"]]
+        assert bytes(r["frame"]) == blob[fr["offset"] : fr["offset"] + fr["length"]]
+        assert abs(r["ts_sec"] - fr["ts_sec"]) < 1e-12
+    txt_rows = [r for r in rows if r["path"] == "b.txt"]
+    assert txt_rows and not any(r["real"] for r in txt_rows)
+    # stub: duration = 2500/1000 s, one frame per every_s=0.05
+    assert len(txt_rows) == int(2.5 / 0.05) + 1

@@ -523,7 +523,6 @@ def test_rows_only_queries_carry_digest(spark, sf_dir):
     unbounded_exempt = {
         "x6_feature_extract",      # full-table per-row features
         "x6_resize_thumbnails",    # full-table thumbnails
-        "x6_frame_sample",         # rows ∝ corpus bytes
         "x6_avi_frames",           # rows ∝ frames
     }
     rows_only = [n for n in registry.QUERIES if n not in registry.ORACLE]

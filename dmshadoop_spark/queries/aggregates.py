@@ -645,3 +645,47 @@ def a16_stat_moments(spark, sf_dir):
         var.cast("double").alias("var_qty"),
         cov.cast("double").alias("covar_qty_price"),
     )
+
+
+@query(
+    "a17_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS min_price,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a17_salted_agg(spark, sf_dir):
+    """Skew-mitigated aggregation (operators/skew.py:salted_agg) as a
+    driver-checkable query: lineitem grouped by l_returnflag — THREE
+    groups over the whole fact table, exactly the hot-key shape where a
+    single-level hash aggregate funnels each group through one task and
+    AQE cannot help (it only splits JOIN partitions). The two-level form
+    (partial over (key, salt), final over key) must hash-match the plain
+    GROUP BY oracle — the salt changes the plan, never the algebra
+    (sum→sum, count→sum, min→min, max→max re-aggregation laws).
+    tests/test_plans.py pins that level 1 actually keys on the salt."""
+    from dmshadoop_spark.operators import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.sum(dec2("l_quantity")).alias("_sq"),
+            F.count(F.lit(1)).alias("_n"),
+            F.min(dec2("l_extendedprice")).alias("_mn"),
+            F.max(dec2("l_extendedprice")).alias("_mx"),
+        ],
+        final_aggs=[
+            F.sum("_sq").cast("double").alias("sum_qty"),
+            F.sum("_n").alias("n"),
+            F.min("_mn").cast("double").alias("min_price"),
+            F.max("_mx").cast("double").alias("max_price"),
+        ],
+    )

@@ -436,3 +436,36 @@ def j12_interval_overlap_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         money(F.sum(dec2("s_acctbal"))).alias("sum_supp_bal"),
     )
+
+
+@query(
+    "j13_salted_join",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def j13_salted_join(spark, sf_dir):
+    """Skew-mitigated join (operators/skew.py:salted_join) as a
+    driver-checkable query: customer⋈nation is the canonical hot-key
+    join (25 nation keys over the whole customer table — every key is
+    "hot" relative to the dim). The big side salts on a deterministic
+    row hash, the 25-row dim replicates once per salt bucket, and the
+    result must hash-match the plain-join oracle: the fan-out changes
+    task placement, never the match set. tests/test_plans.py pins that
+    the salt reaches the join keys and the dim actually explodes."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey"), "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    joined = salted_join(cust, nation, ["n_nationkey"], salt_buckets=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(dec2("c_acctbal")).cast("double").alias("sum_acctbal"),
+    )

@@ -3793,13 +3793,20 @@ def x30_warc_ingest(spark, sf_dir):
 def x5_pq_recall(spark, sf_dir):
     """PQ-family recall measurement as a driver-checkable query (the
     x5_knn_multiprobe discipline applied to quantization): exact top-5
-    (brute_force_knn — ground truth) ⟕ flat-PQ candidates ⟕ IVF-PQ
-    candidates, per-query hit counts. The digest pins all three neighbor
-    sets, so codebook-training drift, ADC indexing bugs, or probe-order
-    changes surface as a digest flip even though the row count is stable
-    — and the per-query quantization cost stays auditable round over
-    round. Measured on the sf0.001 fixture at m=8/nbits=4: recall@5
-    0.675 flat PQ, 0.55 IVF-PQ scanning only nprobe 4 of 16 cells."""
+    (brute_force_knn — ground truth) ⟕ flat-PQ ⟕ IVF-PQ candidates at
+    BOTH codebook widths, per-query hit counts. The digest pins all five
+    neighbor sets, so codebook-training drift, ADC indexing bugs, or
+    probe-order changes surface as a digest flip even though the row
+    count is stable — and the quantization quality/cost trade stays
+    auditable round over round. Measured on the sf0.001 fixture, m=8:
+      nbits=4 (16-entry codebooks, 4 bits/subvector): recall@5 0.675
+        flat / 0.55 IVF-PQ at nprobe 4 of 16 cells;
+      nbits=8 (256-entry codebooks, the FAISS default): recall@5 1.0
+        flat / 0.775 IVF-PQ at nprobe 6 — the production operating
+        point. The 256-entry LUTs are still m·256 doubles per query
+        (broadcast-trivial) and the ADC fold is the same codegen'd
+        zip_with/element_at expression (tests/test_plans.py pins the
+        scan stays JVM-side; nbits only changes the literal ksub)."""
     from dmshadoop_spark.functions.digest import with_sorted_digest
     from dmshadoop_spark.similarity import brute_force_knn, ivfpq_knn, pq_knn
 
@@ -3822,25 +3829,31 @@ def x5_pq_recall(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    pq = pq_knn(emb, queries_df, k=5, m=8, nbits=4, rerank=4, train_iters=2)
-    ivfpq = ivfpq_knn(
-        emb, queries_df, k=5, n_centroids=16, nprobe=4, m=8, nbits=4,
-        rerank=4,
+    variants = {
+        "hits_pq": pq_knn(
+            emb, queries_df, k=5, m=8, nbits=4, rerank=4, train_iters=2
+        ),
+        "hits_ivfpq": ivfpq_knn(
+            emb, queries_df, k=5, n_centroids=16, nprobe=4, m=8, nbits=4,
+            rerank=4,
+        ),
+        "hits_pq8": pq_knn(
+            emb, queries_df, k=5, m=8, nbits=8, rerank=4, train_iters=2
+        ),
+        "hits_ivfpq8": ivfpq_knn(
+            emb, queries_df, k=5, n_centroids=16, nprobe=6, m=8, nbits=8,
+            rerank=4,
+        ),
+    }
+    out = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    for name, got in variants.items():
+        out = out.join(hits(got, name), "query_id", "left")
+    out = out.select(
+        "query_id",
+        "n_exact",
+        *[F.coalesce(n, F.lit(0)).alias(n) for n in variants],
     )
-    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    out = (
-        base.join(hits(pq, "hits_pq"), "query_id", "left")
-        .join(hits(ivfpq, "hits_ivfpq"), "query_id", "left")
-        .select(
-            "query_id",
-            "n_exact",
-            F.coalesce("hits_pq", F.lit(0)).alias("hits_pq"),
-            F.coalesce("hits_ivfpq", F.lit(0)).alias("hits_ivfpq"),
-        )
-    )
-    return with_sorted_digest(
-        out, "query_id", "n_exact", "hits_pq", "hits_ivfpq"
-    )
+    return with_sorted_digest(out, "query_id", "n_exact", *variants)
 
 
 @query("x31_zip_ingest", oracle=_WDS_ORACLE)

@@ -731,10 +731,11 @@ def test_rows_only_digests_pinned(spark, sf_dir):
         "x5_knn_pq": -5576533855552935802,
         # IVF-PQ: coarse cells + residual codebooks, q·c + ADC scoring
         "x5_knn_ivfpq": 5708955910526947130,
-        # PQ-family recall measurement: pins exact + PQ + IVF-PQ sets
-        # (measured at this pin: recall@5 = 0.675 flat PQ, 0.55 IVF-PQ
-        # at nprobe 4 of 16 cells)
-        "x5_pq_recall": -2054262330739987033,
+        # PQ-family recall measurement: pins exact + flat/IVF-PQ sets at
+        # BOTH codebook widths (measured at this pin, m=8: nbits=4 →
+        # recall@5 0.675 flat / 0.55 IVF-PQ at nprobe 4; nbits=8 → 1.0
+        # flat / 0.775 IVF-PQ at nprobe 6 — the production point)
+        "x5_pq_recall": -1492220692080878731,
         # codec round-trips: pixel pipelines are code-deterministic
         "x6_png_roundtrip": 4499583823149318019,
         # NOT affected by the fixed-point bilinear resample (16c4b4e):
@@ -1867,3 +1868,16 @@ def test_sample_frames_real_mp3_path(spark):
     assert txt_rows and not any(r["real"] for r in txt_rows)
     # stub: duration = 2500/1000 s, one frame per every_s=0.05
     assert len(txt_rows) == int(2.5 / 0.05) + 1
+
+
+def test_pq_nbits8_recall_floor(spark, sf_dir):
+    """The production PQ operating point (m=8, nbits=8 — FAISS-default
+    256-entry codebooks) must keep flat-PQ recall@5 ≥ 0.8 (round-5
+    verdict task 5; measured 1.0 on the sf0.001 fixture)."""
+    from dmshadoop_spark.queries.llm import x5_pq_recall
+
+    rows = x5_pq_recall(spark, sf_dir).collect()
+    n = sum(r["n_exact"] for r in rows)
+    assert sum(r["hits_pq8"] for r in rows) / n >= 0.8
+    # and the wide codebook must not be WORSE than the narrow one
+    assert sum(r["hits_pq8"] for r in rows) >= sum(r["hits_pq"] for r in rows)

@@ -419,3 +419,27 @@ def test_extract_dispatch_no_shuffle(spark, sf_dir):
     any Exchange is a regression."""
     p = plan(spark, sf_dir, "x24_extract_dispatch")
     assert "Exchange" not in p, p[:2000]
+
+
+def test_salted_agg_keys_on_salt(spark, sf_dir):
+    """a17_salted_agg's level-1 aggregate must key on (l_returnflag,
+    _salt) — the fan-out that spreads a hot group over salt_buckets
+    tasks — and re-aggregate by the bare key above it (≥4 HashAggregate
+    nodes: partial+final at both levels)."""
+    p = plan(spark, sf_dir, "a17_salted_agg")
+    # the salt source (Catalyst aliases the salt to _groupingexpression)
+    assert "SPARK_PARTITION_ID()" in p
+    assert p.count("HashAggregate") >= 4
+    # level 1 keys on (returnflag, salt); level 2 on the bare key
+    assert "Keys [2]: [l_returnflag" in p and "Keys [1]: [l_returnflag" in p
+
+
+def test_salted_join_fans_out_salt(spark, sf_dir):
+    """j13_salted_join must explode the small side per salt bucket
+    (Generate node) and carry _salt in the join keys — one hot key's
+    probe rows land on salt_buckets tasks instead of one."""
+    p = plan(spark, sf_dir, "j13_salted_join")
+    assert "explode([0," in p  # dim replicated once per salt bucket
+    assert "_salt" in p
+    # the salt is a real join key, not a post-filter
+    assert "Left keys [2]" in p and "Right keys [2]" in p

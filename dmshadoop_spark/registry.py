@@ -57,22 +57,23 @@ def load_all() -> None:
 # canaries. Everything not listed follows in registration order, so the
 # window rotates across rounds until every query has a confirmed row.
 #
-# ROUND-5 DECISION: CORRECTNESS_r04 ran 50/50 green — cumulative
-# driver-confirmed coverage closed the round-4 registry at 190/190
-# (tools/rotation.py, which now also recognizes the rows-only passing
-# state err="no_oracle" + spark_rows > 0). This window, regenerated from
-# live state: 3 canaries + the 15 round-5 registrations (the round-4
-# VERDICT's "only gap": merge_into, BPE, image near-dup, WebDataset,
-# ADPCM, audio features, multi-probe recall, bilinear resample — plus
-# x6_mkv_pcm, the Cluster-payload stretch item, x5_knn_pq, and x5_knn_ivfpq, the
-# product-quantization ANN pair) + the 3 queries whose
-# behavior changed this round (x24 widened to 11 formats; x2_simhash
-# candidate set corrected by the hamming chunk-0 sign fix;
-# x6_jpeg_roundtrip re-confirmed after an erroneous round-5 re-pin was
-# reverted — resize_images thumbnails via resize_nearest, so bilinear
-# never touched it) + 29 of the 48 queries last confirmed in ROUND 1
-# (oldest-green re-validation, so long-green rows keep getting
-# re-exercised as the registry grows).
+# ROUND-6 DECISION: CORRECTNESS_r05 ran 50/50 green; cumulative coverage
+# closed the round-5 registry at 205/205 (tools/rotation.py). This
+# window, regenerated from live state: 3 canaries + the 3 round-6
+# registrations (x6_image_features — the real-featurizer full value
+# oracle; a17_salted_agg / j13_salted_join — the skew operators, the
+# last library surface without a driver row) + 7 queries whose behavior
+# changed this round (x6_feature_extract / x6_resize_thumbnails /
+# x6_frame_sample now emit the `real` flag, x6_frame_sample adds the
+# real-mp3 branch + digest; x5_pq_recall adds the nbits=8 columns;
+# x5_knn_pq / x5_knn_ivfpq re-confirm after the NULL-embedding filter;
+# x6_mkv_pcm re-confirms after the late-Info TimestampScale fix) + ALL
+# 17 queries still on their ROUND-1 confirmation (f6-f12, j1-j4,
+# st1-st6 — the oldest-green tail retires completely this round) + 20
+# round-2-vintage re-validations prioritizing the families the round-5
+# verdict named: the full text-search tier t1-t5 (+t4b) and
+# st7_stateful_user_totals (streaming code moved in r4-r5), then TPC-H
+# and window shapes.
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
 # before this window was handed to the driver.
 PRIORITY: list[str] = [
@@ -80,62 +81,57 @@ PRIORITY: list[str] = [
     "a6_q1_pricing_summary",
     "w1_latest_per_group",
     "x2_ngram_jaccard",
-    # round-5 registrations, oracle-backed first
-    "s21_merge_into",
-    "x2d_dedup_survivors",
-    "x29_webdataset_ingest",
-    "x30_warc_ingest",
-    "x31_zip_ingest",
-    "x6_mkv_pcm",
-    "x6_adpcm_roundtrip",
-    "x6_audio_features",
-    "x6_bilinear_resize",
-    "x27_bpe_tokenize",
-    "x28_image_neardup",
-    "x5_knn_multiprobe",
+    # round-6 registrations, oracle-backed first
+    "x6_image_features",
+    "a17_salted_agg",
+    "j13_salted_join",
+    # changed this round → re-confirm
+    "x6_feature_extract",
+    "x6_resize_thumbnails",
+    "x6_frame_sample",
+    "x5_pq_recall",
     "x5_knn_pq",
     "x5_knn_ivfpq",
-    "x5_pq_recall",
-    # changed this round → re-confirm
-    "x24_extract_dispatch",
-    "x2_simhash",
-    "x6_jpeg_roundtrip",
-    # oldest-green re-validation (last confirmed in round 1)
-    "a1_max_per_group",
-    "a3_count",
-    "a4_distinct",
-    "a5_numeric_rollups",
-    "a7_count_distinct",
-    "a8_rollup",
-    "a9_map_key_count",
-    "s1_full_scan",
-    "s2_regex_scan",
-    "s3_point_lookup",
-    "s5_blob_point_read",
-    "s9_json_source",
-    "p1_project",
-    "p2_eq_predicate",
-    "p4_null_check",
-    "p5_nonempty_guard",
-    "o1_sort_limit",
-    "o2_top1",
-    "o3_topk",
-    "o4_sort_within_partitions",
-    "u1_union_by_name",
-    "u2_intersect",
-    "u2_except",
-    "u3_union_distinct",
-    "f1_concat_key",
-    "f2_split",
-    "f3_regexp_extract",
-    "f4_replace_trim",
-    "f5_cast",
-    # f6_json_extract / f7_map_ops / f8_string_funcs / f9_date_funcs /
-    # f10_hash / f11_arith / f12_array_funcs rotated out to make room
-    # for the round-5 registrations (x6_mkv_pcm, x5_knn_pq,
-    # x5_knn_ivfpq, x5_pq_recall, x2d_dedup_survivors, x30_warc_ingest,
-    # x31_zip_ingest) — all seven stay cumulatively green from r1 and
-    # return in a later window.
+    "x6_mkv_pcm",
+    # oldest-green re-validation: the entire remaining round-1 tail
+    "f6_json_extract",
+    "f7_map_ops",
+    "f8_string_funcs",
+    "f9_date_funcs",
+    "f10_hash",
+    "f11_arith",
+    "f12_array_funcs",
+    "j1_semi_join",
+    "j2_anti_join",
+    "j3_inner_join",
+    "j4_broadcast_join",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st3_session_window",
+    "st4_watermark_filter",
+    "st5_stateful_dedup",
+    "st6_stream_static_join",
+    # round-2-vintage re-validation (search + streaming families first)
+    "t1_tokenize",
+    "t2_inverted_index",
+    "t3_term_lookup",
+    "t4_tfidf_topk",
+    "t4b_index_search",
+    "t5_search_numfound",
+    "st7_stateful_user_totals",
+    "a2_collect_list",
+    "j5_outer_join",
+    "j6_range_join",
+    "j7_asof_join",
+    "j8_cross_join",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q21_waiting_supplier",
+    "w2_next_version",
+    "w3_rank",
 ]
 
 

@@ -4,6 +4,11 @@ queries/llm.py). All implementations are deterministic (seeded hash
 families, no RNG at execution time) and expression-only (JVM-side, no
 Python UDFs in the hot path)."""
 
+from dmshadoop_spark.dedup.audiohash import (
+    audio_fingerprint_int,
+    audio_hash_df,
+    audio_neardup_pairs,
+)
 from dmshadoop_spark.dedup.hamming import hamming_candidate_pairs
 from dmshadoop_spark.dedup.imagehash import (
     ahash_int,
@@ -22,6 +27,9 @@ from dmshadoop_spark.dedup.simhash import simhash, simhash_candidate_pairs, simh
 
 __all__ = [
     "ahash_int",
+    "audio_fingerprint_int",
+    "audio_hash_df",
+    "audio_neardup_pairs",
     "connected_components",
     "dhash_int",
     "hamming_candidate_pairs",

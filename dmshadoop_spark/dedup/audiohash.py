@@ -1,0 +1,111 @@
+"""Acoustic fingerprinting + audio near-dup detection (X-family).
+
+Training-corpus audio dedup needs a fingerprint that survives level
+changes and re-encoding — byte hashes (X1) catch none of those. The
+classic first-pass construction (the energy-contour family behind
+Shazam-style landmark hashing and Chromaprint's coarse bits): slice the
+stream into equal frames, compute per-frame energy, and keep only the
+SIGN of each successive energy delta. Energy scales by a² under an
+amplitude change, so delta signs are invariant to any monotone gain —
+the audio analogue of dHash's gradient bits (dedup/imagehash.py).
+
+Integer-exact end to end: frame boundaries by integer division, Σs² per
+frame in Python int (exact at any length), strict > comparison — the
+same samples fingerprint identically on any engine, worker, or numpy
+version, and the whole construction is SQL-expressible, so (unlike
+image hashing, whose decode step SQL can't run) audio near-dup gets a
+FULL value oracle (queries/llm.py x32_audio_neardup).
+
+Fingerprints are 63-bit (64 frames → 63 deltas, bit 62 down to bit 0)
+so they stay positive in a signed 64-bit lane on both engines; pairing
+reuses the shared Hamming banding (dedup/hamming.py) — one uniform
+shuffle, no all-pairs comparison, the same 100 TB shape as SimHash and
+image near-dup. Decode runs through multimodal.parse_wav (PCM, G.711,
+ADPCM all normalize to linear int16); undecodable payloads get a NULL
+fingerprint instead of failing the batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dmshadoop_spark.dedup.hamming import hamming_candidate_pairs
+
+N_FRAMES = 64  # → 63 delta bits, positive in signed int64
+
+
+def audio_fingerprint_int(samples: "np.ndarray", n_frames: int = N_FRAMES) -> int:
+    """63-bit energy-contour hash of an int16 sample stream.
+
+    Frame f spans samples [f·n//n_frames, (f+1)·n//n_frames); its energy
+    is the exact integer Σs². Bit f (f = 0..n_frames−2) is set iff
+    energy(f+1) > energy(f). Gain-invariant for any scaling that
+    preserves the strict energy order (always true for ideal gain;
+    true for quantized gain whenever adjacent frame energies are not
+    pathologically close)."""
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
+    if n < n_frames:
+        raise ValueError(f"need ≥ {n_frames} samples, got {n}")
+    bounds = [(f * n) // n_frames for f in range(n_frames + 1)]
+    energies = [int((s[lo:hi] ** 2).sum()) for lo, hi in zip(bounds, bounds[1:])]
+    v = 0
+    for f in range(n_frames - 1):
+        if energies[f + 1] > energies[f]:
+            v |= 1 << f
+    return v
+
+
+def audio_hash_df(
+    audio: DataFrame,
+    content_col: str = "content",
+    id_col: str = "path",
+    n_frames: int = N_FRAMES,
+) -> DataFrame:
+    """(id, ahash) for every DECODABLE WAV payload in a binary column;
+    rows whose bytes parse_wav rejects (or that are shorter than one
+    sample per frame) get NULL. Arrow-batched; audio bytes never leave
+    their executor."""
+
+    def work(batches):
+        from dmshadoop_spark.multimodal import parse_wav
+
+        for pdf in batches:
+            hashes = []
+            for blob in pdf[content_col]:
+                try:
+                    w = parse_wav(bytes(blob))
+                    hashes.append(
+                        audio_fingerprint_int(w["samples"], n_frames)
+                    )
+                except (ValueError, NotImplementedError):
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "ahash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return audio.select(id_col, content_col).mapInPandas(
+        work, schema=f"{id_col} string, ahash bigint"
+    )
+
+
+def audio_neardup_pairs(
+    audio: DataFrame,
+    content_col: str = "content",
+    id_col: str = "path",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) audio near-dup pairs:
+    energy-contour fingerprint → Hamming banding → exact popcount
+    filter. Complete for hamming ≤ chunks−1 (the banding guarantee),
+    so with max_hamming ≤ chunks−1 the result is EXACTLY the true
+    pair set — which is what lets the driver value-oracle it."""
+    fps = audio_hash_df(audio, content_col, id_col).filter(
+        F.col("ahash").isNotNull()
+    )
+    pairs = hamming_candidate_pairs(fps, id_col, "ahash", chunks)
+    return pairs.filter(F.col("hamming") <= max_hamming)

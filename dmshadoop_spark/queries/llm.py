@@ -3868,3 +3868,94 @@ def x31_zip_ingest(spark, sf_dir):
     emitted fields prove container-independence of the whole pipeline,
     and the DEFLATE path gets a full value check."""
     return _webdataset_pipeline(spark, sf_dir, "zip")
+
+
+_AUDIO_NEARDUP_ORACLE = """
+    WITH ids AS (
+        SELECT doc_id AS d, doc_id // 3 AS g,
+               CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 5 ELSE 6 END AS num
+        FROM documents WHERE doc_id < 180
+    ),
+    amp AS (
+        SELECT d, f.i AS f,
+               ((500 + 10 * (((g * 37 + 11) * (f.i + 1) * (f.i + 1)
+                              + f.i * 53) % 211)) * num) // 5 AS a
+        FROM ids, range(0, 64) f(i)
+    ),
+    fp AS (
+        SELECT d,
+               CAST(COALESCE(SUM(CASE WHEN nxt > a
+                                      THEN CAST(1 AS BIGINT) << f END), 0)
+                    AS BIGINT) AS v
+        FROM (
+            SELECT d, f, a, LEAD(a) OVER (PARTITION BY d ORDER BY f) AS nxt
+            FROM amp
+        ) WHERE f < 63 GROUP BY d
+    )
+    SELECT 'a' || lpad(CAST(a.d AS VARCHAR), 3, '0') AS doc_a,
+           'a' || lpad(CAST(b.d AS VARCHAR), 3, '0') AS doc_b,
+           CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.d < b.d
+    WHERE bit_count(xor(a.v, b.v)) <= 3
+"""
+
+
+@query("x32_audio_neardup", oracle=_AUDIO_NEARDUP_ORACLE)
+def x32_audio_neardup(spark, sf_dir):
+    """Audio near-dup under a FULL value oracle — the first LSH-banded
+    dedup operator whose whole pipeline SQL can replay (image hashing
+    can't: no SQL decoder; here the PCM samples ARE closed-form). 180
+    docs = 60 signal groups × 3 gain variants: per group, a 64-frame
+    square-wave stream whose per-frame amplitude is a quadratic mix of
+    (group, frame) mod 211, scaled 4/5, 1, 6/5 per variant in integer
+    arithmetic — the result is EXACTLY the 180 within-group pairs at
+    hamming 0 (gain invariance), zero cross-group false positives;
+    each WAV muxes with encode_wav, demuxes with parse_wav,
+    fingerprints with the energy-contour hash (dedup/audiohash.py —
+    delta SIGNS of exact per-frame Σs², gain-invariant), and pairs via
+    Hamming banding. With max_hamming=3=chunks−1 the banding guarantee
+    makes the output EXACTLY the true hamming≤3 pair set, which DuckDB
+    recomputes from the same amplitude formula (LEAD window → bit build
+    → all-pairs bit_count(xor) at oracle scale). A hash match proves
+    the WAV mux/demux, the integer energy fold, the bit packing, and
+    the banding completeness in one row.
+
+    Plan: one documents scan → Arrow synth → Arrow fingerprint → ONE
+    uniform (chunk_idx, chunk_val) shuffle → bounded pair emission; no
+    all-pairs join anywhere on the Spark side."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.dedup import audio_neardup_pairs
+    from dmshadoop_spark.multimodal import encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 180)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, num = d // 3, (4, 5, 6)[d % 3]
+                f = np.arange(64, dtype=np.int64)
+                a = 500 + 10 * (
+                    ((g * 37 + 11) * (f + 1) * (f + 1) + f * 53) % 211
+                )
+                av = (a * num) // 5
+                samples = np.repeat(av, 80)
+                samples[1::2] *= -1  # square wave: alternate ± per sample
+                paths.append(f"a{d:03d}")
+                blobs.append(encode_wav(samples.astype("<i2"), 8000))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    wavs = docs.select("doc_id").mapInPandas(
+        synth, schema="path string, content binary"
+    )
+    pairs = audio_neardup_pairs(wavs, id_col="path", max_hamming=3, chunks=4)
+    return pairs.select(
+        F.col("path_a").alias("doc_a"),
+        F.col("path_b").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )

@@ -1881,3 +1881,53 @@ def test_pq_nbits8_recall_floor(spark, sf_dir):
     assert sum(r["hits_pq8"] for r in rows) / n >= 0.8
     # and the wide codebook must not be WORSE than the narrow one
     assert sum(r["hits_pq8"] for r in rows) >= sum(r["hits_pq"] for r in rows)
+
+
+def test_audio_fingerprint_gain_invariance_and_neardup(spark):
+    """Energy-contour audio fingerprints (dedup/audiohash.py): gain
+    scaling never flips a bit (energy deltas keep sign under a²), byte
+    hashes would catch none of these; banding finds the planted pair."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dmshadoop_spark.dedup import (
+        audio_fingerprint_int,
+        audio_neardup_pairs,
+    )
+    from dmshadoop_spark.multimodal import encode_wav
+
+    rng = np.random.RandomState(5)
+    base = (rng.randn(64 * 100) * 3000).astype(np.int64)
+    fp0 = audio_fingerprint_int(base)
+    for scale_num, scale_den in ((4, 5), (6, 5), (1, 2)):
+        scaled = (base * scale_num) // scale_den
+        assert audio_fingerprint_int(scaled) == fp0, (scale_num, scale_den)
+    # different signal → far fingerprint
+    other = (rng.randn(64 * 100) * 3000).astype(np.int64)
+    assert bin(fp0 ^ audio_fingerprint_int(other)).count("1") > 10
+
+    df = spark.createDataFrame(
+        [
+            Row(path="a", content=bytearray(encode_wav(base.astype("<i2"), 8000))),
+            Row(path="b", content=bytearray(
+                encode_wav(((base * 4) // 5).astype("<i2"), 8000))),
+            Row(path="c", content=bytearray(encode_wav(other.astype("<i2"), 8000))),
+            Row(path="junk", content=bytearray(b"not audio")),
+        ]
+    )
+    pairs = audio_neardup_pairs(df, id_col="path").collect()
+    assert {(r["path_a"], r["path_b"]) for r in pairs} == {("a", "b")}
+    assert pairs[0]["hamming"] == 0
+
+
+def test_x32_audio_neardup_exactly_planted_pairs(spark, sf_dir):
+    """x32's fixture yields EXACTLY the 180 within-group gain-variant
+    pairs, all at hamming 0 — zero cross-group false positives."""
+    from dmshadoop_spark.queries.llm import x32_audio_neardup
+
+    rows = x32_audio_neardup(spark, sf_dir).collect()
+    assert len(rows) == 180
+    assert all(r["hamming"] == 0 for r in rows)
+    assert all(
+        int(r["doc_a"][1:]) // 3 == int(r["doc_b"][1:]) // 3 for r in rows
+    )

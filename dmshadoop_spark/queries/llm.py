@@ -3959,3 +3959,113 @@ def x32_audio_neardup(spark, sf_dir):
         F.col("path_b").alias("doc_b"),
         F.col("hamming").cast("long").alias("hamming"),
     )
+
+
+_VIDEO_FEAT_ORACLE = """
+    WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id < 20),
+    ks AS (SELECT t.i * 2 AS k FROM range(0, 6) t(i)),
+    px AS (
+        SELECT d, k, x.i AS x, y.i AS y,
+               (3 * x.i + 5 * y.i + 7 * k + d) % 200 AS r,
+               (x.i + 2 * y.i + 11 * k + 2 * d) % 200 AS g,
+               (x.i * y.i + k * d) % 199 AS b
+        FROM ids, ks, range(0, 24) x(i), range(0, 16) y(i)
+    )
+    SELECT d AS doc_id,
+           CAST(k AS BIGINT) AS frame_idx,
+           CAST(k * 250 AS BIGINT) AS ts_ms,
+           CAST(SUM(r) AS DOUBLE) / 384 AS mean_r,
+           CAST(SUM(g) AS DOUBLE) / 384 AS mean_g,
+           CAST(SUM(b) AS DOUBLE) / 384 AS mean_b
+    FROM px GROUP BY d, k
+"""
+
+
+@query("x6_video_features", oracle=_VIDEO_FEAT_ORACLE)
+def x6_video_features(spark, sf_dir):
+    """The full VIDEO pipeline — container mux → real Matroska demux →
+    stride sampling → real image decode → featurize — under ONE value
+    oracle. Per doc, 12 closed-form 24×16 frames are PNG-encoded and
+    muxed into a Matroska stream (encode_mkv_frames, 4 fps, 1 ms
+    timescale); sample_frames takes its REAL mkv branch (Cluster →
+    SimpleBlock walk) and every_s=0.5 strides to frames 0,2,…,10 with
+    container timestamps; each sampled payload decodes through the real
+    PNG codec and emits exact per-channel means. DuckDB recomputes the
+    stride arithmetic, the 250 ms timestamps, and every mean from the
+    pixel formula — a hash match proves the mux, the demux walk, the
+    stride selection, the timestamps, AND the decode in composition
+    (the stages x6_mkv_pcm / x6_png_roundtrip pin individually).
+
+    Plan: one documents scan → Arrow synth → Arrow demux/sample →
+    Arrow decode/featurize; zero shuffles, zero driver collects."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import (
+        encode_mkv_frames,
+        encode_png,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                yy, xx = np.mgrid[0:16, 0:24]
+                frames = [
+                    encode_png(
+                        np.stack(
+                            [
+                                (3 * xx + 5 * yy + 7 * k + d) % 200,
+                                (xx + 2 * yy + 11 * k + 2 * d) % 200,
+                                (xx * yy + k * d) % 199,
+                            ],
+                            axis=2,
+                        ).astype(np.uint8)
+                    )
+                    for k in range(12)
+                ]
+                paths.append(f"v{d:03d}")
+                blobs.append(
+                    encode_mkv_frames(frames, fps=4, width=24, height=16)
+                )
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    mkvs = docs.select("doc_id").mapInPandas(
+        synth, schema="path string, content binary"
+    )
+    sampled = sample_frames(mkvs, every_s=0.5)
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dmshadoop_spark.multimodal import decode_png
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_idx", "ts_ms", "mean_r", "mean_g", "mean_b"
+            )}
+            for path, idx, ts, fr in zip(
+                pdf["path"], pdf["frame_idx"], pdf["ts_sec"], pdf["frame"]
+            ):
+                a = decode_png(bytes(fr)).astype(np.int64)
+                n = a.shape[0] * a.shape[1]
+                sums = a.reshape(-1, 3).sum(axis=0)
+                rows["doc_id"].append(int(path[1:]))
+                rows["frame_idx"].append(int(idx))
+                rows["ts_ms"].append(round(float(ts) * 1000))
+                rows["mean_r"].append(int(sums[0]) / n)
+                rows["mean_g"].append(int(sums[1]) / n)
+                rows["mean_b"].append(int(sums[2]) / n)
+            yield pd.DataFrame(rows)
+
+    return sampled.mapInPandas(
+        feat,
+        schema=(
+            "doc_id bigint, frame_idx bigint, ts_ms bigint, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )

@@ -1931,3 +1931,21 @@ def test_x32_audio_neardup_exactly_planted_pairs(spark, sf_dir):
     assert all(
         int(r["doc_a"][1:]) // 3 == int(r["doc_b"][1:]) // 3 for r in rows
     )
+
+
+def test_x6_video_features_composition(spark, sf_dir):
+    """x6_video_features samples exactly frames 0,2,…,10 per doc (the
+    every_s=0.5 stride over 4 fps × 12 frames), with 250 ms container
+    timestamps and means in [0, 200)."""
+    from dmshadoop_spark.queries.llm import x6_video_features
+
+    rows = x6_video_features(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 20
+    for d, rs in by_doc.items():
+        assert sorted(r["frame_idx"] for r in rs) == [0, 2, 4, 6, 8, 10], d
+        for r in rs:
+            assert r["ts_ms"] == r["frame_idx"] * 250
+            assert 0 <= r["mean_r"] < 200 and 0 <= r["mean_b"] < 199

@@ -45,11 +45,19 @@ def audio_fingerprint_int(samples: "np.ndarray", n_frames: int = N_FRAMES) -> in
     energy(f+1) > energy(f). Gain-invariant for any scaling that
     preserves the strict energy order (always true for ideal gain;
     true for quantized gain whenever adjacent frame energies are not
-    pathologically close)."""
+    pathologically close).
+
+    Exactness domain: int16 samples (what parse_wav always yields) —
+    there the int64 accumulator is exact for any realistic frame
+    length (overflow would need ~2^33 samples per frame). Inputs
+    outside int16 are REJECTED rather than silently summed into a
+    wrapping accumulator."""
     s = np.asarray(samples, dtype=np.int64)
     n = len(s)
     if n < n_frames:
         raise ValueError(f"need ≥ {n_frames} samples, got {n}")
+    if n and int(np.abs(s).max()) > 32767:
+        raise ValueError("audio_fingerprint_int expects int16-range samples")
     bounds = [(f * n) // n_frames for f in range(n_frames + 1)]
     energies = [int((s[lo:hi] ** 2).sum()) for lo, hi in zip(bounds, bounds[1:])]
     v = 0

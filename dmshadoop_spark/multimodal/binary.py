@@ -1070,6 +1070,15 @@ FRAMES_SCHEMA = (
 )
 
 
+def _sample_stride(n: int, span: float, every_s: float) -> int:
+    """Frame stride for ~one emitted frame per ``every_s`` over ``n``
+    frames whose timestamps span ``span`` seconds (span = the LAST
+    frame's start time, so the estimate skews ~n/(n−1) dense); shared
+    by the mp3/mkv/mp4 branches of ``sample_frames`` so the policy
+    can't drift between containers."""
+    return max(1, round(n * every_s / span)) if span > 0 else 1
+
+
 def fake_thumbnail(content: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in for decode→resize→encode: a pseudo-pixel
     buffer of exactly width*height*3 bytes streamed from sha256(content).
@@ -1189,21 +1198,21 @@ def sample_frames(
                     for i in range(0, len(all_frames), stride):
                         emit(path, i, i * uspf / 1_000_000, all_frames[i], True)
                     continue
-                if raw[:3] == b"ID3" or (
-                    len(raw) > 1
-                    and raw[0] == 0xFF
-                    and (raw[1] & 0xE0) == 0xE0
-                ):
+                # Dispatch through the real sniffer, not a bare 2-byte
+                # sync check: FF Ex occurs in non-audio payloads (the
+                # UTF-16-LE BOM is FF FE), and _sniff already demands a
+                # second consecutive valid frame before claiming
+                # audio/mpeg (round-6 review finding).
+                if _sniff_type(raw) == "audio/mpeg":
                     from dmshadoop_spark.multimodal.containers import (
                         mp3_frames,
                     )
 
                     try:
                         walk = mp3_frames(raw)
-                        span = walk[-1]["ts_sec"]
                         n = len(walk)
-                        stride = (
-                            max(1, round(n * every_s / span)) if span > 0 else 1
+                        stride = _sample_stride(
+                            n, walk[-1]["ts_sec"], every_s
                         )
                         for i in range(0, n, stride):
                             fr = walk[i]
@@ -1235,12 +1244,9 @@ def sample_frames(
                         ]
                         if blocks:
                             blocks.sort(key=lambda b: b["ts_ms"])
-                            span = blocks[-1]["ts_ms"] / 1000.0
                             n = len(blocks)
-                            stride = (
-                                max(1, round(n * every_s / span))
-                                if span > 0
-                                else 1
+                            stride = _sample_stride(
+                                n, blocks[-1]["ts_ms"] / 1000.0, every_s
                             )
                             for i in range(0, n, stride):
                                 emit(
@@ -1263,9 +1269,8 @@ def sample_frames(
                         )
                         samples = vid["samples"]
                         n = len(samples)
-                        span = samples[-1][2] if n else 0.0
-                        stride = (
-                            max(1, round(n * every_s / span)) if span > 0 else 1
+                        stride = _sample_stride(
+                            n, samples[-1][2] if n else 0.0, every_s
                         )
                         for i in range(0, n, stride):
                             off, size, ts = samples[i]

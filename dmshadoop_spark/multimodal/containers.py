@@ -80,11 +80,16 @@ def _mp3_frame_at(data: bytes, i: int):
     return frame_len, samples, sample_rate, bitrate
 
 
-def parse_mp3(data: bytes) -> dict:
-    """Walk every MPEG audio frame: skip ID3v2, sync-scan to the first
-    valid header, then step frame-by-frame. Returns {n_frames, duration,
-    sample_rate, bitrate (average, bps), layer_version}. Raises ValueError
-    if no coherent frame sequence exists."""
+def mp3_frames(data: bytes) -> list[dict]:
+    """Per-frame walk of an MPEG audio stream — THE single
+    implementation of the ID3v2 skip, sync scan, and consistent-prefix
+    walk rules (``parse_mp3`` derives from it, so the two views can't
+    drift). One dict {offset, length, ts_sec, samples, sample_rate,
+    bitrate} per frame; ts_sec from the cumulative sample count over
+    the stream's sample rate. ``sample_frames`` uses the byte spans to
+    emit actual compressed frame payloads with container-derived
+    timestamps (no MDCT synthesis required). Raises ValueError if no
+    coherent frame sequence exists."""
     data = bytes(data)
     i = 0
     if data[:3] == b"ID3" and len(data) >= 10:
@@ -95,57 +100,6 @@ def parse_mp3(data: bytes) -> dict:
         )
         i = 10 + size
     # sync scan (tolerate junk before the first frame, as real rippers do)
-    first = None
-    while i < len(data) - 4:
-        parsed = _mp3_frame_at(data, i)
-        if parsed:
-            first = parsed
-            break
-        i += 1
-    if first is None:
-        raise ValueError("no MPEG audio frame found")
-    n_frames = 0
-    total_samples = 0
-    total_bits = 0
-    sample_rate = first[2]
-    while i + 4 <= len(data):
-        parsed = _mp3_frame_at(data, i)
-        if not parsed:
-            break
-        frame_len, samples, sr, bitrate = parsed
-        if sr != sample_rate or frame_len <= 0:
-            break  # stream changed → stop at the consistent prefix
-        n_frames += 1
-        total_samples += samples
-        total_bits += bitrate * samples  # weight by duration
-        i += frame_len
-    if n_frames == 0:
-        raise ValueError("no MPEG audio frame found")
-    duration = total_samples / sample_rate
-    return {
-        "n_frames": n_frames,
-        "total_samples": total_samples,  # exact int — float-free oracles
-        "duration": duration,
-        "sample_rate": sample_rate,
-        "bitrate": int(round(total_bits / total_samples)),
-    }
-
-
-def mp3_frames(data: bytes) -> list[dict]:
-    """Per-frame walk of an MPEG audio stream (same sync-scan/ID3-skip
-    rules as ``parse_mp3``): one dict {offset, length, ts_sec} per frame,
-    ts_sec from the cumulative sample count over the stream's sample
-    rate. The frame-level view ``sample_frames`` needs to emit actual
-    compressed frame payloads with container-derived timestamps (no
-    MDCT synthesis required). Raises ValueError if no frame exists."""
-    data = bytes(data)
-    i = 0
-    if data[:3] == b"ID3" and len(data) >= 10:
-        size = (
-            (data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
-            | (data[8] & 0x7F) << 7 | (data[9] & 0x7F)
-        )
-        i = 10 + size
     while i < len(data) - 4 and not _mp3_frame_at(data, i):
         i += 1
     out: list[dict] = []
@@ -155,7 +109,7 @@ def mp3_frames(data: bytes) -> list[dict]:
         parsed = _mp3_frame_at(data, i)
         if not parsed:
             break
-        frame_len, samples, sr, _bitrate = parsed
+        frame_len, samples, sr, bitrate = parsed
         if sample_rate is None:
             sample_rate = sr
         if sr != sample_rate or frame_len <= 0:
@@ -165,6 +119,9 @@ def mp3_frames(data: bytes) -> list[dict]:
                 "offset": i,
                 "length": frame_len,
                 "ts_sec": total_samples / sample_rate,
+                "samples": samples,
+                "sample_rate": sr,
+                "bitrate": bitrate,
             }
         )
         total_samples += samples
@@ -172,6 +129,25 @@ def mp3_frames(data: bytes) -> list[dict]:
     if not out:
         raise ValueError("no MPEG audio frame found")
     return out
+
+
+def parse_mp3(data: bytes) -> dict:
+    """Stream-level MPEG audio metadata: {n_frames, total_samples,
+    duration, sample_rate, bitrate (duration-weighted average, bps)}.
+    A pure aggregation over ``mp3_frames`` — frame-walk policy lives in
+    exactly one place. Raises ValueError if no coherent frame sequence
+    exists."""
+    walk = mp3_frames(data)
+    total_samples = sum(f["samples"] for f in walk)
+    total_bits = sum(f["bitrate"] * f["samples"] for f in walk)
+    sample_rate = walk[0]["sample_rate"]
+    return {
+        "n_frames": len(walk),
+        "total_samples": total_samples,  # exact int — float-free oracles
+        "duration": total_samples / sample_rate,
+        "sample_rate": sample_rate,
+        "bitrate": int(round(total_bits / total_samples)),
+    }
 
 
 def encode_mp3(

@@ -392,13 +392,21 @@ def mkv_blocks(data: bytes) -> list[dict]:
     data = bytes(data)
     if data[:4] != b"\x1a\x45\xdf\xa3":
         raise ValueError("not an EBML payload")
-    timescale = 1_000_000
     out: list[dict] = []
     block_idx = 0
     try:
         for eid, lo, hi in _walk(data, 0, len(data)):
             if eid != SEGMENT:
                 continue
+            # Timescale is PER SEGMENT: reset at segment entry, stamp
+            # this segment's rows once its walk completes — so a
+            # late-declared Info (SeekHead-ordered files) still applies
+            # to the whole segment, while concatenated multi-segment
+            # streams keep each segment's own scale (round-6 review
+            # finding: a single post-walk stamp leaked the LAST
+            # segment's scale onto earlier segments).
+            seg_start = len(out)
+            timescale = 1_000_000
             for seid, slo, shi in _walk(data, lo, hi):
                 if seid == INFO:
                     for ieid, ilo, ihi in _walk(data, slo, shi):
@@ -439,14 +447,10 @@ def mkv_blocks(data: bytes) -> list[dict]:
                                     }
                                 )
                             block_idx += 1
+            for row in out[seg_start:]:
+                row["ts_ms"] = row["ts_units"] * timescale / 1e6
     except (IndexError, struct.error) as exc:
         raise ValueError(f"malformed EBML stream: {exc!r}") from exc
-    # ts_ms is computed AFTER the walk: Matroska permits Info (and its
-    # TimestampScale) to follow Clusters in SeekHead-ordered files, so
-    # scaling during the walk would apply the 1,000,000 default to blocks
-    # that precede a late Info element.
-    for row in out:
-        row["ts_ms"] = row["ts_units"] * timescale / 1e6
     return out
 
 

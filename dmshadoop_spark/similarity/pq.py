@@ -342,9 +342,12 @@ def ivfpq_knn(
 
     lut = _lut_udf(spark, codebooks)
     qdotc = _qdotc_udf(spark, cents)
+    # NULL query vectors are dropped, matching the corpus-side policy
+    # (_staged_corpus): they can produce no ranked neighbors, and the
+    # LUT/q·c pandas UDFs cannot vectorize a None row.
     q2 = queries.select(
         F.col(query_id_col), as_double(query_vec_col).alias("_qv")
-    ).select(
+    ).filter(F.col("_qv").isNotNull()).select(
         query_id_col, "_qv", F.sqrt(norm_sq(F.col("_qv"))).alias("_nq")
     )
     # LUT is cell-independent — compute it BEFORE the probe explode so
@@ -426,9 +429,10 @@ def pq_knn(
     enc = pq_encode(corpus2, codebooks, vec_col="_v", id_col="neighbor_id")
 
     lut = _lut_udf(spark, codebooks)
+    # NULL query vectors are dropped (same policy as ivfpq_knn/_staged_corpus)
     q2 = queries.select(
         F.col(query_id_col), as_double(query_vec_col).alias("_qv")
-    ).select(
+    ).filter(F.col("_qv").isNotNull()).select(
         query_id_col,
         "_qv",
         F.sqrt(norm_sq(F.col("_qv"))).alias("_nq"),

@@ -1949,3 +1949,89 @@ def test_x6_video_features_composition(spark, sf_dir):
         for r in rs:
             assert r["ts_ms"] == r["frame_idx"] * 250
             assert 0 <= r["mean_r"] < 200 and 0 <= r["mean_b"] < 199
+
+
+def test_sample_frames_rejects_fake_mp3_sync(spark):
+    """A UTF-16-LE payload (FF FE BOM — a valid-looking 2-byte MPEG
+    sync) must take the fallback path with real=false, not be sliced as
+    audio frames (round-6 review finding: sample_frames now dispatches
+    through the sniffer's two-consecutive-frames rule)."""
+    from pyspark.sql import Row
+
+    from dmshadoop_spark.multimodal import sample_frames
+
+    bom_text = "some perfectly normal text".encode("utf-16-le")
+    df = spark.createDataFrame([Row(path="t", content=bytearray(bom_text))])
+    rows = sample_frames(df, every_s=0.5).collect()
+    assert rows and not any(r["real"] for r in rows)
+
+
+def test_mkv_blocks_per_segment_timescale():
+    """Concatenated multi-segment streams keep each segment's OWN
+    TimestampScale (round-6 review follow-up: the late-Info fix must
+    not leak the last segment's scale onto earlier segments)."""
+    from dmshadoop_spark.multimodal import ebml as E
+
+    def seg(scale_ns, declare_late):
+        track = E._elem(
+            E.TRACKS,
+            E._elem(
+                E.TRACK_ENTRY,
+                E._elem(E.TRACK_NUMBER, E._uint_payload(1))
+                + E._elem(E.TRACK_TYPE, E._uint_payload(1))
+                + E._elem(E.CODEC_ID, b"V_UNCOMPRESSED"),
+            ),
+        )
+        info = E._elem(
+            E.INFO, E._elem(E.TIMESTAMP_SCALE, E._uint_payload(scale_ns))
+        )
+        cluster = E._elem(
+            E.CLUSTER,
+            E._elem(E.CLUSTER_TIMESTAMP, E._uint_payload(100))
+            + E._simple_block(1, 0, [b"f"], "none", True),
+        )
+        body = (track + cluster + info) if declare_late else (
+            info + track + cluster
+        )
+        return E._elem(E.EBML_HEADER, E._elem(E.DOC_TYPE, b"matroska")) + E._elem(
+            E.SEGMENT, body
+        )
+
+    # segment A: 1 ms units, declared early; segment B: 2 ms, declared LATE
+    bl = E.mkv_blocks(seg(1_000_000, False) + seg(2_000_000, True))
+    assert [b["ts_ms"] for b in bl] == [100.0, 200.0]
+
+
+def test_pq_family_tolerates_null_query_vectors(spark):
+    """A NULL q_emb row must be dropped, not crash the LUT/q·c pandas
+    UDFs (round-6 review follow-up to the corpus-side NULL fix)."""
+    import numpy as np
+
+    from dmshadoop_spark.similarity import ivfpq_knn, pq_knn
+
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, rows[1][1]), (101, None)],
+        "query_id long, q_emb array<double>",
+    )
+    for fn, kw in (
+        (pq_knn, dict(k=3, m=4, nbits=2, rerank=2, train_iters=1)),
+        (ivfpq_knn, dict(k=3, n_centroids=4, nprobe=2, m=4, nbits=2, rerank=2)),
+    ):
+        res = fn(emb, queries, **kw).collect()
+        assert {r["query_id"] for r in res} == {100}
+        assert len(res) == 3
+
+
+def test_audio_fingerprint_rejects_out_of_range():
+    """Samples outside int16 are rejected (the exactness domain is
+    stated, not silently wrapped)."""
+    import numpy as np
+    import pytest
+
+    from dmshadoop_spark.dedup import audio_fingerprint_int
+
+    with pytest.raises(ValueError, match="int16"):
+        audio_fingerprint_int(np.full(6400, 8_000_000, dtype=np.int64))

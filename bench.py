@@ -48,6 +48,11 @@ HEADLINE = [
     # transfer + codec cost, not SF scaling.
     "x24_extract_dispatch",    # 11-format encode→sniff→extract dispatch
     "x28_image_neardup",       # PNG encode→dHash→Hamming-banded pairs
+    # Round-6 Arrow-lane additions: the audio-fingerprint and
+    # video-pipeline paths (also bounded; excluded from the comparable
+    # subtotal like the round-5 pair).
+    "x32_audio_neardup",       # WAV mux→demux→energy hash→banded pairs
+    "x33_video_neardup",       # MKV mux→demux→PNG decode→dHash→Jaccard
 ]
 
 
@@ -94,10 +99,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     # Round-over-round comparable subtotal: the 19-query set benched in
-    # rounds 1-4, before the round-5 Arrow-lane additions.
-    r5_added = {"x24_extract_dispatch", "x28_image_neardup"}
+    # rounds 1-4, before the round-5/6 Arrow-lane additions.
+    later_added = {
+        "x24_extract_dispatch", "x28_image_neardup",
+        "x32_audio_neardup", "x33_video_neardup",
+    }
     shared = round(
-        sum(t for n, t in timings.items() if n not in r5_added), 4
+        sum(t for n, t in timings.items() if n not in later_added), 4
     )
     print(
         json.dumps(

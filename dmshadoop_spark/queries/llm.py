@@ -4069,3 +4069,171 @@ def x6_video_features(spark, sf_dir):
             "mean_r double, mean_g double, mean_b double"
         ),
     )
+
+
+_VIDEO_NEARDUP_ORACLE = """
+    WITH ids AS (
+        SELECT doc_id AS d, doc_id // 2 AS g,
+               'v' || lpad(CAST(doc_id AS VARCHAR), 3, '0') AS p
+        FROM documents WHERE doc_id < 60
+    ),
+    luma AS (
+        SELECT g.g, k.i AS k, gy.i AS i, gx.j AS j,
+               (299 * ((3 * gx.x * (1 + k.i % 3) + 5 * gy.y + 7 * k.i + g.g)
+                       % 200)
+                + 587 * ((gx.x + 2 * gy.y * (1 + k.i % 4) + 11 * k.i
+                          + 2 * g.g) % 200)
+                + 114 * ((gx.x * gy.y * (k.i + 1) + k.i * g.g) % 199))
+                   // 1000 AS l
+        FROM (SELECT DISTINCT g FROM ids) g,
+             range(0, 12) k(i),
+             (SELECT i, (i * 16) // 8 AS y FROM range(0, 8) t(i)) gy,
+             (SELECT j, (j * 24) // 9 AS x FROM range(0, 9) t(j)) gx
+    ),
+    bits AS (
+        SELECT a.g, a.k, a.i, a.j,
+               CASE WHEN b.l > a.l THEN '1' ELSE '0' END AS bit
+        FROM luma a
+        JOIN luma b ON a.g = b.g AND a.k = b.k AND a.i = b.i
+                   AND b.j = a.j + 1
+        WHERE a.j < 8
+    ),
+    fp AS (
+        SELECT g, k, STRING_AGG(bit, '' ORDER BY i, j) AS h
+        FROM bits GROUP BY g, k
+    ),
+    sets AS (SELECT g, COUNT(DISTINCT h) AS n FROM fp GROUP BY g),
+    shared AS (
+        SELECT a.g AS ga, b.g AS gb, COUNT(DISTINCT a.h) AS s
+        FROM fp a JOIN fp b ON a.h = b.h AND a.g < b.g
+        GROUP BY a.g, b.g
+    ),
+    gpairs AS (
+        SELECT ga, gb,
+               CAST(s AS DOUBLE) / (sa.n + sb.n - s) AS jaccard
+        FROM shared
+        JOIN sets sa ON sa.g = shared.ga
+        JOIN sets sb ON sb.g = shared.gb
+        WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.5
+        UNION ALL
+        SELECT g, g, 1.0 FROM sets
+    )
+    SELECT a.p AS video_a, b.p AS video_b, j.jaccard
+    FROM gpairs j
+    JOIN ids a ON a.g = j.ga
+    JOIN ids b ON b.g = j.gb AND (j.ga < j.gb OR a.d < b.d)
+"""
+
+
+@query("x33_video_neardup", oracle=_VIDEO_NEARDUP_ORACLE)
+def x33_video_neardup(spark, sf_dir):
+    """VIDEO near-dup under a FULL value oracle — dedup for the last
+    unserved modality, and the deepest oracle composition in the repo:
+    60 docs = 30 videos × 2 brightness variants (+0 / +10 on every
+    channel; integer luma shifts by exactly +10, so every dHash
+    gradient bit survives — the perceptual invariance the fixture
+    proves). Each doc muxes 12 closed-form PNG frames into Matroska,
+    sample_frames takes the REAL Cluster walk, every demuxed frame
+    decodes through the real PNG codec into a 64-bit dHash
+    (dedup/imagehash.py), and videos pair by FRAME-HASH JACCARD through
+    an inverted index on the hash value (the x2_ngram_jaccard shape:
+    postings → bucket pair emission → shared/union — no all-pairs video
+    comparison). DuckDB rebuilds every dHash bit from the pixel formula
+    at the fixed 9×8 resample grid (bit strings, so no 64-bit sign
+    games), reconstructs the hash sets, and replays the Jaccard join —
+    one hash match proves mux, demux, decode, perceptual hash, AND the
+    banded pairing in a single row. Fixture separation: variants share
+    all 12 hashes (Jaccard 1.0); max cross-video Jaccard measured 0.26,
+    so threshold 0.5 yields exactly the 30 planted pairs.
+
+    Plan: three Arrow stages (synth/mux → demux → decode/hash), then
+    ONE uniform shuffle on the hash value + one pair aggregation —
+    the scale shape of shingle dedup applied to video."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.dedup import image_hash_df
+    from dmshadoop_spark.multimodal import encode_mkv_frames, encode_png, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, shift = d // 2, 10 * (d % 2)
+                yy, xx = np.mgrid[0:16, 0:24]
+                frames = [
+                    encode_png(
+                        (
+                            np.stack(
+                                [
+                                    (3 * xx * (1 + k % 3) + 5 * yy + 7 * k + g)
+                                    % 200,
+                                    (xx + 2 * yy * (1 + k % 4) + 11 * k + 2 * g)
+                                    % 200,
+                                    (xx * yy * (k + 1) + k * g) % 199,
+                                ],
+                                axis=2,
+                            )
+                            + shift
+                        ).astype(np.uint8)
+                    )
+                    for k in range(12)
+                ]
+                paths.append(f"v{d:03d}")
+                blobs.append(
+                    encode_mkv_frames(frames, fps=4, width=24, height=16)
+                )
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    mkvs = docs.select("doc_id").mapInPandas(
+        synth, schema="path string, content binary"
+    )
+    sampled = sample_frames(mkvs, every_s=0.01)  # stride 1 → every frame
+    hashes = (
+        image_hash_df(
+            sampled.select("path", F.col("frame").alias("content")),
+            content_col="content",
+            id_col="path",
+        )
+        .filter(F.col("phash").isNotNull())
+        .distinct()
+    )
+    sizes = hashes.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    post = hashes.join(sizes, "path").select(
+        "phash", F.struct("path", "n").alias("p")
+    )
+    ps = F.array_sort(F.collect_list("p")).alias("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    exploded = (
+        post.groupBy("phash")
+        .agg(ps)
+        .filter(F.size("ps") >= 2)
+        .select(F.explode(pair_structs).alias("pr"))
+        .select(
+            F.col("pr.a.path").alias("video_a"),
+            F.col("pr.b.path").alias("video_b"),
+            F.col("pr.a.n").alias("na"),
+            F.col("pr.b.n").alias("nb"),
+        )
+    )
+    agg = exploded.groupBy("video_a", "video_b", "na", "nb").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    jac = F.col("s") / (F.col("na") + F.col("nb") - F.col("s"))
+    return (
+        agg.filter(jac >= 0.5)
+        .select("video_a", "video_b", jac.alias("jaccard"))
+    )

@@ -2035,3 +2035,16 @@ def test_audio_fingerprint_rejects_out_of_range():
 
     with pytest.raises(ValueError, match="int16"):
         audio_fingerprint_int(np.full(6400, 8_000_000, dtype=np.int64))
+
+
+def test_x33_video_neardup_exactly_planted_pairs(spark, sf_dir):
+    """x33 yields exactly the 30 brightness-variant video pairs at
+    frame-hash Jaccard 1.0 — dHash's gradient bits survive the +10
+    uniform luma shift, and no cross-video pair reaches the 0.5 bar."""
+    from dmshadoop_spark.queries.llm import x33_video_neardup
+
+    rows = x33_video_neardup(spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["jaccard"] == 1.0
+        assert int(r["video_a"][1:]) // 2 == int(r["video_b"][1:]) // 2

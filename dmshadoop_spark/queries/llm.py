@@ -4203,9 +4203,16 @@ def x33_video_neardup(spark, sf_dir):
         .filter(F.col("phash").isNotNull())
         .distinct()
     )
-    sizes = hashes.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
-    post = hashes.join(sizes, "path").select(
-        "phash", F.struct("path", "n").alias("p")
+    # Set size via a window over the already-shuffled hash rows, NOT a
+    # groupBy + join-back: the join form re-plans the whole synth →
+    # demux → decode → hash subtree a second time (the classic un-cached
+    # reuse bug — measured: documents scanned 2×, 12 MapInPandas nodes).
+    # The window costs one extra 8-byte-row shuffle and keeps the
+    # expensive Arrow chain single-execution (same trick as
+    # x2_ngram_jaccard's postings carrying set sizes).
+    n_over_path = F.count(F.lit(1)).over(Window.partitionBy("path"))
+    post = hashes.select(
+        "phash", F.struct("path", n_over_path.alias("n")).alias("p")
     )
     ps = F.array_sort(F.collect_list("p")).alias("ps")
     pair_structs = F.flatten(

@@ -443,3 +443,13 @@ def test_salted_join_fans_out_salt(spark, sf_dir):
     assert "_salt" in p
     # the salt is a real join key, not a post-filter
     assert "Left keys [2]" in p and "Right keys [2]" in p
+
+
+def test_video_neardup_single_decode_pass(spark, sf_dir):
+    """x33_video_neardup must plan its synth → demux → decode → hash
+    Arrow chain exactly ONCE: the set-size join-back form re-executed
+    the whole subtree (documents scanned 2×) — the window form keeps it
+    single-execution."""
+    p = plan(spark, sf_dir, "x33_video_neardup")
+    assert p.count("documents.parquet") == 1
+    assert p.count("MapInPandas") == 6  # synth, demux, hash — planned once

@@ -4244,3 +4244,157 @@ def x33_video_neardup(spark, sf_dir):
         agg.filter(jac >= 0.5)
         .select("video_a", "video_b", jac.alias("jaccard"))
     )
+
+
+_MM_PIPELINE_ORACLE = """
+    WITH shards AS (SELECT doc_id AS sh FROM documents WHERE doc_id < 10),
+    samples AS (
+        SELECT sh, sh * 12 + t.i AS s, (sh * 12 + t.i) % 3 AS mod,
+               (sh * 12 + t.i) // 3 AS m
+        FROM shards, range(0, 12) t(i)
+    ),
+    keyed AS (
+        SELECT sh, mod,
+               CASE WHEN m < 20 THEN 'g' || CAST(m // 2 AS VARCHAR)
+                    ELSE 'u' || CAST(m AS VARCHAR) END AS k
+        FROM samples
+    )
+    SELECT sh AS shard,
+           CASE mod WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'text' END AS modality,
+           COUNT(*) AS n_samples,
+           COUNT(DISTINCT k) AS n_keys,
+           COUNT(*) - COUNT(DISTINCT k) AS n_dups_removed
+    FROM keyed GROUP BY sh, mod
+"""
+
+
+@query("x34_multimodal_pipeline", oracle=_MM_PIPELINE_ORACLE)
+def x34_multimodal_pipeline(spark, sf_dir):
+    """The CROSS-MODALITY dedup pipeline end-to-end — the capstone
+    integration query: WebDataset tar shards carrying a MIX of PNG, WAV,
+    and text members are unpacked in place (explode_tar_members, member
+    bytes never shuffle), every member routes by CONTENT SNIFF to its
+    modality's real near-dup key — images through decode_image → dHash,
+    audio through parse_wav → the gain-invariant energy-contour
+    fingerprint, text through md5 — and per-(shard, modality) dedup
+    accounting comes back under a value oracle derived purely from the
+    planted group structure (10 near-dup groups × 2 variants + 20
+    uniques per modality; image variants are +10 brightness shifts,
+    audio variants 4/5 gain — both provably key-equal, while all 30
+    true contents stay key-distinct). The oracle knows NOTHING about
+    the hash functions: it counts planted identities, so a hash match
+    proves the tar mux/demux, the sniff router, and all three real
+    perceptual-hash paths agree exactly with ground truth — the
+    one-query demonstration that this engine runs a mixed multimodal
+    training corpus, not three parallel single-modality toys.
+
+    Plan: one documents scan → Arrow synth (shards) → Arrow unpack →
+    Arrow sniff+hash → ONE aggregation shuffle. 100 TB shape: shards
+    parallelize the scan, bytes stay executor-local until reduced to
+    (shard, modality, key) rows."""
+    from collections.abc import Iterator
+
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import encode_png, encode_wav
+    from dmshadoop_spark.multimodal.webdataset import (
+        explode_tar_members,
+        write_tar_shard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+
+    def _image(gid: int, shift: int) -> bytes:
+        yy, xx = np.mgrid[0:16, 0:24]
+        arr = (
+            np.stack(
+                [
+                    (3 * xx * (1 + gid % 5) + 5 * yy + 7 * gid) % 200,
+                    (xx + 2 * yy * (1 + gid % 7) + 11 * gid) % 200,
+                    (xx * yy * (gid + 1)) % 199,
+                ],
+                axis=2,
+            )
+            + shift
+        ).astype(np.uint8)
+        return encode_png(arr)
+
+    def _audio(gid: int, num: int) -> bytes:
+        f = np.arange(64, dtype=np.int64)
+        a = 500 + 10 * (((gid * 37 + 11) * (f + 1) * (f + 1) + f * 53) % 211)
+        av = (a * num) // 5
+        samples = np.repeat(av, 80)
+        samples[1::2] *= -1
+        return encode_wav(samples.astype("<i2"), 8000)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                members = []
+                for s in range(12 * d, 12 * d + 12):
+                    mod, m = s % 3, s // 3
+                    gid = (m // 2) if m < 20 else (100 + m)
+                    v = m % 2 if m < 20 else 0
+                    if mod == 0:
+                        members.append((f"{s:05d}.png", _image(gid, 10 * v)))
+                    elif mod == 1:
+                        members.append(
+                            (f"{s:05d}.wav", _audio(gid, (5, 4)[v]))
+                        )
+                    else:
+                        txt = (
+                            f"group text {gid}" if m < 20
+                            else f"unique text {m}"
+                        )
+                        members.append((f"{s:05d}.txt", txt.encode()))
+                paths.append(f"{d:02d}")
+                blobs.append(write_tar_shard(members))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    shards = docs.select("doc_id").mapInPandas(
+        synth, schema="path string, content binary"
+    )
+    members = explode_tar_members(shards)
+
+    def keyer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dmshadoop_spark.dedup import audio_fingerprint_int, dhash_int
+        from dmshadoop_spark.multimodal import decode_image, parse_wav
+
+        for pdf in batches:
+            out = {"shard": [], "modality": [], "k": []}
+            for shard, blob in zip(pdf["shard"], pdf["content"]):
+                raw = bytes(blob)
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    modality = "image"
+                    k = str(dhash_int(decode_image(raw)))
+                elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    modality = "audio"
+                    k = str(audio_fingerprint_int(parse_wav(raw)["samples"]))
+                else:
+                    modality = "text"
+                    k = _hashlib.md5(raw).hexdigest()
+                out["shard"].append(int(shard))
+                out["modality"].append(modality)
+                out["k"].append(k)
+            yield pd.DataFrame(
+                {
+                    "shard": pd.Series(out["shard"], dtype="int64"),
+                    "modality": out["modality"],
+                    "k": out["k"],
+                }
+            )
+
+    keys = members.mapInPandas(
+        keyer, schema="shard bigint, modality string, k string"
+    )
+    return keys.groupBy("shard", "modality").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.countDistinct("k").alias("n_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("k")).alias("n_dups_removed"),
+    )

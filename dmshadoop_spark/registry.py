@@ -59,21 +59,24 @@ def load_all() -> None:
 #
 # ROUND-6 DECISION: CORRECTNESS_r05 ran 50/50 green; cumulative coverage
 # closed the round-5 registry at 205/205 (tools/rotation.py). This
-# window, regenerated from live state: 3 canaries + the 6 round-6
+# window, regenerated from live state: 3 canaries + the 7 round-6
 # registrations (x6_image_features — the real-featurizer full value
 # oracle; a17_salted_agg / j13_salted_join — the skew operators, the
 # last library surface without a driver row; x32_audio_neardup — the
 # fully-value-oracled acoustic-fingerprint dedup; x6_video_features —
 # mux → demux → stride-sample → decode → featurize composition under
 # one value oracle; x33_video_neardup — per-frame dHash + frame-hash
-# Jaccard video dedup, oracle down to each gradient bit) + 7 queries whose behavior
+# Jaccard video dedup, oracle down to each gradient bit;
+# x34_multimodal_pipeline — the mixed-corpus capstone: tar shards of
+# PNG+WAV+text, sniff-routed to all three real near-dup keys, dedup
+# accounting vs planted ground truth) + 7 queries whose behavior
 # changed this round (x6_feature_extract / x6_resize_thumbnails /
 # x6_frame_sample now emit the `real` flag, x6_frame_sample adds the
 # real-mp3 branch + digest; x5_pq_recall adds the nbits=8 columns;
 # x5_knn_pq / x5_knn_ivfpq re-confirm after the NULL-embedding filter;
 # x6_mkv_pcm re-confirms after the late-Info TimestampScale fix) + ALL
 # 17 queries still on their ROUND-1 confirmation (f6-f12, j1-j4,
-# st1-st6 — the oldest-green tail retires completely this round) + 17
+# st1-st6 — the oldest-green tail retires completely this round) + 16
 # round-2-vintage re-validations prioritizing the families the round-5
 # verdict named: the full text-search tier t1-t5 (+t4b) and
 # st7_stateful_user_totals (streaming code moved in r4-r5), then TPC-H
@@ -92,6 +95,7 @@ PRIORITY: list[str] = [
     "x32_audio_neardup",
     "x6_video_features",
     "x33_video_neardup",
+    "x34_multimodal_pipeline",
     # changed this round → re-confirm
     "x6_feature_extract",
     "x6_resize_thumbnails",
@@ -135,7 +139,6 @@ PRIORITY: list[str] = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q18_large_orders",
-    "q21_waiting_supplier",
 ]
 
 

@@ -2048,3 +2048,22 @@ def test_x33_video_neardup_exactly_planted_pairs(spark, sf_dir):
     for r in rows:
         assert r["jaccard"] == 1.0
         assert int(r["video_a"][1:]) // 2 == int(r["video_b"][1:]) // 2
+
+
+def test_x34_multimodal_pipeline_accounting(spark, sf_dir):
+    """The cross-modality pipeline's dedup accounting matches the
+    planted structure: 40 samples per modality overall, 30 distinct
+    keys (10 near-dup groups + 20 uniques), and every (shard, modality)
+    cell accounts for exactly its 4 members."""
+    from dmshadoop_spark.queries.llm import x34_multimodal_pipeline
+
+    rows = x34_multimodal_pipeline(spark, sf_dir).collect()
+    assert len(rows) == 30  # 10 shards × 3 modalities
+    assert all(r["n_samples"] == 4 for r in rows)
+    per_mod = {}
+    for r in rows:
+        per_mod.setdefault(r["modality"], []).append(r)
+    assert set(per_mod) == {"image", "audio", "text"}
+    for mod, rs in per_mod.items():
+        assert sum(r["n_samples"] for r in rs) == 40, mod
+        assert sum(r["n_dups_removed"] for r in rs) == 10, mod

@@ -56,7 +56,7 @@ def audio_fingerprint_int(samples: "np.ndarray", n_frames: int = N_FRAMES) -> in
     n = len(s)
     if n < n_frames:
         raise ValueError(f"need ≥ {n_frames} samples, got {n}")
-    if n and int(np.abs(s).max()) > 32767:
+    if n and (int(s.min()) < -32768 or int(s.max()) > 32767):
         raise ValueError("audio_fingerprint_int expects int16-range samples")
     bounds = [(f * n) // n_frames for f in range(n_frames + 1)]
     energies = [int((s[lo:hi] ** 2).sum()) for lo, hi in zip(bounds, bounds[1:])]
@@ -84,6 +84,9 @@ def audio_hash_df(
         for pdf in batches:
             hashes = []
             for blob in pdf[content_col]:
+                if blob is None:
+                    hashes.append(None)
+                    continue
                 try:
                     w = parse_wav(bytes(blob))
                     hashes.append(

@@ -85,6 +85,9 @@ def image_hash_df(
         for pdf in batches:
             hashes = []
             for blob in pdf[content_col]:
+                if blob is None:
+                    hashes.append(None)
+                    continue
                 try:
                     hashes.append(fn(decode_image(bytes(blob))))
                 except (ValueError, NotImplementedError):

@@ -1158,6 +1158,32 @@ def resize_images(
     )
 
 
+_MPEG_SYNC_WINDOW = 8192
+
+
+def _mpeg_sync_near_start(raw: bytes) -> bool:
+    """True iff two consecutive valid MPEG audio frames start anywhere in
+    the first ``_MPEG_SYNC_WINDOW`` bytes (after an ID3v2 skip). The
+    sniffer (_sniff) only accepts a frame at offset 0, but real rips
+    routinely carry leading junk that ``mp3_frames`` would skip; this
+    bounded pre-check lets ``sample_frames`` route such streams to the
+    real walk without paying an O(n) scan on every non-audio payload."""
+    from dmshadoop_spark.multimodal.containers import _mp3_frame_at
+
+    start = 0
+    if raw[:3] == b"ID3" and len(raw) >= 10:
+        start = 10 + (
+            (raw[6] & 0x7F) << 21 | (raw[7] & 0x7F) << 14
+            | (raw[8] & 0x7F) << 7 | (raw[9] & 0x7F)
+        )
+    end = min(len(raw) - 4, start + _MPEG_SYNC_WINDOW)
+    for i in range(start, end):
+        parsed = _mp3_frame_at(raw, i)
+        if parsed and _mp3_frame_at(raw, i + parsed[0]):
+            return True
+    return False
+
+
 def sample_frames(
     binary_df: DataFrame, every_s: float = 1.0, bytes_per_s: int = 1000
 ) -> DataFrame:
@@ -1202,8 +1228,14 @@ def sample_frames(
                 # sync check: FF Ex occurs in non-audio payloads (the
                 # UTF-16-LE BOM is FF FE), and _sniff already demands a
                 # second consecutive valid frame before claiming
-                # audio/mpeg (round-6 review finding).
-                if _sniff_type(raw) == "audio/mpeg":
+                # audio/mpeg (round-6 review finding). Streams with
+                # leading junk miss the offset-0 sniff, so a bounded
+                # window scan (round-6 ADVICE) catches those too.
+                if _sniff_type(raw) == "audio/mpeg" or (
+                    raw[:4] != b"\x1a\x45\xdf\xa3"
+                    and raw[4:8] != b"ftyp"
+                    and _mpeg_sync_near_start(raw)
+                ):
                     from dmshadoop_spark.multimodal.containers import (
                         mp3_frames,
                     )

@@ -452,4 +452,8 @@ def test_video_neardup_single_decode_pass(spark, sf_dir):
     single-execution."""
     p = plan(spark, sf_dir, "x33_video_neardup")
     assert p.count("documents.parquet") == 1
-    assert p.count("MapInPandas") == 6  # synth, demux, hash — planned once
+    # 3 logical Arrow stages (synth, demux, hash); the formatted plan
+    # renders each node twice (tree + detail section). Assert the
+    # single-execution property as a bound, not an exact render count:
+    # the rejected join-back form planned the chain twice (12 renders).
+    assert 0 < p.count("MapInPandas") <= 2 * 3

@@ -591,6 +591,9 @@ def parse_flac_streaminfo(data: bytes) -> dict[str, str]:
     }
     if sample_rate:
         out["duration_ms"] = str(total * 1000 // sample_rate)
+    md5 = body[18:34]
+    if any(md5):  # all-zero = "unset" per spec (encode_flac_skeleton)
+        out["md5"] = md5.hex()
     return out
 
 

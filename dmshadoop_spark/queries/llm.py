@@ -3272,6 +3272,111 @@ def x6_adpcm_roundtrip(spark, sf_dir):
     )
 
 
+_FLAC_N = 600  # samples per channel; block_size=256 → 2 full + 1 partial
+
+_FLAC_ORACLE = f"""
+    WITH chans AS (
+        SELECT doc_id AS d, c
+        FROM documents CROSS JOIN (VALUES (0), (1)) AS ch(c)
+        WHERE doc_id < 40
+    ),
+    s AS (
+        SELECT d, c, k,
+            CASE d % 4
+                WHEN 0 THEN (d * 37) % 2000 - 1000
+                WHEN 1 THEN ((d * 5 + k * 3) % 3000) - 1500
+                WHEN 2 THEN ((d * 7 + k * k) % 4001) - 2000
+                ELSE ABS(((k * (d % 50 + 5)) % 4000) - 2000) - 1000
+            END
+            + CASE WHEN c = 1 THEN (d * 11 + k * 13) % 7 - 3 ELSE 0 END AS v
+        FROM chans CROSS JOIN range(0, {_FLAC_N}) AS t(k)
+    )
+    SELECT d AS doc_id, CAST(c AS BIGINT) AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(CASE WHEN k = 0 THEN v END) AS BIGINT) AS first_sample,
+           CAST(MAX(CASE WHEN k = {_FLAC_N - 1} THEN v END) AS BIGINT)
+               AS last_sample,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           CAST(SUM(v) AS BIGINT) AS sum_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq
+    FROM s GROUP BY d, c
+"""
+
+
+@query("x6_flac_roundtrip", oracle=_FLAC_ORACLE)
+def x6_flac_roundtrip(spark, sf_dir):
+    """Real compressed-audio decode under a FULL value oracle. Per doc a
+    KNOWN stereo PCM signal (four per-doc regimes — constant, sawtooth,
+    modular noise, triangle — chosen to force CONSTANT, fixed-order, LPC,
+    and high-Rice-parameter subframes; channel 1 = channel 0 + small
+    deterministic offset, exercising the stereo-decorrelation decision)
+    is encoded to a real FLAC bitstream (multimodal/flac.py: Rice-coded
+    residuals, CRC-8/CRC-16 framing, block_size=256 so the stream spans
+    two full frames plus a partial tail) and decoded back; decode_flac
+    re-verifies the STREAMINFO MD5 over the decoded PCM before the
+    per-channel integer statistics are emitted. FLAC is lossless, so
+    DuckDB recomputes the exact statistics from the closed-form signal —
+    a hash match proves decode(encode(x)) == x sample-exactly across all
+    four predictor regimes. Reference parity: hachoir read FLAC metadata
+    only (src/DMS.py:77-79); this is the step past it the reference never
+    took, on the one compressed codec where bit-exactness is provable."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import decode_flac, encode_flac
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    n = _FLAC_N
+
+    def build_pcm(d: int) -> "np.ndarray":
+        k = np.arange(n, dtype=np.int64)
+        r = d % 4
+        if r == 0:
+            base = np.full(n, (d * 37) % 2000 - 1000, np.int64)
+        elif r == 1:
+            base = ((d * 5 + k * 3) % 3000) - 1500
+        elif r == 2:
+            base = ((d * 7 + k * k) % 4001) - 2000
+        else:
+            base = np.abs(((k * (d % 50 + 5)) % 4000) - 2000) - 1000
+        side = (d * 11 + k * 13) % 7 - 3
+        return np.stack([base, base + side], axis=1).astype(np.int16)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "channel", "n_samples", "first_sample",
+                "last_sample", "peak", "sum_samples", "sum_sq",
+            )}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pcm = build_pcm(d)
+                blob = encode_flac(pcm, sample_rate=16000, block_size=256)
+                dec = decode_flac(blob)  # verify_md5=True
+                assert dec["channels"] == 2 and dec["total_samples"] == n
+                samples = dec["samples"].reshape(-1, 2)
+                for c in (0, 1):
+                    s = samples[:, c].astype(np.int64)
+                    rows["doc_id"].append(d)
+                    rows["channel"].append(c)
+                    rows["n_samples"].append(len(s))
+                    rows["first_sample"].append(int(s[0]))
+                    rows["last_sample"].append(int(s[-1]))
+                    rows["peak"].append(int(np.abs(s).max()))
+                    rows["sum_samples"].append(int(s.sum()))
+                    rows["sum_sq"].append(int((s * s).sum()))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        work,
+        schema="doc_id bigint, channel bigint, n_samples bigint, "
+        "first_sample bigint, last_sample bigint, peak bigint, "
+        "sum_samples bigint, sum_sq bigint",
+    )
+
+
 @query(
     "x6_audio_features",
     oracle=f"""

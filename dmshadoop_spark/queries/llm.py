@@ -4176,6 +4176,121 @@ def x6_video_features(spark, sf_dir):
     )
 
 
+@query("x6_mjpeg_features")
+def x6_mjpeg_features(spark, sf_dir):
+    """COMPRESSED-codec video features: MJPEG end-to-end through both real
+    container walks. Per doc, 10 wrap-free gradient frames (24x16, a pure
+    function of (doc_id, frame, pixel)) are encoded by the repo's own
+    baseline-JPEG encoder (multimodal/jpeg.py — Annex-K tables, q=90) and
+    muxed into RIFF/AVI '00dc' chunks (even docs) or Matroska SimpleBlocks
+    (odd docs); sample_frames takes its REAL demux branch for each
+    container (real=true), and every sampled payload decodes through the
+    real baseline-JPEG decoder into per-channel means + a pixel digest.
+
+    JPEG is lossy, so the decoded means are deterministic but not
+    closed-form — no SQL oracle (rows-only driver check). The value gate
+    lives in pytest instead: tests/test_operators.py pins (a) every
+    per-channel mean within a small bound of the pre-compression ground
+    truth (the DC path survives quantization) and (b) the md5 of the full
+    result set (byte-determinism of encode → mux → demux → stride →
+    decode). This is the fixture shape real 100 TB corpora have:
+    compressed frames, not PNG-in-MKV.
+
+    Plan: one documents scan → Arrow synth → Arrow demux/sample → Arrow
+    decode/featurize; zero shuffles, zero driver collects."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import (
+        encode_avi,
+        encode_jpeg,
+        encode_mkv_frames,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                yy, xx = np.mgrid[0:16, 0:24]
+                frames = [
+                    encode_jpeg(
+                        np.stack(
+                            [
+                                20 + 3 * xx + 2 * yy + 4 * k + d % 7,
+                                30 + 2 * xx + 3 * yy + 5 * k,
+                                25 + xx + yy + 2 * k + d % 11,
+                            ],
+                            axis=2,
+                        ).astype(np.uint8),
+                        quality=90,
+                    )
+                    for k in range(10)
+                ]
+                paths.append(f"m{d:03d}")
+                blobs.append(
+                    encode_avi(frames, fps=4, width=24, height=16)
+                    if d % 2 == 0
+                    else encode_mkv_frames(frames, fps=4, width=24, height=16)
+                )
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    mjpegs = docs.select("doc_id").mapInPandas(
+        synth, schema="path string, content binary"
+    )
+    sampled = sample_frames(mjpegs, every_s=0.5)  # stride 2: frames 0,2,..,8
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dmshadoop_spark.multimodal import decode_image
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_idx", "ts_ms", "container", "real",
+                "mean_r", "mean_g", "mean_b", "pixel_md5",
+            )}
+            for path, idx, ts, fr, real in zip(
+                pdf["path"], pdf["frame_idx"], pdf["ts_sec"],
+                pdf["frame"], pdf["real"],
+            ):
+                raw = bytes(fr)
+                assert raw[:2] == b"\xff\xd8", "sampled frame is not JPEG"
+                a = decode_image(raw).astype(np.int64)
+                n = a.shape[0] * a.shape[1]
+                sums = a.reshape(-1, 3).sum(axis=0)
+                d = int(path[1:])
+                rows["doc_id"].append(d)
+                rows["frame_idx"].append(int(idx))
+                rows["ts_ms"].append(round(float(ts) * 1000))
+                rows["container"].append("avi" if d % 2 == 0 else "mkv")
+                rows["real"].append(bool(real))
+                rows["mean_r"].append(int(sums[0]) / n)
+                rows["mean_g"].append(int(sums[1]) / n)
+                rows["mean_b"].append(int(sums[2]) / n)
+                rows["pixel_md5"].append(
+                    hashlib.md5(a.astype(np.uint8).tobytes()).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+
+    out = sampled.mapInPandas(
+        feat,
+        schema=(
+            "doc_id bigint, frame_idx bigint, ts_ms bigint, "
+            "container string, real boolean, mean_r double, "
+            "mean_g double, mean_b double, pixel_md5 string"
+        ),
+    )
+    return with_sorted_digest(
+        out, "doc_id", "frame_idx", "ts_ms", "container", "real", "pixel_md5"
+    )
+
+
 _VIDEO_NEARDUP_ORACLE = """
     WITH ids AS (
         SELECT doc_id AS d, doc_id // 2 AS g,

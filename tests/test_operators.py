@@ -1024,3 +1024,40 @@ def _hyp_spark():
         .config("spark.sql.shuffle.partitions", "4")
         .getOrCreate()
     )
+
+
+def test_mjpeg_features_bounded_error_and_digest(spark, sf_dir):
+    """x6_mjpeg_features is the compressed-codec video pipeline (JPEG
+    frames in AVI and MKV, sampled via the real demux walks, decoded by
+    the real baseline-JPEG decoder). JPEG is lossy so there is no SQL
+    oracle; this pins the two halves the driver's rows-only check can't:
+    (a) VALUE: every sampled frame's per-channel mean within 1.0 of the
+    pre-compression ground-truth gradient (DC survives quantization);
+    (b) DETERMINISM: the sorted-content digest of the full result —
+    encode → mux → demux → stride → decode is byte-reproducible."""
+    import numpy as np
+
+    from dmshadoop_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["x6_mjpeg_features"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 100  # 20 docs x 5 sampled frames (stride 2 of 10)
+    assert all(r["real"] for r in rows)
+    assert {r["container"] for r in rows} == {"avi", "mkv"}
+    yy, xx = np.mgrid[0:16, 0:24]
+    for r in rows:
+        d, k = r["doc_id"], r["frame_idx"]
+        assert r["ts_ms"] == k * 250  # fps=4 container timestamps
+        gt = np.stack(
+            [
+                20 + 3 * xx + 2 * yy + 4 * k + d % 7,
+                30 + 2 * xx + 3 * yy + 5 * k,
+                25 + xx + yy + 2 * k + d % 11,
+            ],
+            axis=2,
+        ).reshape(-1, 3).mean(axis=0)
+        assert abs(r["mean_r"] - gt[0]) < 1.0
+        assert abs(r["mean_g"] - gt[1]) < 1.0
+        assert abs(r["mean_b"] - gt[2]) < 1.0
+    assert rows[0]["digest"] == 7695382237397325916

@@ -59,6 +59,23 @@ def _sniff(content: bytes) -> str:
         return "video/x-matroska"
     if content[:4] == b"fLaC":
         return "audio/flac"
+    if content[:4] == b"PK\x03\x04":
+        return "application/zip"
+    if content[:5] == b"WARC/":
+        return "application/warc"
+    if content[:2] == b"\x1f\x8b":
+        # gzip: per-record-gzipped WARC (the Common Crawl layout) also
+        # starts 1f 8b — peek at the first decompressed bytes to tell
+        # them apart without inflating the whole stream
+        import zlib
+
+        try:
+            head = zlib.decompressobj(31).decompress(bytes(content[:512]), 8)
+        except zlib.error:
+            head = b""
+        if head[:5] == b"WARC/":
+            return "application/warc"
+        return "application/gzip"
     if content[:3] == b"ID3":
         return "audio/mpeg"
     if len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0:
@@ -308,6 +325,30 @@ def extract_metadata(content: bytes) -> dict[str, str]:
             )
 
             meta.update(parse_flac_streaminfo(content))
+        except (ValueError, struct.error):
+            pass
+    elif ctype == "application/zip":
+        try:
+            import io
+            import zipfile
+
+            with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
+                names = zf.namelist()
+                meta["member_count"] = str(len(names))
+                if names:
+                    meta["first_member_name"] = names[0]
+                    meta["first_member_type"] = _sniff(zf.read(names[0]))
+        except (zipfile.BadZipFile, ValueError, struct.error, OSError,
+                KeyError):
+            pass
+    elif ctype == "application/warc":
+        try:
+            from dmshadoop_spark.multimodal.warc import parse_warc
+
+            records = parse_warc(bytes(content))
+            meta["member_count"] = str(len(records))
+            if records:
+                meta["first_member_type"] = _sniff(records[0]["payload"])
         except (ValueError, struct.error):
             pass
     elif ctype == "application/pdf":

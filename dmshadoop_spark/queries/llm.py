@@ -2723,6 +2723,207 @@ def x24_extract_dispatch(spark, sf_dir):
     )
 
 
+@query(
+    "x24b_extract_dispatch_wide",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 14
+               WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+               WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'audio/mpeg'
+               WHEN 4 THEN 'video/mp4' WHEN 5 THEN 'image/gif'
+               WHEN 6 THEN 'image/tiff' WHEN 7 THEN 'video/x-matroska'
+               WHEN 8 THEN 'application/pdf' WHEN 9 THEN 'audio/mpeg'
+               WHEN 10 THEN 'audio/flac' WHEN 11 THEN 'video/x-msvideo'
+               WHEN 12 THEN 'application/zip'
+               ELSE 'application/warc' END AS content_type,
+           CASE doc_id % 14
+               WHEN 0 THEN 64 + doc_id % 16
+               WHEN 1 THEN 40 + doc_id % 16
+               WHEN 4 THEN 320 + (doc_id % 4) * 16
+               WHEN 5 THEN 30 + doc_id % 8
+               WHEN 6 THEN 25 + doc_id % 10
+               WHEN 7 THEN 320 + (doc_id % 4) * 8 END AS width,
+           CASE doc_id % 14
+               WHEN 0 THEN 48 + doc_id % 12
+               WHEN 1 THEN 32 + doc_id % 8
+               WHEN 4 THEN 240
+               WHEN 5 THEN 20 + doc_id % 6
+               WHEN 6 THEN 15 + doc_id % 5
+               WHEN 7 THEN 200 END AS height,
+           CASE doc_id % 14
+               WHEN 2 THEN 500 + 50 * (doc_id % 7)
+               WHEN 3 THEN CAST(FLOOR((5 + doc_id % 9) * 1152.0 * 1000.0
+                                      / 44100.0) AS BIGINT)
+               WHEN 4 THEN (3 + doc_id % 6) * 100
+               WHEN 7 THEN 1000 + (doc_id % 10) * 500
+               WHEN 9 THEN (6 + doc_id % 5) * 24
+               WHEN 10 THEN 100 + 50 * (doc_id % 5)
+               WHEN 11 THEN (4 + doc_id % 5) * 200 END AS duration_ms,
+           CASE doc_id % 14
+               WHEN 3 THEN 5 + doc_id % 9
+               WHEN 4 THEN 3 + doc_id % 6
+               WHEN 9 THEN 6 + doc_id % 5
+               WHEN 11 THEN 4 + doc_id % 5 END AS frame_count,
+           CASE doc_id % 14
+               WHEN 8 THEN 1 + doc_id % 4 END AS page_count,
+           CAST(CASE doc_id % 14
+               WHEN 2 THEN 8000 WHEN 3 THEN 44100 WHEN 9 THEN 48000
+               WHEN 10 THEN 16000 END AS BIGINT) AS sample_rate,
+           CASE doc_id % 14
+               WHEN 12 THEN 2
+               WHEN 13 THEN 1 + doc_id % 3 END AS member_count,
+           CASE doc_id % 14
+               WHEN 12 THEN 'image/png'
+               WHEN 13 THEN 'image/gif' END AS first_member_type
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def x24b_extract_dispatch_wide(spark, sf_dir):
+    """x24 widened to FOURTEEN formats in one binary column — the three
+    surfaces x24 predates: real FLAC frames (not just a STREAMINFO
+    skeleton — encode_flac emits Rice-coded subframes and the extractor's
+    STREAMINFO bitfield walk reads through them), MJPEG-in-AVI (the
+    compressed-video fixture, counted/timed by the real RIFF demux), and
+    the two ARCHIVE formats a Common-Crawl-shaped ingest meets first:
+    ZIP (member listing + first-member re-sniff, so extract() reports
+    what is INSIDE the wrapper) and per-record-gzipped WARC (the sniffer
+    peeks through the gzip head to tell WARC from plain gzip, then
+    parse_warc counts records and re-sniffs the first response payload).
+    Every emitted field is a pure function of doc_id — full value oracle
+    across all 14 dispatch arms. Reference parity: hachoir dispatched on
+    upload type the same blind way (src/DMS.py:77-79) but had no archive
+    or frame-level audio surface at all.
+
+    Plan: mapInPandas encode → pandas_udf extract, Arrow end-to-end,
+    zero shuffles (the x24 scan shape)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.dms import with_extracted_meta
+    from dmshadoop_spark.multimodal import (
+        encode_avi,
+        encode_exif_jpeg,
+        encode_flac,
+        encode_gif,
+        encode_jpeg,
+        encode_mkv_skeleton,
+        encode_mp3,
+        encode_mp4,
+        encode_pdf,
+        encode_png,
+        encode_tiff,
+        encode_wav,
+    )
+    from dmshadoop_spark.multimodal.containers import encode_id3v2
+    from dmshadoop_spark.multimodal.warc import write_warc
+    from dmshadoop_spark.multimodal.webdataset import write_zip_shard
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+
+    def make_payload(d: int) -> bytes:
+        fmt = d % 14
+        if fmt == 0:
+            return encode_exif_jpeg(
+                64 + d % 16, 48 + d % 12, make="dmshadoop", model="cam-x",
+                datetime="2014:04:01 12:00:00", iso=200,
+            )
+        if fmt == 1:
+            arr = np.full((32 + d % 8, 40 + d % 16, 3), d % 251, dtype=np.uint8)
+            return encode_png(arr)
+        if fmt == 2:
+            n = 4000 + 400 * (d % 7)
+            return encode_wav(np.zeros(n, dtype=np.int16), 8000)
+        if fmt == 3:
+            return encode_mp3(5 + d % 9, 128, 44100)
+        if fmt == 4:
+            return encode_mp4(
+                [b"frame"] * (3 + d % 6), fps=10,
+                width=320 + (d % 4) * 16, height=240,
+            )
+        if fmt == 5:
+            arr = np.full(
+                (20 + d % 6, 30 + d % 8, 3), (d % 17, d % 29, d % 31),
+                dtype=np.uint8,
+            )
+            return encode_gif(arr)
+        if fmt == 6:
+            arr = np.full(
+                (15 + d % 5, 25 + d % 10, 3), d % 251, dtype=np.uint8
+            )
+            return encode_tiff(arr)
+        if fmt == 7:
+            return encode_mkv_skeleton(
+                1000.0 + (d % 10) * 500,
+                video=(320 + (d % 4) * 8, 200),
+            )
+        if fmt == 8:
+            return encode_pdf(1 + d % 4, title=f"doc-{d}")
+        if fmt == 9:
+            return encode_id3v2(
+                encode_mp3(6 + d % 5, 192, 48000),
+                title=f"track-{d}",
+                artist="dmshadoop",
+            )
+        if fmt == 10:
+            # REAL FLAC frames: duration_ms = total * 1000 // 16000
+            total = 1600 + 800 * (d % 5)
+            k = np.arange(total, dtype=np.int64)
+            pcm = ((k * 3 + d) % 2000 - 1000).astype(np.int16)
+            return encode_flac(pcm.reshape(-1, 1), sample_rate=16000)
+        if fmt == 11:
+            # MJPEG AVI: fps 5 → duration_ms = n_frames * 200
+            yy, xx = np.mgrid[0:8, 0:8]
+            frames = [
+                encode_jpeg(
+                    np.stack(
+                        [(20 + 3 * xx + 2 * yy + 5 * k + d) % 256] * 3,
+                        axis=2,
+                    ).astype(np.uint8)
+                )
+                for k in range(4 + d % 5)
+            ]
+            return encode_avi(frames, fps=5, width=8, height=8)
+        if fmt == 12:
+            png = encode_png(np.full((6, 7, 3), d % 256, np.uint8))
+            return write_zip_shard(
+                [(f"{d}.png", png), (f"{d}.txt", f"doc {d}".encode())]
+            )
+        gif = encode_gif(np.full((4, 5, 3), (d % 7, d % 11, d % 13), np.uint8))
+        return write_warc(
+            [(f"http://x/{d}/{i}", gif) for i in range(1 + d % 3)],
+            gzip_per_record=True,
+            content_type="image/gif",
+        )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [make_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = docs.select("doc_id").mapInPandas(
+        encode, schema="doc_id bigint, content binary"
+    )
+    meta = with_extracted_meta(F.col("content"))
+    return payloads.select(
+        "doc_id",
+        meta.getItem("content_type").alias("content_type"),
+        meta.getItem("width").cast("long").alias("width"),
+        meta.getItem("height").cast("long").alias("height"),
+        meta.getItem("duration_ms").cast("long").alias("duration_ms"),
+        meta.getItem("frame_count").cast("long").alias("frame_count"),
+        meta.getItem("page_count").cast("long").alias("page_count"),
+        meta.getItem("sample_rate").cast("long").alias("sample_rate"),
+        meta.getItem("member_count").cast("long").alias("member_count"),
+        meta.getItem("first_member_type").alias("first_member_type"),
+    )
+
+
 SEQ_PACK_LEN = 512
 
 

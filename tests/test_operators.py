@@ -1061,3 +1061,31 @@ def test_mjpeg_features_bounded_error_and_digest(spark, sf_dir):
         assert abs(r["mean_g"] - gt[1]) < 1.0
         assert abs(r["mean_b"] - gt[2]) < 1.0
     assert rows[0]["digest"] == 7695382237397325916
+
+
+def test_real_flag_surface_matches_readme():
+    """README's `real` flag table is an API guarantee — this pins its op
+    list to the live surface (the SURVEY-ledger-count trick): every
+    README row names a real exported op whose output schema carries the
+    `real boolean` column, and every such op appears in the README table.
+    Adding a fallback-capable op without documenting it (or documenting
+    one that doesn't exist) fails here."""
+    import re
+
+    from dmshadoop_spark.multimodal import binary
+
+    flagged = {
+        "with_binary_features": binary.FEATURES_SCHEMA,
+        "resize_images": binary.THUMBNAIL_SCHEMA,
+        "sample_frames": binary.FRAMES_SCHEMA,
+    }
+    for name, schema in flagged.items():
+        assert callable(getattr(binary, name))
+        assert "real boolean" in schema, name
+    readme = open("README.md", encoding="utf-8").read()
+    section = readme.split("## The `real` flag", 1)[1].split("\n## ", 1)[0]
+    documented = set(re.findall(r"^\| `(\w+)` \|", section, re.M))
+    assert documented == set(flagged), (
+        f"README real-flag table out of sync: documented={documented}, "
+        f"live={set(flagged)}"
+    )

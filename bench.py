@@ -63,9 +63,32 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - start
 
 
+def _await_idle() -> tuple[float, bool]:
+    """Wait (bounded) for the 1-min load average to drop under the noise
+    threshold before measuring — the round-6 verdict's task 5: BENCH
+    numbers on a loaded shared host read as regressions until the noise
+    tables launder them; gating at the source makes the JSON
+    self-describing instead. Returns (load_at_start, started_idle).
+
+    Threshold: n_cpus/8 (4.0 on the 32-CPU bench box — r6's idle
+    reference ran at 2.97, the noisy driver run at 7.3). Wait budget:
+    $SPARK_GRAFT_BENCH_IDLE_WAIT_S (default 120 s, 0 to skip); if the
+    box never quiets down the run proceeds and the output says so via
+    load_classified, so the driver always gets its JSON line."""
+    threshold = max(2.0, (os.cpu_count() or 8) / 8)
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "120"))
+    deadline = time.monotonic() + budget
+    load1 = os.getloadavg()[0]
+    while load1 > threshold and time.monotonic() < deadline:
+        time.sleep(10)
+        load1 = os.getloadavg()[0]
+    return load1, load1 <= threshold
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    load_start, started_idle = _await_idle()
     spark = get_spark(app_name="dmshadoop-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -125,8 +148,22 @@ def main() -> None:
                 # noise, not plan cost.
                 "env": {
                     "load_avg": [round(x, 2) for x in os.getloadavg()],
+                    "load_avg_start": round(load_start, 2),
                     "n_cpus": os.cpu_count(),
                 },
+                # Mechanical noise classification (round-6 verdict task 5):
+                # "idle" iff the 1-min load was under n_cpus/8 both when
+                # measurement started (after the bounded idle-wait) and
+                # when it ended. A "noisy" total is not comparable to
+                # BASELINE.md's canonical row — read queries_median against
+                # the per-query noise bands instead.
+                "load_classified": (
+                    "idle"
+                    if started_idle
+                    and os.getloadavg()[0]
+                    <= max(2.0, (os.cpu_count() or 8) / 8)
+                    else "noisy"
+                ),
                 # Measurement protocol version: round-1 was single-shot cold;
                 # rounds ≥2 warm every shape at the measured SF then take
                 # best-of-3 (identical here: best over the first 3 of 5

@@ -57,30 +57,21 @@ def load_all() -> None:
 # canaries. Everything not listed follows in registration order, so the
 # window rotates across rounds until every query has a confirmed row.
 #
-# ROUND-6 DECISION: CORRECTNESS_r05 ran 50/50 green; cumulative coverage
-# closed the round-5 registry at 205/205 (tools/rotation.py). This
-# window, regenerated from live state: 3 canaries + the 7 round-6
-# registrations (x6_image_features — the real-featurizer full value
-# oracle; a17_salted_agg / j13_salted_join — the skew operators, the
-# last library surface without a driver row; x32_audio_neardup — the
-# fully-value-oracled acoustic-fingerprint dedup; x6_video_features —
-# mux → demux → stride-sample → decode → featurize composition under
-# one value oracle; x33_video_neardup — per-frame dHash + frame-hash
-# Jaccard video dedup, oracle down to each gradient bit;
-# x34_multimodal_pipeline — the mixed-corpus capstone: tar shards of
-# PNG+WAV+text, sniff-routed to all three real near-dup keys, dedup
-# accounting vs planted ground truth) + 7 queries whose behavior
-# changed this round (x6_feature_extract / x6_resize_thumbnails /
-# x6_frame_sample now emit the `real` flag, x6_frame_sample adds the
-# real-mp3 branch + digest; x5_pq_recall adds the nbits=8 columns;
-# x5_knn_pq / x5_knn_ivfpq re-confirm after the NULL-embedding filter;
-# x6_mkv_pcm re-confirms after the late-Info TimestampScale fix) + ALL
-# 17 queries still on their ROUND-1 confirmation (f6-f12, j1-j4,
-# st1-st6 — the oldest-green tail retires completely this round) + 16
-# round-2-vintage re-validations prioritizing the families the round-5
-# verdict named: the full text-search tier t1-t5 (+t4b) and
-# st7_stateful_user_totals (streaming code moved in r4-r5), then TPC-H
-# and window shapes.
+# ROUND-7 DECISION: CORRECTNESS_r06 ran 50/50 clean; cumulative coverage
+# closed the round-6 registry at 212/212 (tools/rotation.py). This
+# window, regenerated from live state: 3 canaries + the 3 round-7
+# registrations (x6_flac_roundtrip — real lossless compressed-audio
+# decode under a full value oracle; x24b_extract_dispatch_wide — the
+# 14-format dispatch incl. zip/WARC archive sniffing, real-frame FLAC
+# and MJPEG-AVI; x6_mjpeg_features — the compressed-codec video
+# pipeline, digest-pinned rows-only) + 2 re-confirms (x5_pq_recall
+# moved its IVF-PQ production point to nprobe=8/coarse_iters=4 →
+# recall@5 0.900 and a new digest; x24_extract_dispatch sits on the
+# sniffer that gained the zip/WARC/gzip arms) + ALL 31 queries still
+# on their ROUND-2 confirmation (the TPC-H tail q2-q22, w2-w6,
+# ud3/ud4, j8, and the first-generation X entries — the oldest-green
+# tail retires completely this round) + 11 oldest round-3 rows across
+# diverse families to fill the window to exactly 50.
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
 # before this window was handed to the driver.
 PRIORITY: list[str] = [
@@ -88,57 +79,61 @@ PRIORITY: list[str] = [
     "a6_q1_pricing_summary",
     "w1_latest_per_group",
     "x2_ngram_jaccard",
-    # round-6 registrations, oracle-backed first
-    "x6_image_features",
-    "a17_salted_agg",
-    "j13_salted_join",
-    "x32_audio_neardup",
-    "x6_video_features",
-    "x33_video_neardup",
-    "x34_multimodal_pipeline",
-    # changed this round → re-confirm
-    "x6_feature_extract",
-    "x6_resize_thumbnails",
-    "x6_frame_sample",
+    # round-7 registrations, oracle-backed first
+    "x6_flac_roundtrip",
+    "x24b_extract_dispatch_wide",
+    "x6_mjpeg_features",
+    # changed this round → re-confirm (x5_pq_recall moved its IVF-PQ
+    # production point to nprobe=8/coarse_iters=4 — new digest; x24's
+    # sniffer gained zip/WARC/gzip arms ahead of its dispatch table)
     "x5_pq_recall",
-    "x5_knn_pq",
-    "x5_knn_ivfpq",
-    "x6_mkv_pcm",
-    # oldest-green re-validation: the entire remaining round-1 tail
-    "f6_json_extract",
-    "f7_map_ops",
-    "f8_string_funcs",
-    "f9_date_funcs",
-    "f10_hash",
-    "f11_arith",
-    "f12_array_funcs",
-    "j1_semi_join",
-    "j2_anti_join",
-    "j3_inner_join",
-    "j4_broadcast_join",
-    "st1_tumbling_window",
-    "st2_sliding_window",
-    "st3_session_window",
-    "st4_watermark_filter",
-    "st5_stateful_dedup",
-    "st6_stream_static_join",
-    # round-2-vintage re-validation (search + streaming families first)
-    "t1_tokenize",
-    "t2_inverted_index",
-    "t3_term_lookup",
-    "t4_tfidf_topk",
-    "t4b_index_search",
-    "t5_search_numfound",
-    "st7_stateful_user_totals",
-    "a2_collect_list",
-    "j5_outer_join",
-    "j6_range_join",
-    "j7_asof_join",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q18_large_orders",
+    "x24_extract_dispatch",
+    # oldest-green re-validation: the ENTIRE remaining round-2 tail
+    # retires this round (31 queries — TPC-H tail, window family,
+    # UDF family, and the first-generation X entries)
+    "q2_top_supplier_per_nation",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_filter",
+    "q20_promotion_suppliers",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "w2_next_version",
+    "w3_rank",
+    "w4_lag",
+    "w5_running_sum",
+    "w6_ntile",
+    "ud3_grouped_agg_udaf",
+    "ud4_pandas_scalar",
+    "j8_cross_join",
+    "x1_exact_dedup",
+    "x2_embedding_neardup",
+    "x3_text_stats",
+    "x4_cosine_topk",
+    "x5_knn_search",
+    "x6_exif_meta",
+    "x6_multimodal_meta",
+    "x7_training_pipeline",
+    # oldest round-3 rows, diverse families, to fill the window to 50
+    "a8_cube",
+    "a8b_grouping_sets",
+    "a10_percentile",
+    "j6b_binned_range_join",
+    "j9_salted_skew_join",
+    "s12_partitioned_sink",
+    "s13_bucketed_join",
+    "st8_interval_join",
+    "t9_bm25_topk",
+    "x9_decontaminate",
+    "x13_pagerank",
 ]
 
 

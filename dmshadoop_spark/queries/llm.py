@@ -4108,8 +4108,15 @@ def x5_pq_recall(spark, sf_dir):
       nbits=4 (16-entry codebooks, 4 bits/subvector): recall@5 0.675
         flat / 0.55 IVF-PQ at nprobe 4 of 16 cells;
       nbits=8 (256-entry codebooks, the FAISS default): recall@5 1.0
-        flat / 0.775 IVF-PQ at nprobe 6 — the production operating
-        point. The 256-entry LUTs are still m·256 doubles per query
+        flat / 0.900 IVF-PQ at the PRODUCTION POINT nprobe=8,
+        coarse_iters=4. The round-7 sweep that picked it (all at
+        nbits=8, rerank=4, 16 cells): nprobe 6/8/10/12 at 2 Lloyd
+        rounds → 0.775/0.850/0.925/0.950; widening rerank 4→8 at
+        nprobe=8 → 0.850 (UNCHANGED — the residual ADC ranking is not
+        the loss; unprobed cells are), while 2 extra coarse Lloyd
+        rounds at nprobe=8 → 0.900 (better centroids fix the cell
+        misses at TRAINING time, costing queries nothing). The
+        256-entry LUTs are still m·256 doubles per query
         (broadcast-trivial) and the ADC fold is the same codegen'd
         zip_with/element_at expression (tests/test_plans.py pins the
         scan stays JVM-side; nbits only changes the literal ksub)."""
@@ -4147,8 +4154,8 @@ def x5_pq_recall(spark, sf_dir):
             emb, queries_df, k=5, m=8, nbits=8, rerank=4, train_iters=2
         ),
         "hits_ivfpq8": ivfpq_knn(
-            emb, queries_df, k=5, n_centroids=16, nprobe=6, m=8, nbits=8,
-            rerank=4,
+            emb, queries_df, k=5, n_centroids=16, nprobe=8, m=8, nbits=8,
+            rerank=4, coarse_iters=4,
         ),
     }
     out = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))

@@ -53,6 +53,8 @@ def _sniff(content: bytes) -> str:
             return "audio/x-wav"
         if content[8:12] == b"AVI ":
             return "video/x-msvideo"
+        if content[8:12] == b"WEBP":
+            return "image/webp"
     if content[4:8] == b"ftyp":  # ISO BMFF: size then 'ftyp'
         return "video/mp4"
     if content[:4] == b"\x1a\x45\xdf\xa3":  # EBML (Matroska/WebM)
@@ -255,6 +257,10 @@ def extract_metadata(content: bytes) -> dict[str, str]:
         dims = _png_dimensions(content)
     elif ctype == "image/gif":
         dims = _gif_dimensions(content)
+    elif ctype == "image/webp":
+        from dmshadoop_spark.multimodal.webp import webp_dimensions
+
+        dims = webp_dimensions(content)
     elif ctype == "image/tiff":
         try:
             from dmshadoop_spark.multimodal.tiff import _read_ifd_values

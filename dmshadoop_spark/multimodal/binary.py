@@ -330,9 +330,11 @@ def decode_image(content: bytes) -> "np.ndarray":
     progressive DCT, validated bit-for-bit-close against Java ImageIO,
     including the reference's own demo fixture demo/example_picture.jpg,
     demo/demo.py:14); GIF decodes for real as well (LZW + interlace,
-    decode_gif, bit-exact both directions against Java ImageIO). Other
-    formats (webp/heic…) raise so callers can fall back; production
-    swaps this dispatch for a full decoder."""
+    decode_gif, bit-exact both directions against Java ImageIO); lossless
+    WebP (VP8L) decodes for real too (multimodal/webp.py, bit-exact
+    round-trip with its own encoder — VP8L is lossless). Remaining
+    formats (lossy-VP8 webp, heic…) raise so callers can fall back;
+    production swaps this dispatch for a full decoder."""
     data = bytes(content[:8])
     if data == _PNG_MAGIC:
         return decode_png(content)
@@ -346,8 +348,16 @@ def decode_image(content: bytes) -> "np.ndarray":
         from dmshadoop_spark.multimodal.jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if data[:4] == b"RIFF" and bytes(content[8:12]) == b"WEBP":
+        from dmshadoop_spark.multimodal.webp import decode_webp_rgb
+
+        # lossless VP8L decodes for real; lossy VP8 raises
+        # NotImplementedError inside and falls through to the caller's
+        # flagged fallback, same contract as heic below
+        return decode_webp_rgb(content)
     raise NotImplementedError(
-        "only PNG/JPEG/GIF/TIFF decode ships in-container (webp/heic need external codecs)"
+        "only PNG/JPEG/GIF/TIFF/lossless-WebP decode ships in-container "
+        "(lossy-webp/heic need external codecs)"
     )
 
 
@@ -402,8 +412,9 @@ def image_stats(arr: "np.ndarray") -> dict:
 
 
 def image_features(content: bytes) -> tuple[list[float], bool]:
-    """REAL pixel-statistics featurizer: decode (PNG/JPEG/GIF/TIFF — all
-    four real decoders behind ``decode_image``) → the FEATURE_DIM=16
+    """REAL pixel-statistics featurizer: decode (PNG/JPEG/GIF/TIFF and
+    lossless WebP — the real decoders behind ``decode_image``) → the
+    FEATURE_DIM=16
     vector [mean_rgb×3, std_rgb×3, grad_x, grad_y, hist_frac×8] from
     ``image_stats``. Undecodable payloads fall back to the deterministic
     sha256 pseudo-vector. Returns (vector, real) where ``real`` says

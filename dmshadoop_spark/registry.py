@@ -59,11 +59,13 @@ def load_all() -> None:
 #
 # ROUND-7 DECISION: CORRECTNESS_r06 ran 50/50 clean; cumulative coverage
 # closed the round-6 registry at 212/212 (tools/rotation.py). This
-# window, regenerated from live state: 3 canaries + the 3 round-7
+# window, regenerated from live state: 3 canaries + the 4 round-7
 # registrations (x6_flac_roundtrip — real lossless compressed-audio
-# decode under a full value oracle; x24b_extract_dispatch_wide — the
-# 14-format dispatch incl. zip/WARC archive sniffing, real-frame FLAC
-# and MJPEG-AVI; x6_mjpeg_features — the compressed-codec video
+# decode under a full value oracle; x6_webp_roundtrip — real lossless
+# WebP/VP8L decode under a full value oracle, closing the last image
+# codec gap; x24b_extract_dispatch_wide — the 15-format dispatch incl.
+# zip/WARC archive sniffing, real-frame FLAC, MJPEG-AVI and webp;
+# x6_mjpeg_features — the compressed-codec video
 # pipeline, digest-pinned rows-only) + 2 re-confirms (x5_pq_recall
 # moved its IVF-PQ production point to nprobe=8/coarse_iters=4 →
 # recall@5 0.900 and a new digest; x24_extract_dispatch sits on the
@@ -81,6 +83,7 @@ PRIORITY: list[str] = [
     "x2_ngram_jaccard",
     # round-7 registrations, oracle-backed first
     "x6_flac_roundtrip",
+    "x6_webp_roundtrip",
     "x24b_extract_dispatch_wide",
     "x6_mjpeg_features",
     # changed this round → re-confirm (x5_pq_recall moved its IVF-PQ
@@ -133,7 +136,9 @@ PRIORITY: list[str] = [
     "st8_interval_join",
     "t9_bm25_topk",
     "x9_decontaminate",
-    "x13_pagerank",
+    # (x13_pagerank was the 50th filler until the mid-round
+    # x6_webp_roundtrip registration displaced it — it stays on its
+    # round-3 green and rotates next round)
 ]
 
 

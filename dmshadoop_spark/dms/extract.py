@@ -258,9 +258,19 @@ def extract_metadata(content: bytes) -> dict[str, str]:
     elif ctype == "image/gif":
         dims = _gif_dimensions(content)
     elif ctype == "image/webp":
-        from dmshadoop_spark.multimodal.webp import webp_dimensions
+        from dmshadoop_spark.multimodal.webp import (
+            webp_anim_frames,
+            webp_dimensions,
+        )
 
         dims = webp_dimensions(content)
+        try:
+            anim = webp_anim_frames(bytes(content))
+        except (ValueError, NotImplementedError):
+            anim = []
+        if anim:
+            meta["frame_count"] = str(len(anim))
+            meta["duration_ms"] = str(sum(f["duration_ms"] for f in anim))
     elif ctype == "image/tiff":
         try:
             from dmshadoop_spark.multimodal.tiff import _read_ifd_values

@@ -1205,8 +1205,11 @@ def sample_frames(
     frame chunks), ISO BMFF (mp4) payloads demux for real too
     (containers.parse_mp4: full stts/stsc/stsz/stco sample-table walk),
     Matroska payloads since round 5 (ebml.mkv_blocks: Cluster →
-    SimpleBlock/BlockGroup walk, all four lacing modes), and MPEG audio
-    since round 6 (containers.mp3_frames: the frame-header walk): each
+    SimpleBlock/BlockGroup walk, all four lacing modes), MPEG audio
+    since round 6 (containers.mp3_frames: the frame-header walk), and
+    animated WebP since round 7 (webp.webp_anim_frames: ANMF chunk walk
+    with cumulative durations as timestamps; every frame is a lossless
+    VP8L still that decode_image decodes exactly): each
     emits every stride-th ACTUAL frame payload with its container-derived
     timestamp, flagged real=true. Any other container falls back to the
     deterministic stub (real=false): duration := length / bytes_per_s,
@@ -1302,6 +1305,41 @@ def sample_frames(
                             continue
                     except ValueError:
                         pass  # malformed/cluster-free mkv → stub path
+                if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+                    from dmshadoop_spark.multimodal.webp import (
+                        webp_anim_frames,
+                    )
+
+                    try:
+                        anim = webp_anim_frames(raw)
+                    except (ValueError, NotImplementedError):
+                        anim = []
+                    if anim:
+                        # cumulative ANMF durations are the container
+                        # timestamps; each emitted frame is a standalone
+                        # lossless webp (decode_image-ready downstream,
+                        # the MJPEG-frames-are-JPEGs pattern)
+                        n = len(anim)
+                        ts_ms = 0
+                        starts = []
+                        for f in anim:
+                            starts.append(ts_ms)
+                            ts_ms += f["duration_ms"]
+                        # span = last frame's START time, the shared
+                        # _sample_stride convention across containers
+                        stride = _sample_stride(
+                            n, starts[-1] / 1000.0, every_s
+                        )
+                        for i in range(0, n, stride):
+                            emit(
+                                path,
+                                i,
+                                starts[i] / 1000.0,
+                                anim[i]["payload"],
+                                True,
+                            )
+                        continue
+                    # still webp is an image, not a video → stub path
                 if raw[4:8] == b"ftyp":
                     from dmshadoop_spark.multimodal.containers import parse_mp4
 

@@ -41,7 +41,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_webp", "encode_webp_lossless", "webp_dimensions"]
+__all__ = [
+    "decode_webp",
+    "encode_webp_anim",
+    "encode_webp_lossless",
+    "webp_anim_frames",
+    "webp_dimensions",
+]
 
 _SIG = 0x2F
 
@@ -596,6 +602,16 @@ def _vp8l_payload(content: bytes) -> bytes:
                 "lossless VP8L ships in-container (codec-family contract, "
                 "see multimodal/binary.py)"
             )
+        if tag == b"ANMF" and len(body) >= 16:
+            # animated: still-image semantics = first frame (the GIF
+            # convention); frame walks go through webp_anim_frames
+            ipos = 16
+            while ipos + 8 <= len(body):
+                itag = body[ipos : ipos + 4]
+                (isize,) = struct.unpack("<I", body[ipos + 4 : ipos + 8])
+                if itag == b"VP8L":
+                    return body[ipos + 8 : ipos + 8 + isize]
+                ipos += 8 + isize + (isize & 1)
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     raise ValueError("WebP: no VP8L chunk")
 
@@ -631,6 +647,114 @@ def webp_dimensions(content: bytes) -> tuple[int, int] | None:
         return None
     r = _BitReader(body[1:])
     return r.read(14) + 1, r.read(14) + 1
+
+
+# ---------------------------------------------------------------------------
+# animation (WebP Container Specification: VP8X / ANIM / ANMF chunks)
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    out = tag + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        out += b"\x00"
+    return out
+
+
+def _u24(v: int) -> bytes:
+    return struct.pack("<I", v)[:3]
+
+
+def webp_anim_frames(content: bytes) -> list[dict]:
+    """Walk an animated WebP's ANMF chunks. Each entry:
+    {x, y, width, height, duration_ms, payload} where ``payload`` is the
+    frame's VP8L stream re-wrapped as a STANDALONE webp container, so
+    downstream consumers reuse ``decode_webp`` / ``decode_image``
+    unchanged (the MJPEG-frames-are-JPEGs pattern, sample_frames'
+    contract). Returns [] for still webp; raises ValueError on a
+    non-webp payload."""
+    content = bytes(content)
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    frames: list[dict] = []
+    pos = 12
+    n = len(content)
+    while pos + 8 <= n:
+        tag = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if tag == b"ANMF" and len(body) >= 16:
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            # body[15] = reserved|blend|dispose flags (ignored: our
+            # frames are full-canvas, no compositing needed)
+            ipos = 16
+            payload = None
+            while ipos + 8 <= len(body):
+                itag = body[ipos : ipos + 4]
+                (isize,) = struct.unpack("<I", body[ipos + 4 : ipos + 8])
+                ibody = body[ipos + 8 : ipos + 8 + isize]
+                if itag == b"VP8L":
+                    riff = b"WEBP" + _chunk(b"VP8L", ibody)
+                    payload = b"RIFF" + struct.pack("<I", len(riff)) + riff
+                    break
+                if itag == b"VP8 ":
+                    raise NotImplementedError(
+                        "animated webp with lossy VP8 frames (codec-family "
+                        "contract: only lossless VP8L decodes in-container)"
+                    )
+                ipos += 8 + isize + (isize & 1)
+            if payload is not None:
+                frames.append(
+                    {
+                        "x": fx,
+                        "y": fy,
+                        "width": fw,
+                        "height": fh,
+                        "duration_ms": dur,
+                        "payload": payload,
+                    }
+                )
+        pos += 8 + size + (size & 1)
+    return frames
+
+
+def encode_webp_anim(
+    frames: list["np.ndarray"],
+    durations_ms: list[int] | int = 100,
+    loop: int = 0,
+) -> bytes:
+    """Mux RGB(A) frames into an animated WebP: VP8X (animation flag) +
+    ANIM + one ANMF per frame, each frame VP8L-lossless-encoded at the
+    full canvas. ``durations_ms`` is per-frame or a scalar."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    if isinstance(durations_ms, int):
+        durations_ms = [durations_ms] * len(frames)
+    if len(durations_ms) != len(frames):
+        raise ValueError("durations_ms/frames length mismatch")
+    h, w = frames[0].shape[:2]
+    has_alpha = any(f.shape[2] == 4 for f in frames)
+    flags = 0x02 | (0x10 if has_alpha else 0)  # ANIMATION (+ALPHA)
+    vp8x = bytes([flags]) + b"\x00\x00\x00" + _u24(w - 1) + _u24(h - 1)
+    anim = struct.pack("<I", 0) + struct.pack("<H", loop)  # bg BGRA + loop
+    body = _chunk(b"VP8X", vp8x) + _chunk(b"ANIM", anim)
+    for f, dur in zip(frames, durations_ms):
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must match the canvas size")
+        still = encode_webp_lossless(f)
+        vp8l_body = _vp8l_payload(still)
+        anmf = (
+            _u24(0) + _u24(0)  # frame offset x/2, y/2
+            + _u24(w - 1) + _u24(h - 1)
+            + _u24(int(dur)) + b"\x00"  # flags: blend, dispose-none
+            + _chunk(b"VP8L", vp8l_body)
+        )
+        body += _chunk(b"ANMF", anmf)
+    riff = b"WEBP" + body
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 # ---------------------------------------------------------------------------

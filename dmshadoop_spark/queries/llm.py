@@ -3695,6 +3695,124 @@ def x6_webp_roundtrip(spark, sf_dir):
     )
 
 
+_AWEBP_ORACLE = """
+    WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id < 40),
+    cfg AS (
+        SELECT d, 4 + d % 5 AS n, 101 + 25 * (d % 4) AS dur,
+               GREATEST(1, CAST(ROUND(
+                   (4 + d % 5) * 0.3 * 1000
+                   / ((3 + d % 5) * (101 + 25 * (d % 4)))
+               ) AS BIGINT)) AS stride
+        FROM ids
+    ),
+    fr AS (
+        SELECT d, dur, k
+        FROM cfg, range(0, 8) AS t(k)
+        WHERE k < n AND k % stride = 0
+    ),
+    px AS (
+        SELECT d, k, dur, c,
+               (d * 11 + k * 29 + c * 17 + x * 5 + y * 7) % 256 AS v
+        FROM fr, (VALUES (0), (1), (2)) AS ch(c),
+             range(0, 10) AS ty(y), range(0, 13) AS tx(x)
+        WHERE y < 8 + d % 3 AND x < 10 + d % 4
+    )
+    SELECT d AS doc_id, CAST(k AS BIGINT) AS frame_idx,
+           CAST(k * dur AS BIGINT) AS ts_ms,
+           CAST(c AS BIGINT) AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq
+    FROM px GROUP BY d, k, dur, c
+"""
+
+
+@query("x6_awebp_frames", oracle=_AWEBP_ORACLE)
+def x6_awebp_frames(spark, sf_dir):
+    """Animated-WebP frame sampling under a FULL value oracle — the
+    lossless-video sibling of x6_video_features. Per doc a KNOWN frame
+    sequence (closed-form pixels varying per frame index) is muxed into
+    an animated WebP (webp.encode_webp_anim: VP8X animation flag + ANIM
+    + per-frame ANMF chunks, every frame VP8L-lossless); the ENGINE's
+    sample_frames demuxes it for real (webp_anim_frames ANMF walk,
+    cumulative durations as container timestamps, the shared
+    _sample_stride policy), each sampled frame re-decodes through the
+    real VP8L decoder, and per-frame per-channel integer statistics are
+    emitted. Because every stage is lossless and deterministic, DuckDB
+    replays the WHOLE pipeline — stride arithmetic, timestamps, pixel
+    sums — from the closed forms: a hash match proves mux → ANMF walk →
+    stride sample → decode is value-exact end-to-end. Plan: three Arrow
+    mapInPandas stages over one documents scan, zero shuffles (the
+    x6_video_features shape)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from dmshadoop_spark.multimodal import (
+        decode_webp,
+        encode_webp_anim,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+
+    def build_frame(d: int, k: int) -> "np.ndarray":
+        h, w = 8 + d % 3, 10 + d % 4
+        yy, xx = np.mgrid[0:h, 0:w]
+        chans = [
+            (d * 11 + k * 29 + c * 17 + xx * 5 + yy * 7) % 256
+            for c in range(3)
+        ]
+        return np.stack(chans, axis=2).astype(np.uint8)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n, dur = 4 + d % 5, 101 + 25 * (d % 4)
+                frames = [build_frame(d, k) for k in range(n)]
+                paths.append(f"awebp://{d}")
+                blobs.append(encode_webp_anim(frames, dur))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    vids = docs.select("doc_id").mapInPandas(
+        synth, schema="path string, content binary"
+    )
+    sampled = sample_frames(vids, every_s=0.3)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_idx", "ts_ms", "channel", "n_pixels",
+                "sum_v", "sum_sq",
+            )}
+            for path, idx, ts, frame, real in zip(
+                pdf["path"], pdf["frame_idx"], pdf["ts_sec"],
+                pdf["frame"], pdf["real"],
+            ):
+                assert bool(real), "animated webp must take the real path"
+                d = int(path.split("://")[1])
+                pix = decode_webp(bytes(frame))[:, :, :3].astype(np.int64)
+                for c in range(3):
+                    s = pix[:, :, c]
+                    rows["doc_id"].append(d)
+                    rows["frame_idx"].append(int(idx))
+                    rows["ts_ms"].append(int(round(float(ts) * 1000)))
+                    rows["channel"].append(c)
+                    rows["n_pixels"].append(int(s.size))
+                    rows["sum_v"].append(int(s.sum()))
+                    rows["sum_sq"].append(int((s * s).sum()))
+            yield pd.DataFrame(rows)
+
+    return sampled.mapInPandas(
+        stats,
+        schema="doc_id bigint, frame_idx bigint, ts_ms bigint, "
+        "channel bigint, n_pixels bigint, sum_v bigint, sum_sq bigint",
+    )
+
+
 @query(
     "x6_audio_features",
     oracle=f"""

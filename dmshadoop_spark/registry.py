@@ -59,11 +59,13 @@ def load_all() -> None:
 #
 # ROUND-7 DECISION: CORRECTNESS_r06 ran 50/50 clean; cumulative coverage
 # closed the round-6 registry at 212/212 (tools/rotation.py). This
-# window, regenerated from live state: 3 canaries + the 4 round-7
+# window, regenerated from live state: 3 canaries + the 5 round-7
 # registrations (x6_flac_roundtrip — real lossless compressed-audio
 # decode under a full value oracle; x6_webp_roundtrip — real lossless
 # WebP/VP8L decode under a full value oracle, closing the last image
-# codec gap; x24b_extract_dispatch_wide — the 15-format dispatch incl.
+# codec gap; x6_awebp_frames — animated-WebP ANMF demux through
+# sample_frames with real per-frame VP8L decode, full pipeline oracle;
+# x24b_extract_dispatch_wide — the 15-format dispatch incl.
 # zip/WARC archive sniffing, real-frame FLAC, MJPEG-AVI and webp;
 # x6_mjpeg_features — the compressed-codec video
 # pipeline, digest-pinned rows-only) + 2 re-confirms (x5_pq_recall
@@ -72,7 +74,7 @@ def load_all() -> None:
 # sniffer that gained the zip/WARC/gzip arms) + ALL 31 queries still
 # on their ROUND-2 confirmation (the TPC-H tail q2-q22, w2-w6,
 # ud3/ud4, j8, and the first-generation X entries — the oldest-green
-# tail retires completely this round) + 11 oldest round-3 rows across
+# tail retires completely this round) + 9 oldest round-3 rows across
 # diverse families to fill the window to exactly 50.
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
 # before this window was handed to the driver.
@@ -84,6 +86,7 @@ PRIORITY: list[str] = [
     # round-7 registrations, oracle-backed first
     "x6_flac_roundtrip",
     "x6_webp_roundtrip",
+    "x6_awebp_frames",
     "x24b_extract_dispatch_wide",
     "x6_mjpeg_features",
     # changed this round → re-confirm (x5_pq_recall moved its IVF-PQ
@@ -135,10 +138,10 @@ PRIORITY: list[str] = [
     "s13_bucketed_join",
     "st8_interval_join",
     "t9_bm25_topk",
-    "x9_decontaminate",
-    # (x13_pagerank was the 50th filler until the mid-round
-    # x6_webp_roundtrip registration displaced it — it stays on its
-    # round-3 green and rotates next round)
+    # (x13_pagerank and x9_decontaminate were the 49th/50th fillers
+    # until the mid-round x6_webp_roundtrip / x6_awebp_frames
+    # registrations displaced them — they stay on their round-3 greens
+    # and rotate next round)
 ]
 
 

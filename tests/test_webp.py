@@ -435,3 +435,74 @@ def test_image_features_real_for_webp():
             + [st["grad_x"], st["grad_y"]]
             + [c / (st["width"] * st["height"]) for c in st["hist"]])
     assert feat == [float(x) for x in want]
+
+
+# ---------------------------------------------------------------------------
+# animation (VP8X / ANIM / ANMF)
+
+
+def test_anim_mux_demux_roundtrip():
+    from dmshadoop_spark.multimodal.webp import (
+        encode_webp_anim,
+        webp_anim_frames,
+    )
+
+    frames = [
+        _rng(i).randint(0, 256, (9, 12, 3)).astype(np.uint8) for i in range(4)
+    ]
+    blob = encode_webp_anim(frames, [100, 150, 200, 250])
+    walked = webp_anim_frames(blob)
+    assert [f["duration_ms"] for f in walked] == [100, 150, 200, 250]
+    for f, src in zip(walked, frames):
+        assert (f["width"], f["height"]) == (12, 9)
+        assert (decode_webp_rgb(f["payload"]) == src).all()
+    # still-image semantics on the whole container: first frame
+    assert (decode_webp_rgb(blob) == frames[0]).all()
+    assert webp_dimensions(blob) == (12, 9)
+    # still webp walks to an empty frame list, not an error
+    assert webp_anim_frames(encode_webp_lossless(frames[0])) == []
+
+
+def test_anim_metadata_and_sniff():
+    from dmshadoop_spark.dms.extract import extract_metadata
+    from dmshadoop_spark.multimodal.webp import encode_webp_anim
+
+    frames = [np.full((6, 8, 3), 30 * i, np.uint8) for i in range(3)]
+    meta = extract_metadata(encode_webp_anim(frames, 120))
+    assert meta["content_type"] == "image/webp"
+    assert (meta["width"], meta["height"]) == ("8", "6")
+    assert meta["frame_count"] == "3"
+    assert meta["duration_ms"] == "360"
+
+
+def test_sample_frames_real_awebp_path(spark):
+    """sample_frames demuxes animated webp for real: stride follows the
+    shared policy (span = last frame START), timestamps are cumulative
+    ANMF durations, every emitted frame is a decodable lossless webp."""
+    from dmshadoop_spark.multimodal import sample_frames
+    from dmshadoop_spark.multimodal.webp import encode_webp_anim
+
+    n, dur = 6, 150
+    frames = [np.full((5, 7, 3), 40 * k % 256, np.uint8) for k in range(n)]
+    blob = encode_webp_anim(frames, dur)
+    df = spark.createDataFrame([("v://1", bytearray(blob))], "path string, content binary")
+    rows = sample_frames(df, every_s=0.3).collect()
+    span = (n - 1) * dur / 1000.0
+    stride = max(1, round(n * 0.3 / span))
+    want_idx = list(range(0, n, stride))
+    assert [r["frame_idx"] for r in rows] == want_idx
+    for r in rows:
+        assert r["real"] is True
+        assert abs(r["ts_sec"] - r["frame_idx"] * dur / 1000.0) < 1e-9
+        assert (
+            decode_webp_rgb(bytes(r["frame"])) == frames[r["frame_idx"]]
+        ).all()
+
+
+def test_sample_frames_still_webp_takes_stub_path(spark):
+    from dmshadoop_spark.multimodal import sample_frames
+
+    blob = encode_webp_lossless(np.zeros((4, 4, 3), np.uint8))
+    df = spark.createDataFrame([("s://1", bytearray(blob))], "path string, content binary")
+    rows = sample_frames(df, every_s=1.0, bytes_per_s=50).collect()
+    assert rows and all(r["real"] is False for r in rows)

@@ -589,6 +589,110 @@ def x5_knn_lsh(spark, sf_dir):
     return with_sorted_digest(topk, "query_id", "neighbor_id")
 
 
+def _sq8_oracle() -> str:
+    """DuckDB replay of the SQ8 encode → ADC scan (similarity/sq8.py).
+
+    Every stage spells the exact Spark expressions (same IEEE op order), so
+    doubles are bit-identical and the variant is full-value-hash checkable —
+    the only quantized ANN in the X5 family with that property (LSH/IVF/PQ
+    depend on seeded hashes or trained codebooks → rows-only)."""
+    from dmshadoop_spark.similarity.sq8 import (
+        DUCK_SQ8_CODES,
+        DUCK_SQ8_DEQUANT,
+        DUCK_SQ8_MN,
+        DUCK_SQ8_MX,
+    )
+
+    mn = DUCK_SQ8_MN.format(v="embedding")
+    mx = DUCK_SQ8_MX.format(v="embedding")
+    codes = DUCK_SQ8_CODES.format(v="embedding", mn="mn", scale="scale")
+    dq = DUCK_SQ8_DEQUANT.format(codes="codes", mn="mn", scale="scale")
+    return f"""
+    WITH enc AS (
+        SELECT vec_id, embedding,
+               {mn} AS mn,
+               ({mx} - {mn}) / 255.0 AS scale
+        FROM embeddings
+    ),
+    coded AS (SELECT vec_id, mn, scale, {codes} AS codes FROM enc),
+    dq AS (SELECT vec_id, {dq} AS dv FROM coded),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {DUCK_DOT.format(a='q.qv', b='c.dv')}
+               / (sqrt({DUCK_NORM_SQ.format(v='q.qv')})
+                  * sqrt({DUCK_NORM_SQ.format(v='c.dv')})) AS approx_cosine
+        FROM q CROSS JOIN dq c
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, approx_cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_cosine DESC,
+                                              neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@query("x5_knn_sq8", oracle=_sq8_oracle())
+def x5_knn_sq8(spark, sf_dir):
+    """SQ8 (8-bit scalar-quantized) k-NN with asymmetric scoring — the
+    no-training compressed-scan tier between brute force (x4) and PQ (x5):
+    per-vector uint8 codes + two doubles, 4× smaller at rest, queries stay
+    full-precision, candidates dequantize inside the scoring projection
+    (similarity/sq8.py). 100 TB plan: encode is a per-row projection (zero
+    shuffles, no driver state), the ADC scan is one pass over codes with
+    broadcast queries + local-then-merge top-k — identical exchange shape
+    to x4 but a 4× lighter scan. Whole chain is JVM-side codegen; the
+    DuckDB oracle replays encode+scan bit-exactly (no recall bound to
+    document — full value hash)."""
+    from dmshadoop_spark.functions.vectors import dot
+    from dmshadoop_spark.similarity.sq8 import sq8_dequant, with_sq8
+    from dmshadoop_spark.similarity.topk import local_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    coded = (
+        with_sq8(emb, "v")
+        .select(
+            "vec_id",
+            sq8_dequant(F.col("codes"), F.col("mn"), F.col("scale")).alias(
+                "dv"
+            ),
+        )
+        .select("vec_id", "dv", F.sqrt(norm_sq(F.col("dv"))).alias("ndv"))
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(norm_sq(F.col("v"))).alias("nq"),
+    )
+    scored = (
+        coded.crossJoin(broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qv"), F.col("dv")) / (F.col("nq") * F.col("ndv"))
+            ).alias("approx_cosine"),
+        )
+    )
+    pruned = local_topk(scored, ["query_id"], "approx_cosine", "neighbor_id", 5)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "approx_cosine")
+    )
+
+
 @query(
     "x6_multimodal_meta",
     oracle="""

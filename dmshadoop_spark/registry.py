@@ -68,7 +68,10 @@ def load_all() -> None:
 # x24b_extract_dispatch_wide — the 15-format dispatch incl.
 # zip/WARC archive sniffing, real-frame FLAC, MJPEG-AVI and webp;
 # x6_mjpeg_features — the compressed-codec video
-# pipeline, digest-pinned rows-only) + 2 re-confirms (x5_pq_recall
+# pipeline, digest-pinned rows-only; x5_knn_sq8 — 8-bit scalar-quantized
+# ADC scan, the X5 family's first fully value-hash-oracled quantized
+# variant, displacing the t9_bm25_topk round-3 filler) + 2 re-confirms
+# (x5_pq_recall
 # moved its IVF-PQ production point to nprobe=8/coarse_iters=4 →
 # recall@5 0.900 and a new digest; x24_extract_dispatch sits on the
 # sniffer that gained the zip/WARC/gzip arms) + ALL 31 queries still
@@ -85,6 +88,7 @@ PRIORITY: list[str] = [
     "x2_ngram_jaccard",
     # round-7 registrations, oracle-backed first
     "x6_flac_roundtrip",
+    "x5_knn_sq8",
     "x6_webp_roundtrip",
     "x6_awebp_frames",
     "x24b_extract_dispatch_wide",
@@ -137,7 +141,6 @@ PRIORITY: list[str] = [
     "s12_partitioned_sink",
     "s13_bucketed_join",
     "st8_interval_join",
-    "t9_bm25_topk",
     # (x13_pagerank and x9_decontaminate were the 49th/50th fillers
     # until the mid-round x6_webp_roundtrip / x6_awebp_frames
     # registrations displaced them — they stay on their round-3 greens

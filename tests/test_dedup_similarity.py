@@ -2076,3 +2076,46 @@ def test_x34_multimodal_pipeline_accounting(spark, sf_dir):
     for mod, rs in per_mod.items():
         assert sum(r["n_samples"] for r in rs) == 40, mod
         assert sum(r["n_dups_removed"] for r in rs) == 10, mod
+
+
+def test_sq8_roundtrip_error_bound(spark):
+    """SQ8 reconstruction error is ≤ scale/2 per dimension (the quantizer's
+    contract), and a constant vector round-trips exactly (scale-0 guard)."""
+    from dmshadoop_spark.similarity.sq8 import sq8_dequant, with_sq8
+
+    rows = [
+        (0, [0.1, -0.7, 0.3, 0.9]),
+        (1, [5.0, 5.0, 5.0, 5.0]),  # constant → scale 0
+        (2, [-1.0, 1.0, 0.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = with_sq8(df, "v").withColumn(
+        "dv", sq8_dequant(F.col("codes"), F.col("mn"), F.col("scale"))
+    )
+    for r in out.collect():
+        assert all(0 <= c <= 255 for c in r["codes"]), r
+        half = r["scale"] / 2.0 if r["scale"] else 0.0
+        for x, y in zip(r["v"], r["dv"]):
+            assert abs(x - y) <= half + 1e-12, (r["vec_id"], x, y)
+        if r["vec_id"] == 1:
+            assert r["dv"] == r["v"]  # exact round-trip at scale 0
+
+
+def test_sq8_knn_matches_exact_on_separated_corpus(spark, sf_dir):
+    """On the real embeddings table the SQ8 top-5 neighbor SETS stay close
+    to exact brute force (recall@5 ≥ 0.9 over the 8 query vectors) — the
+    near-exact tier's operating point, far above PQ's."""
+    from dmshadoop_spark.queries.llm import x4_cosine_topk, x5_knn_sq8
+
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in x5_knn_sq8(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in x4_cosine_topk(spark, sf_dir).collect()
+        if r["query_id"] < 8
+    }
+    assert len(exact) == 40  # 8 queries × top-5
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, recall

@@ -17,6 +17,7 @@ from dmshadoop_spark.dedup.imagehash import (
     image_neardup_pairs,
 )
 from dmshadoop_spark.dedup.components import connected_components, dedup_survivors
+from dmshadoop_spark.dedup.semdedup import blocked_cosine_pairs, semdedup
 from dmshadoop_spark.dedup.minhash import (
     minhash_incremental_pairs,
     minhash_index,
@@ -30,12 +31,14 @@ __all__ = [
     "audio_fingerprint_int",
     "audio_hash_df",
     "audio_neardup_pairs",
+    "blocked_cosine_pairs",
     "connected_components",
     "dhash_int",
     "hamming_candidate_pairs",
     "image_hash_df",
     "image_neardup_pairs",
     "dedup_survivors",
+    "semdedup",
     "minhash_incremental_pairs",
     "minhash_index",
     "minhash_lsh_pairs",

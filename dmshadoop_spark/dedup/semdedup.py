@@ -1,0 +1,194 @@
+"""SemDeDup — semantic deduplication over embeddings (Abbas et al. 2023,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication", arXiv:2303.09540).
+
+The published recipe, re-expressed as Spark stages:
+
+  1. CLUSTER   — k-means over the embedding column
+     (similarity/kmeans.py: deterministic seeded init, broadcast
+     centroids, driver state = k×dim only).
+  2. PAIR      — exact pairwise cosine WITHIN each cluster at threshold
+     ``eps`` (the paper computes the full intra-cluster similarity
+     matrix; here each cluster block is triangle-sharded exactly like
+     x2_embedding_neardup so collected arrays stay bounded no matter how
+     hot a cluster gets — results identical for any shard count).
+  3. GROUP     — connected components over the ≥ eps pairs
+     (dedup/components.py: min-label propagation + pointer jumping).
+  4. SURVIVOR  — per duplicate group keep the example with the LOWEST
+     cosine to its cluster centroid (the paper's rule: low-similarity
+     examples are the informative ones), tie-broken by id.
+
+100 TB shape: clustering is the standard bounded-iteration Lloyd loop
+(assignment scan-local, update = one partial-agg shuffle of ≤ k×dim rows
+per partition); pair emission never crosses clusters, so the worst
+exchange is the intra-cluster triangle — sharded and cap-able the same
+way the label-blocked near-dup is; components run on pair keys only
+(never vectors); the survivor pick is one window over (component).
+Everything after training is a declarative plan — no Python in any
+per-row loop.
+
+Rows-only by nature (iterative k-means training has no SQL oracle);
+determinism is pinned by seeded init + fixed iteration count + explicit
+left-fold arithmetic, digest-tested in tests/test_dedup_similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from dmshadoop_spark.functions.vectors import as_double, dot, norm_sq
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    shards: int = 4,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ ``threshold`` within each block —
+    (block, vec_a, vec_b, cosine), each unordered pair exactly once.
+
+    The triangle-shard pattern (see x2_embedding_neardup's docstring for
+    the full argument): each vector hashes to one of ``shards`` shards,
+    every unordered shard pair {i, j} (including i == j) is a group, a
+    vector in shard s replicates to the ``shards`` groups it can meet a
+    partner in, and the A×B product inside a group emits each pair once.
+    Exact for ANY shard count; worst-row memory shrinks shards×."""
+    base = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        as_double(vec_col).alias("_v"),
+    ).withColumn("_nv", F.sqrt(norm_sq(F.col("_v"))))
+    staged = base.withColumn(
+        "_s", F.pmod(F.xxhash64("_id"), F.lit(shards)).cast("int")
+    )
+    memberships = F.array(
+        *[
+            F.struct(
+                F.least(F.col("_s"), F.lit(t)).alias("i"),
+                F.greatest(F.col("_s"), F.lit(t)).alias("j"),
+            )
+            for t in range(shards)
+        ]
+    )
+    sharded = staged.select(
+        "_blk",
+        F.struct("_id", "_v", "_nv", "_s").alias("d"),
+        F.explode(memberships).alias("g"),
+    )
+    grouped = sharded.groupBy("_blk", "g.i", "g.j").agg(
+        F.collect_list("d").alias("vecs")
+    )
+    side_a = F.filter(F.col("vecs"), lambda d: d["_s"] == F.col("i"))
+    side_b = F.filter(F.col("vecs"), lambda d: d["_s"] == F.col("j"))
+    pair_structs = F.flatten(
+        F.transform(
+            side_a,
+            lambda x: F.transform(
+                side_b,
+                lambda y: F.struct(
+                    F.least(x["_id"], y["_id"]).alias("vec_a"),
+                    F.greatest(x["_id"], y["_id"]).alias("vec_b"),
+                    (dot(x["_v"], y["_v"]) / (x["_nv"] * y["_nv"])).alias(
+                        "cosine"
+                    ),
+                    (x["_id"] < y["_id"]).alias("lt"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(
+            F.col("_blk"),
+            (F.col("i") == F.col("j")).alias("intra"),
+            F.explode_outer(pair_structs).alias("p"),
+        )
+        .filter(
+            F.col("p").isNotNull()
+            & (F.col("p.lt") | ~F.col("intra"))
+            & (F.col("p.cosine") >= threshold)
+        )
+        .select(
+            F.col("_blk").alias(block_col), "p.vec_a", "p.vec_b", "p.cosine"
+        )
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 4,
+    seed: int = 7,
+    eps: float = 0.35,
+    shards: int = 4,
+) -> DataFrame:
+    """Per-embedding SemDeDup decision:
+    (id, cell, component, cos_centroid, keep) — ``keep`` marks the one
+    survivor per semantic duplicate group (lowest centroid cosine, id
+    tie-break); non-duplicated embeddings keep themselves."""
+    from dmshadoop_spark.dedup.components import connected_components
+    from dmshadoop_spark.similarity.assign import with_nearest_cell
+    from dmshadoop_spark.similarity.kmeans import kmeans_centroids
+
+    base = emb.select(
+        F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+    ).withColumn("_nv", F.sqrt(norm_sq(F.col("_v"))))
+
+    cents = kmeans_centroids(
+        emb, vec_col=vec_col, k=k, n_iter=n_iter, seed=seed, id_col=id_col
+    )
+    assigned = with_nearest_cell(base, "_v", cents, out_col="cell")
+
+    spark = SparkSession.getActiveSession()
+    cent_rows = [
+        (i + 1, [float(x) for x in c], float(np.sqrt((c * c).sum())))
+        for i, c in enumerate(cents)
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cell long, cent array<double>, ncent double"
+    )
+    with_cos = assigned.join(broadcast(cent_df), "cell").select(
+        "_id",
+        "_v",
+        "cell",
+        (
+            dot(F.col("_v"), F.col("cent")) / (F.col("_nv") * F.col("ncent"))
+        ).alias("cos_centroid"),
+    )
+
+    pairs = blocked_cosine_pairs(
+        assigned, "cell", "_id", "_v", threshold=eps, shards=shards
+    )
+    comps = connected_components(pairs, src="vec_a", dst="vec_b")
+
+    w = Window.partitionBy("component").orderBy(
+        F.asc("cos_centroid"), F.asc("_id")
+    )
+    return (
+        with_cos.join(
+            comps.select(F.col("node").alias("_id"), "comp"), "_id", "left"
+        )
+        .select(
+            "_id",
+            "cell",
+            F.coalesce("comp", F.col("_id")).alias("component"),
+            F.round("cos_centroid", 6).alias("cos_centroid"),
+        )
+        .withColumn(
+            "keep", F.row_number().over(w) == 1
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            "component",
+            "cos_centroid",
+            "keep",
+        )
+    )

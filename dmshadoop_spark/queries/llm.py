@@ -5165,3 +5165,36 @@ def x34_multimodal_pipeline(spark, sf_dir):
         F.countDistinct("k").alias("n_keys"),
         (F.count(F.lit(1)) - F.countDistinct("k")).alias("n_dups_removed"),
     )
+
+
+@query("x35_semdedup")  # iterative k-means training → rows-only
+def x35_semdedup(spark, sf_dir):
+    """SemDeDup — semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, exact intra-cluster
+    cosine pairs at eps, connected components, then keep ONE survivor per
+    semantic group — the member with the LOWEST cosine to its cluster
+    centroid (the paper's keep-the-informative-example rule). The missing
+    tier between exact/near-dup text dedup (X1/X2) and raw embedding
+    near-dup: it removes *semantic* redundancy that lexical hashes can't
+    see, at web scale, without an all-pairs similarity matrix.
+
+    Parameters here: k=8 cells, 4 Lloyd iterations (seeded deterministic
+    init — dedup/semdedup.py), eps=0.35 (the same operating point the
+    label-blocked x2_embedding_neardup pins), triangle shards=4.
+
+    100 TB plan: training state is k×dim on the driver; assignment is
+    scan-local; pair emission is blocked per cell and triangle-sharded
+    (no cross-cluster pairs, bounded collect rows); components run on
+    pair ids only; survivor pick is one window. Digest column pins the
+    full decision set for the rows-only driver check."""
+    from dmshadoop_spark.dedup import semdedup
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semdedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        k=8, n_iter=4, seed=7, eps=0.35, shards=4,
+    )
+    return with_sorted_digest(
+        out, "vec_id", "cell", "component", "cos_centroid", "keep"
+    )

@@ -2119,3 +2119,59 @@ def test_sq8_knn_matches_exact_on_separated_corpus(spark, sf_dir):
     assert len(exact) == 40  # 8 queries × top-5
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_semdedup_planted_groups(spark):
+    """SemDeDup on a planted corpus: two tight semantic groups plus a
+    singleton → each group collapses to one component, exactly one
+    survivor per group, and the survivor is the member with the LOWEST
+    cosine to its cluster centroid (the paper's rule)."""
+    from dmshadoop_spark.dedup import semdedup
+
+    rows = [
+        (0, [1.0, 0.02, 0.0, 0.0]),
+        (1, [1.0, 0.00, 0.0, 0.0]),
+        (2, [1.0, -0.02, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.01]),
+        (4, [0.0, 0.0, 1.0, -0.01]),
+        (5, [0.0, 1.0, 0.0, 0.0]),  # singleton, own component
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(df, k=3, n_iter=3, seed=7, eps=0.95, shards=2).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(out) == 6
+    # groups {0,1,2} and {3,4} each share a component; 5 keeps itself
+    assert len({by_id[i]["component"] for i in (0, 1, 2)}) == 1
+    assert len({by_id[i]["component"] for i in (3, 4)}) == 1
+    assert by_id[5]["component"] != by_id[0]["component"]
+    assert by_id[5]["keep"]
+    for grp in ((0, 1, 2), (3, 4)):
+        kept = [i for i in grp if by_id[i]["keep"]]
+        assert len(kept) == 1, grp
+        min_cos = min(by_id[i]["cos_centroid"] for i in grp)
+        assert by_id[kept[0]]["cos_centroid"] == min_cos
+
+
+def test_x35_semdedup_accounting_and_determinism(spark, sf_dir):
+    """One decision row per embedding, components never span cells,
+    exactly one survivor per component, and the digest is stable across
+    executions (the rows-only driver contract)."""
+    from dmshadoop_spark.queries.llm import x35_semdedup
+
+    out = x35_semdedup(spark, sf_dir)
+    rows = out.collect()
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_emb
+    comp_cells = {}
+    comp_keeps = {}
+    for r in rows:
+        comp_cells.setdefault(r["component"], set()).add(r["cell"])
+        comp_keeps[r["component"]] = comp_keeps.get(r["component"], 0) + bool(
+            r["keep"]
+        )
+    assert all(len(cells) == 1 for cells in comp_cells.values())
+    assert all(k == 1 for k in comp_keeps.values())
+    digests = {r["digest"] for r in rows}
+    assert len(digests) == 1 and None not in digests
+    rerun = {r["digest"] for r in x35_semdedup(spark, sf_dir).collect()}
+    assert rerun == digests

@@ -1,0 +1,197 @@
+"""Distributed logistic regression — the model-based quality-filter stage.
+
+Production LLM corpora are filtered by a lightweight linear classifier
+trained to separate seed-quality text from the raw crawl (the CCNet /
+GPT-3 "quality classifier" stage; fastText-style hashed bag-of-words).
+This module is that trainer, expressed as the bounded-driver-state Spark
+iteration shape the repo already uses for k-means (similarity/kmeans.py)
+and PageRank (operators/pagerank.py):
+
+  * FEATURES — one explode + two hash-partitioned groupBys build a dense
+    ``dim``-bucket hashed token-frequency vector per document, exactly
+    once; the matrix is localCheckpoint-ed and every training iteration
+    reuses it (no re-scan of text).
+  * ITERATE  — full-batch gradient descent. The margin is a per-row
+    zip_with/aggregate fold against the weight vector riding the plan as
+    literals (scan-local, whole-stage-friendly); the gradient is a
+    posexplode → groupBy(pos) partial-aggregated sum, so the exchange
+    carries ≤ dim × partitions rows per iteration regardless of corpus
+    size. Driver state is ``dim + 1`` doubles.
+  * DETERMINISM — gradient components are summed in DECIMAL(38, 18)
+    (exact, order-independent) and only cast back to double once per
+    iteration, so training produces bit-identical weights on any
+    partitioning / cluster size — same contract as the repo's money
+    aggregates. The per-element double→decimal cast rounds
+    deterministically; the fold order inside a row is fixed.
+
+No MLlib import: the trainer exists to keep the quality-filter tier
+inside the same determinism + plan-shape contracts as every other
+operator (and MLlib's LogisticRegression would be a black box to the
+digest gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dmshadoop_spark.functions.text import tokenize
+
+DECIMAL = "decimal(38,18)"
+
+
+def hashed_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """(id, x) with ``x`` a dense ``dim``-long array<double> of hashed
+    token RELATIVE frequencies (bucket = xxhash64(token) mod dim; each
+    count divided by the document's token count, so weights are
+    length-invariant)."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokenize(text_col).alias("_toks")
+    ).select("_id", F.size("_toks").alias("_n"), F.explode("_toks").alias("_t"))
+    counts = (
+        toks.withColumn(
+            "_b", F.pmod(F.xxhash64("_t"), F.lit(dim)).cast("int")
+        )
+        .groupBy("_id", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"), F.first("_n").alias("_n"))
+    )
+    dense = (
+        counts.groupBy("_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_b", (F.col("_c") / F.col("_n"))))
+            ).alias("_m")
+        )
+        .select(
+            "_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda b: F.coalesce(
+                    F.element_at(F.col("_m"), b.cast("int")), F.lit(0.0)
+                ),
+            ).alias("x"),
+        )
+    )
+    return dense.withColumnRenamed("_id", id_col)
+
+
+def standardize(
+    feat: DataFrame, x_col: str = "x", dim: int = 64
+) -> tuple[DataFrame, list[float], list[float]]:
+    """Z-score each feature bucket corpus-wide; returns (df, mu, sd).
+
+    Raw hashed frequencies are tiny and near-collinear (they sum to ~1
+    per row), which stalls first-order GD; standardization is the
+    standard conditioning fix and costs ONE posexplode → groupBy(pos)
+    exchange (≤ dim × partitions rows after partial agg). Moments are
+    summed in DECIMAL so mu/sd — and therefore training — are
+    bit-identical on any partitioning. Zero-variance buckets (a hash
+    bucket no token maps to) get sd=1 so they stay exactly zero."""
+    stats = (
+        feat.select(F.posexplode(x_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.col("v").cast(DECIMAL)).alias("s"),
+            F.sum((F.col("v") * F.col("v")).cast(DECIMAL)).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    mu = [0.0] * dim
+    sd = [1.0] * dim
+    for r in stats:
+        m = float(r["s"]) / r["n"]
+        var = float(r["sq"]) / r["n"] - m * m
+        mu[r["pos"]] = m
+        sd[r["pos"]] = var**0.5 if var > 0 else 1.0
+    mu_lit = F.array(*[F.lit(v) for v in mu])
+    sd_lit = F.array(*[F.lit(v) for v in sd])
+    out = feat.withColumn(
+        x_col,
+        F.zip_with(
+            F.zip_with(F.col(x_col), mu_lit, lambda xi, m: xi - m),
+            sd_lit,
+            lambda d, s: d / s,
+        ),
+    )
+    return out, mu, sd
+
+
+def _margin(x, weights: list[float], bias: float):
+    """bias + w·x as a sequential left fold (deterministic)."""
+    w_lit = F.array(*[F.lit(float(v)) for v in weights])
+    return F.lit(float(bias)) + F.aggregate(
+        F.zip_with(w_lit, x, lambda w, xi: w * xi),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_logreg(
+    feat: DataFrame,
+    label_col: str = "y",
+    x_col: str = "x",
+    dim: int = 64,
+    n_iter: int = 12,
+    lr: float = 4.0,
+) -> tuple[list[float], float]:
+    """Full-batch GD on the logistic loss; returns (weights, bias).
+
+    ``feat`` must be reusable (caller localCheckpoints once); each
+    iteration is one scan + one ≤ dim×partitions-row exchange."""
+    n = feat.count()
+    weights = [0.0] * dim
+    bias = 0.0
+    for _ in range(n_iter):
+        staged = feat.select(
+            F.col(x_col).alias("x"),
+            (
+                (
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-_margin(F.col(x_col), weights, bias)))
+                )
+                - F.col(label_col).cast("double")
+            ).alias("r"),
+        )
+        # One exchange per iteration: position dim is the bias gradient
+        # (the residual itself), positions 0..dim-1 the weight gradient.
+        grad_rows = (
+            staged.select(
+                F.posexplode(
+                    F.concat(
+                        F.transform(F.col("x"), lambda xi: F.col("r") * xi),
+                        F.array(F.col("r")),
+                    )
+                ).alias("pos", "g")
+            )
+            .groupBy("pos")
+            .agg(F.sum(F.col("g").cast(DECIMAL)).alias("g"))
+            .collect()
+        )
+        grad = [0.0] * (dim + 1)
+        for row in grad_rows:
+            grad[row["pos"]] = float(row["g"])
+        weights = [w - lr * g / n for w, g in zip(weights, grad[:dim])]
+        bias = bias - lr * grad[dim] / n
+    return weights, bias
+
+
+def score_logreg(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    x_col: str = "x",
+    out_col: str = "prob",
+) -> DataFrame:
+    """Append σ(bias + w·x) — a scan-local projection (broadcastable
+    weights as plan literals; no shuffle, no Python)."""
+    return df.withColumn(
+        out_col,
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-_margin(F.col(x_col), weights, bias))),
+    )

@@ -5198,3 +5198,65 @@ def x35_semdedup(spark, sf_dir):
     return with_sorted_digest(
         out, "vec_id", "cell", "component", "cos_centroid", "keep"
     )
+
+
+# Quality-classifier label threshold: stopword_ratio >= 0.06 splits the
+# synthetic corpus near 55/45 at every SF (the seed-label heuristic the
+# model distills). Deterministic — same integer-count division the
+# x3_quality_score oracle pins.
+QUALITY_LABEL_THRESHOLD = 0.06
+
+
+@query("x36_quality_classifier")  # iterative GD training → rows-only
+def x36_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering — the classifier stage of production
+    corpus pipelines (CCNet / GPT-3 style): distill the heuristic quality
+    signal into a hashed bag-of-words logistic regression, then score the
+    whole corpus with the trained weights. Seed labels here are the
+    repo's own stopword-ratio heuristic (x3_quality_score) thresholded at
+    0.06 — the classic weak-supervision bootstrap.
+
+    Training is operators/logreg.py: the feature matrix (64 hashed token
+    frequencies per doc) is built ONCE (one explode + two groupBys) and
+    localCheckpoint-ed after corpus-wide z-scoring (the conditioning fix
+    that makes first-order GD converge — raw frequencies are tiny and
+    near-collinear); each of the 12 full-batch GD iterations is one
+    scan-local margin fold + one ≤ 64×partitions-row gradient exchange
+    summed in DECIMAL (bit-identical weights on any partitioning, same
+    contract as the money aggregates). Driver state = 65 doubles.
+    Scoring is a scan-local projection with the weights as plan literals.
+
+    100 TB plan: no per-row Python anywhere, no all-to-all; training cost
+    is n_iter passes over a checkpointed projection of the corpus, the
+    same shape MLlib's own LinearSVC/LogisticRegression aggregate uses.
+    Rows-only (iterative training has no SQL oracle); the digest column
+    pins labels, probabilities (6 dp), and predictions."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+    from dmshadoop_spark.operators.logreg import (
+        hashed_features,
+        score_logreg,
+        standardize,
+        train_logreg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id",
+        (
+            stopword_ratio(tokenize("text")) >= QUALITY_LABEL_THRESHOLD
+        )
+        .cast("int")
+        .alias("y"),
+    )
+    raw = hashed_features(docs, dim=64).join(labels, "doc_id")
+    feat, _mu, _sd = standardize(raw, "x", dim=64)
+    feat = feat.localCheckpoint(eager=True)
+    weights, bias = train_logreg(feat, "y", "x", dim=64, n_iter=12, lr=4.0)
+    scored = score_logreg(feat, weights, bias)
+    out = scored.select(
+        "doc_id",
+        "y",
+        F.round("prob", 6).alias("prob"),
+        (F.col("prob") >= 0.5).cast("int").alias("pred"),
+    )
+    return with_sorted_digest(out, "doc_id", "y", "prob", "pred")

@@ -71,8 +71,9 @@ def load_all() -> None:
 # pipeline, digest-pinned rows-only; x5_knn_sq8 — 8-bit scalar-quantized
 # ADC scan, the X5 family's first fully value-hash-oracled quantized
 # variant; x35_semdedup — the SemDeDup semantic-dedup tier, rows-only
-# digest-pinned; the two displace the t9_bm25_topk and st8_interval_join
-# round-3 fillers) + 2 re-confirms
+# digest-pinned; x36_quality_classifier — distributed logistic-regression
+# quality filter, rows-only digest-pinned; the three displace the
+# t9_bm25_topk, st8_interval_join and s13_bucketed_join round-3 fillers) + 2 re-confirms
 # (x5_pq_recall
 # moved its IVF-PQ production point to nprobe=8/coarse_iters=4 →
 # recall@5 0.900 and a new digest; x24_extract_dispatch sits on the
@@ -92,6 +93,7 @@ PRIORITY: list[str] = [
     "x6_flac_roundtrip",
     "x5_knn_sq8",
     "x35_semdedup",
+    "x36_quality_classifier",
     "x6_webp_roundtrip",
     "x6_awebp_frames",
     "x24b_extract_dispatch_wide",
@@ -142,7 +144,6 @@ PRIORITY: list[str] = [
     "j6b_binned_range_join",
     "j9_salted_skew_join",
     "s12_partitioned_sink",
-    "s13_bucketed_join",
     # (x13_pagerank and x9_decontaminate were the 49th/50th fillers
     # until the mid-round x6_webp_roundtrip / x6_awebp_frames
     # registrations displaced them — they stay on their round-3 greens

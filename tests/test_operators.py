@@ -1089,3 +1089,44 @@ def test_real_flag_surface_matches_readme():
         f"README real-flag table out of sync: documented={documented}, "
         f"live={set(flagged)}"
     )
+
+
+def test_logreg_standardize_moments_and_guard(spark):
+    """standardize() z-scores every bucket (decimal-exact moments) and
+    leaves all-zero buckets at exactly zero via the sd=1 guard."""
+    from pyspark.sql import functions as F
+
+    from dmshadoop_spark.operators.logreg import standardize
+
+    rows = [(0, [1.0, 0.0, 2.0]), (1, [3.0, 0.0, 2.0]), (2, [5.0, 0.0, 5.0])]
+    df = spark.createDataFrame(rows, "doc_id long, x array<double>")
+    out, mu, sd = standardize(df, "x", dim=3)
+    assert mu == [3.0, 0.0, 3.0]
+    assert sd[1] == 1.0  # zero-variance guard
+    got = {r["doc_id"]: r["x"] for r in out.collect()}
+    assert got[1][0] == 0.0  # (3-3)/sd
+    assert all(got[i][1] == 0.0 for i in (0, 1, 2))
+    col = [got[i][2] for i in (0, 1, 2)]
+    assert abs(sum(col)) < 1e-12  # centered
+    assert abs(sum(v * v for v in col) / 3 - 1.0) < 1e-12  # unit variance
+
+
+def test_quality_classifier_learns_and_is_deterministic(spark, sf_dir):
+    """x36 distills the stopword-ratio heuristic well above the base rate
+    (the classifier actually learns), emits one row per document, and the
+    digest is constant and stable across executions."""
+    from dmshadoop_spark.queries.llm import x36_quality_classifier
+
+    rows = x36_quality_classifier(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    acc = sum(1 for r in rows if r["pred"] == r["y"]) / len(rows)
+    pos = sum(r["y"] for r in rows) / len(rows)
+    base = max(pos, 1 - pos)
+    assert acc >= 0.9, (acc, base)
+    assert acc >= base + 0.2, (acc, base)
+    assert all(0.0 <= r["prob"] <= 1.0 for r in rows)
+    digests = {r["digest"] for r in rows}
+    assert len(digests) == 1 and None not in digests
+    rerun = {r["digest"] for r in x36_quality_classifier(spark, sf_dir).collect()}
+    assert rerun == digests

@@ -53,6 +53,14 @@ HEADLINE = [
     # subtotal like the round-5 pair).
     "x32_audio_neardup",       # WAV mux→demux→energy hash→banded pairs
     "x33_video_neardup",       # MKV mux→demux→PNG decode→dHash→Jaccard
+    # Round-7 addition: the SQ8 compressed ANN scan (JVM-only, one pass,
+    # excluded from the comparable subtotal like the other late adds).
+    # The two iterative trainers added the same round (x35_semdedup,
+    # x36_quality_classifier) are deliberately NOT here: their wall time
+    # is driver-synchronized iteration rounds (Lloyd / GD), a job-count
+    # constant that would dominate the bench loop while measuring
+    # scheduler latency, not plan cost — pytest pins their runtime paths.
+    "x5_knn_sq8",              # 8-bit quantized ADC scan + exact top-k
 ]
 
 
@@ -126,6 +134,7 @@ def main() -> None:
     later_added = {
         "x24_extract_dispatch", "x28_image_neardup",
         "x32_audio_neardup", "x33_video_neardup",
+        "x5_knn_sq8",
     }
     shared = round(
         sum(t for n, t in timings.items() if n not in later_added), 4

@@ -557,7 +557,14 @@ def _reconstruct(comps, qt, width, height) -> np.ndarray:
         nat[:, ZIGZAG] = z  # zigzag position k holds natural index ZIGZAG[k]
         nat *= qt[c.tq][np.newaxis, :]  # quant table is natural-ordered
         blocks = nat.reshape(-1, 8, 8).astype(np.float64)
-        pix = np.einsum("ki,nkl,lj->nij", _C, blocks, _C, optimize=True) + 128.0
+        # optimize=False is load-bearing: the optimized path routes the
+        # contraction through BLAS GEMM, whose float summation order can
+        # change with the runtime thread count — last-bit IDCT drift flips
+        # round-boundary pixels and made the x6_jpeg_roundtrip digest
+        # bistable across sessions (pinned twice to two different values
+        # before this was diagnosed). Non-optimized einsum uses numpy's
+        # own fixed-order loop: bit-identical everywhere.
+        pix = np.einsum("ki,nkl,lj->nij", _C, blocks, _C, optimize=False) + 128.0
         pix = pix.reshape(c.by, c.bx, 8, 8).transpose(0, 2, 1, 3).reshape(
             c.by * 8, c.bx * 8
         )
@@ -681,7 +688,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
             .reshape(-1, 8, 8)
             - 128.0
         )
-        f = np.einsum("ik,nkl,jl->nij", _C, blocks, _C, optimize=True)
+        # optimize=False for determinism — see the IDCT note in _decode.
+        f = np.einsum("ik,nkl,jl->nij", _C, blocks, _C, optimize=False)
         q = qts[min(ci, 1)].reshape(8, 8)
         # natural→zigzag: zigzag slot k holds the natural coef ZIGZAG[k]
         qz = np.round(f / q).astype(np.int32).reshape(-1, 64)

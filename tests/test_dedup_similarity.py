@@ -739,16 +739,19 @@ def test_rows_only_digests_pinned(spark, sf_dir):
         "x5_pq_recall": -560500697451377177,
         # codec round-trips: pixel pipelines are code-deterministic
         "x6_png_roundtrip": 4499583823149318019,
-        # Round-7 re-pin: the old value (3267694135184578302, claimed
-        # "unchanged since 7aa9f65") was found stale at round-7 start —
-        # the round-6 SNAPSHOT code (403fae0) already produced the value
-        # below, identically to HEAD, in two different session shapes,
-        # so the constant below is the true output of the current
-        # nearest+JPEG pipeline and the old pin had simply missed a
-        # re-measure after a round-5/6 JPEG-path change. All 12 other
-        # pins in this test re-verified EXACT at the same time
-        # (/tmp/alldigests sweep, round 7).
-        "x6_jpeg_roundtrip": -662191405487011748,
+        # Root cause of the round-5/round-7 pin flip-flopping
+        # (3267694135184578302 vs -662191405487011748, each measured
+        # "stably" in different sessions): the JPEG DCT/IDCT einsums ran
+        # with optimize=True, which routes through BLAS GEMM — float
+        # summation order there varies with the runtime thread
+        # environment, and the last-bit IDCT drift flipped
+        # round-boundary pixels. The digest was genuinely BISTABLE, not
+        # stale. Fixed by optimize=False (numpy's own fixed-order loop,
+        # jpeg.py); the value below is the post-fix constant, verified
+        # invariant under OMP_NUM_THREADS=1/16 and
+        # OPENBLAS_NUM_THREADS=2 and across local[8]/local[32] +
+        # PYTHONHASHSEED 0/1/42 (tools/jpeg_digest_probe.py).
+        "x6_jpeg_roundtrip": 1971529834772818291,
         "x21_dedup_incremental": -1740497008895729337,
         # image near-dup over sha256-pattern synth images (doc_id-pure):
         # exactly the 180 within-group variant pairs, hamming ≤ 3

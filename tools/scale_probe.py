@@ -35,13 +35,18 @@ registry.load_all()
 
 BOUNDED = {"x24_extract_dispatch", "x28_image_neardup",
            "x32_audio_neardup", "x33_video_neardup"}
+# The round-7 iterative trainers are not bench headliners (their wall
+# time is driver-synchronized iteration rounds), but their scaling
+# exponents ARE the interesting question — fixed iteration counts should
+# make both strongly sublinear in SF.
+EXTRA = ["x35_semdedup", "x36_quality_classifier"]
 N_PASSES = 3
 
 
 def main(sf_dirs: list[str]) -> None:
     import bench
 
-    names = [n for n in bench.HEADLINE if n not in BOUNDED]
+    names = [n for n in bench.HEADLINE if n not in BOUNDED] + EXTRA
     spark = get_spark(app_name="dmshadoop-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -10,7 +10,7 @@ physical strategies picked by centroid count (round-3 VERDICT item 2).
   expression tree, and Catalyst plan size / codegen explode long before
   the data does. Instead the (k, dim) float64 matrix ships ONCE per
   executor as a SparkContext broadcast, and an Arrow-batched pandas_udf
-  computes all row→centroid distances with one BLAS matmul
+  computes all row→centroid distances with one fixed-order einsum
   (``d² = ‖x‖² − 2·X·Cᵀ + ‖c‖²``) — O(1) plan size, vectorized math,
   and the only Python-boundary traffic is the vector column itself.
 
@@ -65,7 +65,13 @@ def _dist_chunks(
         x = np.array(
             vecs.iloc[lo : lo + step].tolist(), dtype=np.float64
         )  # (rows, dim)
-        d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cents.T) + c_sq[None, :]
+        # einsum optimize=False instead of `x @ cents.T`: BLAS GEMM's
+        # float summation order follows the runtime thread count, and a
+        # last-bit distance drift can flip a boundary argmin — the same
+        # bistability class as the round-7 JPEG einsum fix. numpy's own
+        # fixed-order loop is bit-identical in every environment.
+        xc = np.einsum("nd,kd->nk", x, cents, optimize=False)
+        d2 = (x * x).sum(axis=1)[:, None] - 2.0 * xc + c_sq[None, :]
         yield lo, d2
 
 

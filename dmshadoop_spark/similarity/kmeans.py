@@ -57,15 +57,23 @@ def kmeans_centroids(
 
     for _ in range(n_iter):
         staged = with_nearest_cell(vecs.select("_v"), "_v", cents)
+        # DECIMAL sum: double addition is order-dependent, so a plain
+        # F.sum would make centroids (and every digest downstream of
+        # them) depend on partitioning — the same bug class as the JPEG
+        # einsum bistability fixed in round 7. DECIMAL(38,18) is exact
+        # and order-independent; cast back once per component.
         sums = (
             staged.select("cell", F.posexplode("_v").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         new_cents = cents.copy()  # empty cells keep their old centroid
         for row in sums:
-            new_cents[row["cell"] - 1, row["pos"]] = row["s"] / row["n"]
+            new_cents[row["cell"] - 1, row["pos"]] = float(row["s"]) / row["n"]
         if np.array_equal(new_cents, cents):
             break
         cents = new_cents

@@ -208,7 +208,7 @@ def ivf_knn(
     recall. The assignment stage (argmin over centroid distances, per-row
     constant work) is delegated to similarity/assign.py, which embeds the
     centroids as plan literals only up to LITERAL_MAX_CENTROIDS and
-    switches to a broadcast-numpy pandas_udf (one BLAS matmul per Arrow
+    switches to a broadcast-numpy pandas_udf (one fixed-order einsum per Arrow
     batch) above it — a production cell count must not build an O(k·dim)
     Catalyst expression tree (round-3 VERDICT). Expected candidates per
     query: |corpus| * nprobe / n_centroids; the cell id is the only join

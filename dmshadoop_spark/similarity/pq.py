@@ -98,8 +98,9 @@ def train_pq_codebooks(
 def _encode_udf(spark: SparkSession, codebooks: np.ndarray):
     """pandas_udf: vector → array<int> of per-subspace nearest-centroid
     ids. Codebooks ship once per executor as a broadcast; per Arrow batch
-    each subspace is one BLAS distance computation + argmin (ties →
-    first occurrence, matching assign.py's convention)."""
+    each subspace is one fixed-order einsum distance computation + argmin
+    (ties → first occurrence, matching assign.py's convention;
+    deliberately BLAS-free so codes are thread-environment-invariant)."""
     bc = spark.sparkContext.broadcast(codebooks)
 
     @F.pandas_udf("array<int>")
@@ -116,7 +117,11 @@ def _encode_udf(spark: SparkSession, codebooks: np.ndarray):
                 sub = X[:, j * dsub : (j + 1) * dsub]
                 # ‖x−c‖² = ‖x‖² − 2xCᵀ + ‖c‖²; ‖x‖² constant per row →
                 # argmin over (−2xCᵀ + ‖c‖²)
-                d = -2.0 * sub @ books[j].T + (books[j] ** 2).sum(axis=1)
+                # einsum optimize=False: BLAS-free fixed-order contraction
+                # (thread-invariant argmin — see assign._dist_chunks note)
+                d = -2.0 * np.einsum(
+                    "nd,kd->nk", sub, books[j], optimize=False
+                ) + (books[j] ** 2).sum(axis=1)
                 codes[:, j] = np.argmin(d, axis=1)
             yield pd.Series(list(codes))
 
@@ -140,7 +145,9 @@ def _lut_udf(spark: SparkSession, codebooks: np.ndarray):
             out = np.empty((Q.shape[0], m * ksub), dtype=np.float64)
             for j in range(m):
                 sub = Q[:, j * dsub : (j + 1) * dsub]
-                out[:, j * ksub : (j + 1) * ksub] = sub @ books[j].T
+                out[:, j * ksub : (j + 1) * ksub] = np.einsum(
+                    "nd,kd->nk", sub, books[j], optimize=False
+                )
             yield pd.Series(list(out))
 
     return lut

@@ -36,7 +36,17 @@ def connected_components(
     ``component`` is the minimum node id in the node's connected component
     — deterministic, no RNG. Nodes must be integral and non-null."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # localCheckpoint is load-bearing (round-7 sf1 probe finding): every
+    # propagation round joins against ``und``, and without the checkpoint
+    # each round RE-EXECUTES the caller's whole edge-generating plan —
+    # for x35_semdedup that was the 24-second pair-emission subtree,
+    # re-run ~10 times. The edge set itself is the bounded candidate
+    # output (same size contract as ``labels`` below).
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()

@@ -8,7 +8,7 @@ content (not just cardinality) flips the digest, and the local test pins
 its value, so a silent semantic drift can't hide behind a stable count.
 
 Scale note: the digest is a global window aggregate, which funnels the
-whole result through ONE partition — only sane because every rows-only
+whole result through ONE partition — tolerable because every rows-only
 result here is small-and-bounded by construction (top-k per query, capped
 candidate pairs). Don't attach it to unbounded outputs.
 """
@@ -20,11 +20,14 @@ from pyspark.sql import functions as F
 
 
 def with_sorted_digest(df: DataFrame, *cols: str) -> DataFrame:
-    """Append a constant BIGINT ``digest`` column over the sorted rows.
+    """Append a constant BIGINT ``digest`` column over all rows.
 
-    digest = xxhash64(",".join(sorted("|".join(str(c) for c in cols) per
-    row))) — row-order-insensitive, engine-reproducible (Spark's xxhash64
-    with the default seed), and sensitive to every listed column value.
+    digest = xxhash64(n_rows, Σ xxhash64("|".join(cols) per row)) — the
+    per-row key hashes combine by SUM in DECIMAL(38,0) (commutative →
+    row-order-insensitive; decimal because a bigint sum of ~2⁶³-scale
+    hashes overflows, which ANSI mode turns into a runtime error),
+    bound to the cardinality so drop-one-add-one-colliding edits can't
+    slip through on count alone.
 
     Implemented as ONE global window aggregate (empty partitionBy → whole
     result in a single window frame): the upstream plan executes exactly
@@ -36,13 +39,21 @@ def with_sorted_digest(df: DataFrame, *cols: str) -> DataFrame:
     replaced every rows-only query's distributed plan with Scan
     ExistingRDD and broke the plan-shape pins; this form keeps the real
     plan underneath.
-    """
+
+    HISTORY (round-7 scale probe finding): the original form collected the
+    sorted keys into an array and hashed the concatenation — but the
+    array_sort/concat_ws/xxhash64 PROJECTION around the shared window
+    aggregate is evaluated PER ROW, making the digest O(n²) in result
+    size. Invisible at the 500-row test SFs, it turned a 25-second
+    pipeline into a 17-minute one at sf1 (50k rows: 50k × sort-50k). The
+    sum-combine form is O(n), still one window, same execution shape; all
+    pinned digest constants were re-measured when it landed."""
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    w = Window.partitionBy()
     return df.withColumn(
         "digest",
         F.xxhash64(
-            F.concat_ws(
-                ",", F.array_sort(F.collect_list(key).over(Window.partitionBy()))
-            )
+            F.count(F.lit(1)).over(w).cast("string"),
+            F.sum(F.xxhash64(key).cast("decimal(38,0)")).over(w).cast("string"),
         ),
     )

@@ -718,27 +718,31 @@ def test_rows_only_digests_pinned(spark, sf_dir):
     from dmshadoop_spark.queries import aggregates, sinks
 
     pinned = {
-        "x2_minhash_lsh": -5608828265433481236,
+        "x2_minhash_lsh": 2083206873416195897,
         # re-pinned after the round-4 ADVICE hamming chunk-0 sign fix
         # (negative fingerprints now land in the correct bucket, so the
         # candidate set gained the sign-bit-differing pairs)
-        "x2_simhash": -4080970347875792729,
-        "x5_knn_lsh": -3244470119333894329,
-        "x5_knn_ivf": 1923241679858020679,
-        "x5_knn_ivf_trained": 7893893270427542256,
+        "x2_simhash": -8610181784620193394,
+        "x5_knn_lsh": 4804362156901170283,
+        "x5_knn_ivf": -5596109159452825782,
+        "x5_knn_ivf_trained": 6724519589122517787,
         # PQ ADC + exact rerank: codebook training, encode argmin, and
         # the top-k tie-breaks are all deterministic (similarity/pq.py)
-        "x5_knn_pq": -5576533855552935802,
+        "x5_knn_pq": 5931845717099081526,
         # IVF-PQ: coarse cells + residual codebooks, q·c + ADC scoring
-        "x5_knn_ivfpq": 5708955910526947130,
+        "x5_knn_ivfpq": -4135324786616133961,
         # PQ-family recall measurement: pins exact + flat/IVF-PQ sets at
         # BOTH codebook widths (measured at this pin, m=8: nbits=4 →
         # recall@5 0.675 flat / 0.55 IVF-PQ at nprobe 4; nbits=8 → 1.0
         # flat / 0.900 IVF-PQ at nprobe 8 + coarse_iters 4 — the
         # round-7 production point; sweep in the x5_pq_recall docstring)
-        "x5_pq_recall": -560500697451377177,
+        "x5_pq_recall": -2865283919071571785,
+        # ALL values below re-pinned once when with_sorted_digest moved
+        # to the O(n) count+hash-sum form (round-7 sf1 probe finding:
+        # the sorted-concat digest projection was O(n^2) per row) —
+        # same row CONTENT everywhere, new combine formula.
         # codec round-trips: pixel pipelines are code-deterministic
-        "x6_png_roundtrip": 4499583823149318019,
+        "x6_png_roundtrip": -4562751537855592833,
         # Root cause of the round-5/round-7 pin flip-flopping
         # (3267694135184578302 vs -662191405487011748, each measured
         # "stably" in different sessions): the JPEG DCT/IDCT einsums ran
@@ -751,11 +755,11 @@ def test_rows_only_digests_pinned(spark, sf_dir):
         # invariant under OMP_NUM_THREADS=1/16 and
         # OPENBLAS_NUM_THREADS=2 and across local[8]/local[32] +
         # PYTHONHASHSEED 0/1/42 (tools/jpeg_digest_probe.py).
-        "x6_jpeg_roundtrip": 1971529834772818291,
-        "x21_dedup_incremental": -1740497008895729337,
+        "x6_jpeg_roundtrip": 1307330621453647865,
+        "x21_dedup_incremental": 1288495461455244227,
         # image near-dup over sha256-pattern synth images (doc_id-pure):
         # exactly the 180 within-group variant pairs, hamming ≤ 3
-        "x28_image_neardup": 1764595038801892515,
+        "x28_image_neardup": -7221257309697734856,
     }
     at_default_sf = sf_dir.rstrip("/").endswith("sf0.001")
     for name, want in pinned.items():

@@ -1060,7 +1060,7 @@ def test_mjpeg_features_bounded_error_and_digest(spark, sf_dir):
         assert abs(r["mean_r"] - gt[0]) < 1.0
         assert abs(r["mean_g"] - gt[1]) < 1.0
         assert abs(r["mean_b"] - gt[2]) < 1.0
-    assert rows[0]["digest"] == 7695382237397325916
+    assert rows[0]["digest"] == 2275623977220758253
 
 
 def test_real_flag_surface_matches_readme():

@@ -457,3 +457,60 @@ def test_video_neardup_single_decode_pass(spark, sf_dir):
     # single-execution property as a bound, not an exact render count:
     # the rejected join-back form planned the chain twice (12 renders).
     assert 0 < p.count("MapInPandas") <= 2 * 3
+
+
+def test_digest_is_o_n_in_plan(spark):
+    """with_sorted_digest must stay O(n): the round-7 sf1 probe caught the
+    sorted-concat form re-evaluating array_sort(collect_list(...)) PER ROW
+    around the shared global window (O(n²) — 1075s at 50k rows). The O(n)
+    combine keeps xxhash64 + a decimal SUM inside the window aggregate and
+    no per-row sort of collected state anywhere in the plan."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    out = with_sorted_digest(df, "id", "v")
+    p = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "xxhash64" in p
+    assert "sort_array" not in p and "array_sort" not in p
+    assert "collect_list" not in p
+    # still the single-execution global-window form (no cache, no collect)
+    assert "Window" in p
+    # two runs agree and the digest reflects content
+    a = {r["digest"] for r in out.collect()}
+    b = {
+        r["digest"]
+        for r in with_sorted_digest(
+            spark.range(10).selectExpr("id", "id * 2 AS v"), "id", "v"
+        ).collect()
+    }
+    c = {
+        r["digest"]
+        for r in with_sorted_digest(
+            spark.range(10).selectExpr("id", "id * 3 AS v"), "id", "v"
+        ).collect()
+    }
+    assert len(a) == 1 and a == b and a != c
+
+
+def test_components_checkpoint_edges_once(spark):
+    """connected_components must not re-execute the caller's edge plan per
+    propagation round (round-7 sf1 probe: x35's 24s pair subtree re-ran
+    ~10×). The checkpoint turns the edge source into an ExistingRDD scan,
+    so the ORIGINAL edge-generating plan must be absent from the result's
+    physical plan."""
+    from dmshadoop_spark.dedup.components import connected_components
+
+    edges = spark.range(100).selectExpr(
+        "id AS src", "CASE WHEN id % 10 = 0 THEN id + 1 ELSE id - 1 END AS dst"
+    )
+    comps = connected_components(edges, "src", "dst")
+    p = spark._jvm.PythonSQLUtils.explainString(
+        comps._jdf.queryExecution(), "formatted"
+    )
+    assert "Scan ExistingRDD" in p  # checkpointed labels AND edges
+    assert "Range (0, 100" not in p  # the edge-generating plan is gone
+    # semantics unchanged: chain pairs collapse to min-label components
+    rows = {r["node"]: r["comp"] for r in comps.collect()}
+    assert rows[1] == 0 and rows[11] == 10

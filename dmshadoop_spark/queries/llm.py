@@ -5260,3 +5260,76 @@ def x36_quality_classifier(spark, sf_dir):
         (F.col("prob") >= 0.5).cast("int").alias("pred"),
     )
     return with_sorted_digest(out, "doc_id", "y", "prob", "pred")
+
+
+# x37 JL projection geometry: 64 -> 16 dims, sign matrix derived from
+# md5 (a public, engine-independent function both Spark-side Python and
+# DuckDB compute identically), scale 1/sqrt(16) = 0.25 (exact binary).
+JL_D_IN, JL_D_OUT = 64, 16
+
+
+def _jl_sign(i: int, k: int) -> float:
+    """±1 from the parity of the first hex digit of md5('jl:i:k') —
+    THE formula; the DuckDB oracle re-derives it with its own md5()."""
+    h = hashlib.md5(f"jl:{i}:{k}".encode()).hexdigest()
+    return 1.0 if "0123456789abcdef".index(h[0]) % 2 == 0 else -1.0
+
+
+def _jl_oracle() -> str:
+    sign = (
+        "CASE WHEN strpos('0123456789abcdef', "
+        "substr(md5('jl:' || CAST(i - 1 AS VARCHAR) || ':' "
+        "|| CAST(k.k AS VARCHAR)), 1, 1)) % 2 = 1 "
+        "THEN 1.0 ELSE -1.0 END"
+    )
+    return f"""
+    WITH k AS (SELECT unnest(range({JL_D_OUT})) AS k),
+    proj AS (
+        SELECT e.vec_id, k.k AS dim_k,
+               list_reduce(list_prepend(0.0, list_transform(
+                   range(1, {JL_D_IN} + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * ({sign})
+               )), (a, b) -> a + b) * 0.25 AS proj
+        FROM embeddings e CROSS JOIN k
+    )
+    SELECT vec_id, dim_k, proj FROM proj
+    """
+
+
+@query("x37_jl_projection", oracle=_jl_oracle())
+def x37_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sign projection — embedding dimensionality
+    reduction for ANN pre-filtering (64 → 16 dims, distance-preserving in
+    expectation per the JL lemma; the ±1 'database-friendly' variant of
+    Achlioptas 2003). The projection matrix derives from md5, so the
+    DuckDB oracle re-derives every entry independently and replays the
+    exact left-fold arithmetic — a FULL value oracle for a random
+    projection, with no seed-synchronization hand-waving (the same trick
+    the md5-nibble split/sample queries use).
+
+    100 TB plan: the matrix is 64×16 plan literals, the projection is a
+    scan-local fold per output dim — zero shuffles, no Python, no driver
+    state; downstream ANN then scans 4× fewer dimensions. Output is one
+    row per (vector, output dim) so the hash gate checks every
+    coordinate."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cols = []
+    for k in range(JL_D_OUT):
+        signs = F.array(
+            *[F.lit(_jl_sign(i, k)) for i in range(JL_D_IN)]
+        )
+        proj = (
+            F.aggregate(
+                F.zip_with(F.col("v"), signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(0.25)
+        )
+        cols.append(proj.alias(f"_p{k}"))
+    wide = emb.select("vec_id", F.array(*cols).alias("_ps"))
+    return wide.select(
+        "vec_id", F.posexplode("_ps").alias("dim_k", "proj")
+    ).select("vec_id", F.col("dim_k").cast("long").alias("dim_k"), "proj")

@@ -72,8 +72,11 @@ def load_all() -> None:
 # ADC scan, the X5 family's first fully value-hash-oracled quantized
 # variant; x35_semdedup — the SemDeDup semantic-dedup tier, rows-only
 # digest-pinned; x36_quality_classifier — distributed logistic-regression
-# quality filter, rows-only digest-pinned; the three displace the
-# t9_bm25_topk, st8_interval_join and s13_bucketed_join round-3 fillers) + 2 re-confirms
+# quality filter, rows-only digest-pinned; x37_jl_projection —
+# Johnson-Lindenstrauss sign projection under a FULL value oracle (the
+# md5-derived matrix is re-derivable by DuckDB); the four displace the
+# t9_bm25_topk, st8_interval_join, s13_bucketed_join and a10_percentile
+# round-3 fillers) + 2 re-confirms
 # (x5_pq_recall
 # moved its IVF-PQ production point to nprobe=8/coarse_iters=4 →
 # recall@5 0.900 and a new digest; x24_extract_dispatch sits on the
@@ -94,6 +97,7 @@ PRIORITY: list[str] = [
     "x5_knn_sq8",
     "x35_semdedup",
     "x36_quality_classifier",
+    "x37_jl_projection",
     "x6_webp_roundtrip",
     "x6_awebp_frames",
     "x24b_extract_dispatch_wide",
@@ -140,7 +144,6 @@ PRIORITY: list[str] = [
     # oldest round-3 rows, diverse families, to fill the window to 50
     "a8_cube",
     "a8b_grouping_sets",
-    "a10_percentile",
     "j6b_binned_range_join",
     "j9_salted_skew_join",
     "s12_partitioned_sink",

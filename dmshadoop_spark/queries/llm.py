@@ -5333,3 +5333,96 @@ def x37_jl_projection(spark, sf_dir):
     return wide.select(
         "vec_id", F.posexplode("_ps").alias("dim_k", "proj")
     ).select("vec_id", F.col("dim_k").cast("long").alias("dim_k"), "proj")
+
+
+@query(
+    "x38_bigram_lm_score",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    v AS (SELECT count(DISTINCT tk) AS v
+          FROM (SELECT unnest(t) AS tk FROM tok)),
+    bg AS (SELECT doc_id, i, t[i] AS w1, t[i + 1] AS w2
+           FROM tok, unnest(range(1, len(t))) AS r(i)),
+    bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    uc AS (SELECT w1, count(*) AS u FROM bg GROUP BY 1),
+    p AS (SELECT bg.doc_id, bg.i,
+                 (CAST(bc.c AS DOUBLE) + 1.0)
+                 / (CAST(uc.u AS DOUBLE) + CAST(v.v AS DOUBLE)) AS pr
+          FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v),
+    s AS (SELECT doc_id, list(pr ORDER BY i) AS ps FROM p GROUP BY doc_id)
+    SELECT tok.doc_id,
+           CAST(greatest(len(tok.t) - 1, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN len(tok.t) >= 2 THEN
+               list_reduce(list_prepend(0.0, s.ps), (a, b) -> a + b)
+               / CAST(len(tok.t) - 1 AS DOUBLE)
+           END AS lm_score
+    FROM tok LEFT JOIN s USING (doc_id)
+    """,
+)
+def x38_bigram_lm_score(spark, sf_dir):
+    """Statistical language-model quality scoring — the KenLM-style stage
+    of production corpus pipelines (CCNet scores every paragraph with an
+    n-gram LM; Dolma/Gopher keep it as a core quality signal). A bigram
+    model with add-one smoothing is trained on the corpus itself, then
+    every document gets its mean bigram probability
+    mean_i (C(w_i, w_{i+1}) + 1) / (C(w_i, ·) + V).
+
+    Deliberately LOG-FREE: libm log() is not correctly-rounded and
+    differs across engines, which would poison the value hash; mean
+    smoothed probability is the same signal through a monotone-free
+    transform and every op here is exact-integer counts + IEEE division
+    + a position-ordered left fold — bit-identical in DuckDB, so a
+    TRAINED statistical model sits under a FULL value oracle.
+
+    Plan: two count aggregations (bigram, unigram-as-left-context — both
+    vocab-bounded), one distinct-count for V, then scoring is a
+    SCAN-LOCAL fold per document with the probability table riding as a
+    plan-literal map (this corpus: 31-word vocab → ≤961 entries). At
+    open-vocab 100 TB scale the literal map becomes a broadcast join on
+    the bigram key + a DECIMAL sum — same semantics, documented trade."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize("text").alias("t")
+    ).withColumn("n", F.size("t"))
+    bigram = lambda t, i: F.struct(  # noqa: E731
+        F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+    )
+    bgs = F.when(
+        F.col("n") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 1),
+            lambda i: bigram(F.col("t"), i.cast("int")),
+        ),
+    ).otherwise(F.array())
+    exploded = toks.select("doc_id", F.explode(bgs).alias("b"))
+    bc = {
+        (r["w1"], r["w2"]): r["c"]
+        for r in exploded.groupBy("b.w1", "b.w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    uc: dict[str, int] = {}
+    for (w1, _w2), c in bc.items():
+        uc[w1] = uc.get(w1, 0) + c
+    vocab = (
+        toks.select(F.explode("t").alias("tk")).select("tk").distinct().count()
+    )
+    # Probabilities precomputed in Python: (c+1)/(u+V) is one IEEE double
+    # division — identical to the oracle's. Keys are 'w1|w2'.
+    pmap_items = []
+    for (w1, w2), c in sorted(bc.items()):
+        pmap_items.append(F.lit(f"{w1}|{w2}"))
+        pmap_items.append(F.lit((c + 1.0) / (uc[w1] + float(vocab))))
+    pmap = F.create_map(*pmap_items)
+    probs = F.transform(
+        bgs, lambda b: F.element_at(pmap, F.concat_ws("|", b["w1"], b["w2"]))
+    )
+    return toks.select(
+        "doc_id",
+        F.greatest(F.col("n") - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+        F.when(
+            F.col("n") >= 2,
+            F.aggregate(probs, F.lit(0.0), lambda acc, x: acc + x)
+            / (F.col("n") - 1).cast("double"),
+        ).alias("lm_score"),
+    )

@@ -74,9 +74,11 @@ def load_all() -> None:
 # digest-pinned; x36_quality_classifier — distributed logistic-regression
 # quality filter, rows-only digest-pinned; x37_jl_projection —
 # Johnson-Lindenstrauss sign projection under a FULL value oracle (the
-# md5-derived matrix is re-derivable by DuckDB); the four displace the
-# t9_bm25_topk, st8_interval_join, s13_bucketed_join and a10_percentile
-# round-3 fillers) + 2 re-confirms
+# md5-derived matrix is re-derivable by DuckDB; x38_bigram_lm_score —
+# add-one-smoothed bigram LM quality scoring, log-free so the trained
+# model sits under a FULL value oracle); the five displace the
+# t9_bm25_topk, st8_interval_join, s13_bucketed_join, a10_percentile
+# and a8b_grouping_sets round-3 fillers) + 2 re-confirms
 # (x5_pq_recall
 # moved its IVF-PQ production point to nprobe=8/coarse_iters=4 →
 # recall@5 0.900 and a new digest; x24_extract_dispatch sits on the
@@ -98,6 +100,7 @@ PRIORITY: list[str] = [
     "x35_semdedup",
     "x36_quality_classifier",
     "x37_jl_projection",
+    "x38_bigram_lm_score",
     "x6_webp_roundtrip",
     "x6_awebp_frames",
     "x24b_extract_dispatch_wide",
@@ -143,7 +146,6 @@ PRIORITY: list[str] = [
     "x7_training_pipeline",
     # oldest round-3 rows, diverse families, to fill the window to 50
     "a8_cube",
-    "a8b_grouping_sets",
     "j6b_binned_range_join",
     "j9_salted_skew_join",
     "s12_partitioned_sink",

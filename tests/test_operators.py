@@ -1130,3 +1130,31 @@ def test_quality_classifier_learns_and_is_deterministic(spark, sf_dir):
     assert len(digests) == 1 and None not in digests
     rerun = {r["digest"] for r in x36_quality_classifier(spark, sf_dir).collect()}
     assert rerun == digests
+
+
+def test_bigram_lm_join_path_matches_literal(spark, sf_dir, monkeypatch):
+    """x38 path equivalence (round-7 verdict tasks 1+8): forcing the
+    open-vocab equi-join scoring path (threshold 0) yields BIT-identical
+    rows to the literal-map path, at two shuffle-partition counts — the
+    same invariance discipline as x21's delta-fold ≡ rebuild pin. Float
+    equality here is deliberate: the position-ordered fold must replay
+    the identical double-addition sequence on any partitioning."""
+    from dmshadoop_spark.queries import llm
+
+    lit = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in llm.x38_bigram_lm_score(spark, sf_dir).collect()
+    }
+    assert len(lit) > 0 and any(v[1] is not None for v in lit.values())
+    monkeypatch.setattr(llm, "X38_LITERAL_MAX_BIGRAMS", 0)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            joined = {
+                r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+                for r in llm.x38_bigram_lm_score(spark, sf_dir).collect()
+            }
+            assert joined == lit
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -514,3 +514,29 @@ def test_components_checkpoint_edges_once(spark):
     # semantics unchanged: chain pairs collapse to min-label components
     rows = {r["node"]: r["comp"] for r in comps.collect()}
     assert rows[1] == 0 and rows[11] == 10
+
+
+def test_bigram_lm_no_literal_map_above_threshold(spark, sf_dir, monkeypatch):
+    """x38 above its literal bound must NOT embed the bigram table as a
+    create_map plan literal (round-7 verdict: driver OOM + unserializable
+    plan at open vocab) — the optimized plan carries joins on the exact
+    (w1, w2) key instead. Below the bound the literal map is the point."""
+    from dmshadoop_spark.queries import llm
+
+    monkeypatch.setattr(llm, "X38_LITERAL_MAX_BIGRAMS", 0)
+    join_plan = (
+        llm.x38_bigram_lm_score(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "map(" not in join_plan, "bigram literal map leaked into join path"
+    assert "Join" in join_plan
+    monkeypatch.setattr(llm, "X38_LITERAL_MAX_BIGRAMS", 4096)
+    lit_plan = (
+        llm.x38_bigram_lm_score(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "map(" in lit_plan  # the small-model fast path stays literal

@@ -81,7 +81,10 @@ def hashed_features(
 
 
 def standardize(
-    feat: DataFrame, x_col: str = "x", dim: int = 64
+    feat: DataFrame,
+    x_col: str = "x",
+    dim: int = 64,
+    stats_on: DataFrame | None = None,
 ) -> tuple[DataFrame, list[float], list[float]]:
     """Z-score each feature bucket corpus-wide; returns (df, mu, sd).
 
@@ -91,9 +94,14 @@ def standardize(
     exchange (≤ dim × partitions rows after partial agg). Moments are
     summed in DECIMAL so mu/sd — and therefore training — are
     bit-identical on any partitioning. Zero-variance buckets (a hash
-    bucket no token maps to) get sd=1 so they stay exactly zero."""
+    bucket no token maps to) get sd=1 so they stay exactly zero.
+
+    ``stats_on`` computes the moments from a different frame (e.g. the
+    TRAIN split only, so the scaler never sees held-out rows) while the
+    transform still applies to ``feat``."""
     stats = (
-        feat.select(F.posexplode(x_col).alias("pos", "v"))
+        (stats_on if stats_on is not None else feat)
+        .select(F.posexplode(x_col).alias("pos", "v"))
         .groupBy("pos")
         .agg(
             F.sum(F.col("v").cast(DECIMAL)).alias("s"),

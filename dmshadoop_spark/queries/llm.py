@@ -5226,11 +5226,23 @@ def x36_quality_classifier(spark, sf_dir):
     contract as the money aggregates). Driver state = 65 doubles.
     Scoring is a scan-local projection with the weights as plan literals.
 
+    Held-out discipline (round-7 verdict task 3): rows split by x8's
+    content-free md5-nibble rule (first hex nibble of md5(doc_id) ∈
+    {e, f} → 12.5% eval); the scaler's moments AND the GD run see only
+    the train split, then the trained weights score the whole corpus.
+    Per-row output carries the split, and the constant train_acc /
+    eval_acc columns report both accuracies (exact-count divisions —
+    deterministic), so the digest pins the generalization claim, not
+    just the fit.
+
     100 TB plan: no per-row Python anywhere, no all-to-all; training cost
     is n_iter passes over a checkpointed projection of the corpus, the
     same shape MLlib's own LinearSVC/LogisticRegression aggregate uses.
     Rows-only (iterative training has no SQL oracle); the digest column
-    pins labels, probabilities (6 dp), and predictions."""
+    pins labels, probabilities (6 dp), predictions, splits, and both
+    accuracy columns. ``pred`` derives from the same 6-dp-rounded
+    probability that is emitted, so the row is self-consistent at the
+    0.5 boundary."""
     from dmshadoop_spark.functions.digest import with_sorted_digest
     from dmshadoop_spark.operators.logreg import (
         hashed_features,
@@ -5248,18 +5260,43 @@ def x36_quality_classifier(spark, sf_dir):
         .cast("int")
         .alias("y"),
     )
-    raw = hashed_features(docs, dim=64).join(labels, "doc_id")
-    feat, _mu, _sd = standardize(raw, "x", dim=64)
+    nibble = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    )
+    split = F.when(nibble.isin("e", "f"), "eval").otherwise("train")
+    raw = (
+        hashed_features(docs, dim=64)
+        .join(labels, "doc_id")
+        .withColumn("split", split)
+    )
+    feat, _mu, _sd = standardize(
+        raw, "x", dim=64, stats_on=raw.filter(F.col("split") == "train")
+    )
     feat = feat.localCheckpoint(eager=True)
-    weights, bias = train_logreg(feat, "y", "x", dim=64, n_iter=12, lr=4.0)
+    train = feat.filter(F.col("split") == "train")
+    weights, bias = train_logreg(train, "y", "x", dim=64, n_iter=12, lr=4.0)
     scored = score_logreg(feat, weights, bias)
+    prob6 = F.round("prob", 6)
     out = scored.select(
         "doc_id",
         "y",
-        F.round("prob", 6).alias("prob"),
-        (F.col("prob") >= 0.5).cast("int").alias("pred"),
+        prob6.alias("prob"),
+        (prob6 >= 0.5).cast("int").alias("pred"),
+        "split",
     )
-    return with_sorted_digest(out, "doc_id", "y", "prob", "pred")
+    # Both accuracies are bounded driver scalars (2 rows) — exact integer
+    # counts divided once in IEEE, then attached as plan literals.
+    acc_rows = out.groupBy("split").agg(
+        F.sum((F.col("pred") == F.col("y")).cast("int")).alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    acc = {r["split"]: r["k"] / r["n"] for r in acc_rows}
+    out = out.withColumn("train_acc", F.lit(acc["train"])).withColumn(
+        "eval_acc", F.lit(acc["eval"])
+    )
+    return with_sorted_digest(
+        out, "doc_id", "y", "prob", "pred", "split", "train_acc", "eval_acc"
+    )
 
 
 # x37 JL projection geometry: 64 -> 16 dims, sign matrix derived from

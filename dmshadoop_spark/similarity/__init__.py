@@ -1,3 +1,4 @@
+from dmshadoop_spark.similarity.jl import jl_project, jl_sq8_knn
 from dmshadoop_spark.similarity.kmeans import kmeans_centroids
 from dmshadoop_spark.similarity.knn import brute_force_knn, ivf_knn, lsh_knn
 from dmshadoop_spark.similarity.pq import (
@@ -10,6 +11,8 @@ from dmshadoop_spark.similarity.pq import (
 __all__ = [
     "brute_force_knn",
     "ivf_knn",
+    "jl_project",
+    "jl_sq8_knn",
     "kmeans_centroids",
     "ivfpq_knn",
     "lsh_knn",

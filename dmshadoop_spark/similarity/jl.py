@@ -1,0 +1,190 @@
+"""JL-projected, SQ8-coded candidate generation with exact rerank — the
+composed ANN tier (round-7 verdict task 4).
+
+The Johnson-Lindenstrauss sign projection (the ±1 "database-friendly"
+variant of Achlioptas 2003, the same md5-derived matrix x37 puts under a
+full value oracle) maps d_in-dim embeddings to d_out dims with distances
+preserved in expectation; SQ8 (similarity/sq8.py) then stores the
+projected vectors as 8-bit codes. The composition is the way a user runs
+the two pieces: **candidate generation scans only the small index**
+(d_out uint8 codes + two doubles per row — at 64→16 that is a 32× lighter
+scan than the float64 corpus), then the **exact rerank reads the full
+d_in-dim column for candidate rows only**.
+
+100 TB plan: the index is a stored table in production (one per-row
+projection pass to build — zero shuffles, no training, no driver state;
+here an eager localCheckpoint stands in for the stored copy, so the plan
+provably never touches the wide column during candidate scoring —
+pinned by tests/test_plans.py). Queries broadcast in both stages; the
+candidate set is (expand·k) rows per query, so the rerank is a
+broadcast-hash join against the corpus scan — one pass, no shuffle of
+the corpus. Everything is JVM-side codegen expressions; determinism is
+the repo-wide contract (explicit left folds, ties broken on neighbor_id).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from dmshadoop_spark.functions.vectors import as_double, dot, norm_sq
+from dmshadoop_spark.similarity.sq8 import sq8_dequant, with_sq8
+from dmshadoop_spark.similarity.topk import local_topk
+
+
+def jl_sign(i: int, k: int) -> float:
+    """±1 from the parity of the first hex digit of md5('jl:i:k') — THE
+    projection-matrix formula (queries x37's DuckDB oracle re-derives it
+    entry-by-entry with its own md5())."""
+    h = hashlib.md5(f"jl:{i}:{k}".encode()).hexdigest()
+    return 1.0 if "0123456789abcdef".index(h[0]) % 2 == 0 else -1.0
+
+
+def jl_project(vec: Column, d_in: int = 64, d_out: int = 16) -> Column:
+    """array<double> of the d_out JL projections of a d_in-dim vector —
+    matrix as plan literals, one scan-local left fold per output dim,
+    scaled by 1/sqrt(d_out)."""
+    scale = F.lit(d_out**-0.5)
+    cols = []
+    for k in range(d_out):
+        signs = F.array(*[F.lit(jl_sign(i, k)) for i in range(d_in)])
+        cols.append(
+            F.aggregate(
+                F.zip_with(vec, signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * scale
+        )
+    return F.array(*cols)
+
+
+def jl_sq8_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d_in: int = 64,
+    d_out: int = 16,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(neighbor_id, codes, mn, scale) — the stored candidate index: JL
+    projection SQ8-coded, d_out ints + two doubles per row. The eager
+    localCheckpoint materializes it once so downstream scoring plans scan
+    the index, never the wide source column (a production run persists
+    this as its own table; a cluster run that must survive executor loss
+    should use reliable .checkpoint() — localCheckpoint blocks are
+    executor-local)."""
+    proj = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        jl_project(as_double(vec_col), d_in, d_out).alias("p"),
+    )
+    coded = with_sq8(proj, "p").drop("p")
+    return coded.localCheckpoint(eager=True) if checkpoint else coded
+
+
+def jl_sq8_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_emb",
+    k: int = 5,
+    expand: int = 4,
+    d_in: int = 64,
+    d_out: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (topk, candidates).
+
+    Stage 1 — candidate generation: queries project to d_out dims (full
+    precision), the index dequantizes inside the scoring projection
+    (asymmetric ADC, same discipline as x5_knn_sq8), and the best
+    expand·k candidates per query survive (local-then-merge prune + one
+    deterministic row_number window).
+
+    Stage 2 — exact rerank: the candidate ids broadcast-join the corpus,
+    the full d_in-dim cosine re-scores them, top-k wins. ``candidates``
+    is stage 1's output (query_id, neighbor_id, approx_cosine) so
+    callers can audit the reduction factor."""
+    n_cand = expand * k
+    index = jl_sq8_index(corpus, id_col, vec_col, d_in, d_out)
+    dq = index.select(
+        "neighbor_id",
+        sq8_dequant(F.col("codes"), F.col("mn"), F.col("scale")).alias("dv"),
+    ).select("neighbor_id", "dv", F.sqrt(norm_sq(F.col("dv"))).alias("ndv"))
+    # The query projection is |queries| rows and feeds BOTH stages —
+    # checkpoint it so neither stage re-plans the caller's query-extraction
+    # scan (with it, the wide source column is read from storage exactly
+    # once per search: the rerank).
+    q = (
+        queries.select(query_id_col, as_double(query_vec_col).alias("_qfull"))
+        .select(
+            query_id_col,
+            "_qfull",
+            jl_project(F.col("_qfull"), d_in, d_out).alias("_qp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    qp = q.select(
+        query_id_col,
+        "_qp",
+        F.sqrt(norm_sq(F.col("_qp"))).alias("_nqp"),
+    )
+    scored = (
+        dq.crossJoin(broadcast(qp))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            (
+                dot(F.col("_qp"), F.col("dv"))
+                / (F.col("_nqp") * F.col("ndv"))
+            ).alias("approx_cosine"),
+        )
+    )
+    pruned = local_topk(
+        scored, [query_id_col], "approx_cosine", "neighbor_id", n_cand
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    candidates = (
+        pruned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_cand)
+        .drop("_rn")
+    )
+    # exact rerank: candidates are (expand·k)·|queries| rows — broadcast
+    # them against the corpus scan (the ONLY stage reading the wide col)
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
+    ).select("neighbor_id", "_v", F.sqrt(norm_sq(F.col("_v"))).alias("_nv"))
+    qfull = q.select(
+        query_id_col, "_qfull", F.sqrt(norm_sq(F.col("_qfull"))).alias("_nqf")
+    )
+    rescored = (
+        full.join(
+            broadcast(candidates.select(query_id_col, "neighbor_id")),
+            ["neighbor_id"],
+        )
+        .join(broadcast(qfull), [query_id_col])
+        .select(
+            query_id_col,
+            "neighbor_id",
+            (
+                dot(F.col("_qfull"), F.col("_v"))
+                / (F.col("_nqf") * F.col("_nv"))
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk = (
+        rescored.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, "neighbor_id", "cosine")
+    )
+    return topk, candidates

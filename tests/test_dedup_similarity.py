@@ -2182,3 +2182,25 @@ def test_x35_semdedup_accounting_and_determinism(spark, sf_dir):
     assert len(digests) == 1 and None not in digests
     rerun = {r["digest"] for r in x35_semdedup(spark, sf_dir).collect()}
     assert rerun == digests
+
+
+def test_jl_sq8_knn_recall_floor_and_determinism(spark, sf_dir):
+    """The composed JL(64→32)+SQ8 candidate stage with exact rerank must
+    keep recall@5 ≥ 0.8 at the production point (expand=16 → 80
+    candidates/query; measured 0.800 at sf0.001, 0.825 at sf0.01) and the
+    digest-pinned decision set must be stable across executions."""
+    from dmshadoop_spark.registry import QUERIES
+
+    rows = QUERIES["x5_knn_jl_sq8"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    recall = sum(r["hits_jl_sq8"] for r in rows) / sum(
+        r["n_exact"] for r in rows
+    )
+    assert recall >= 0.8, recall
+    assert all(r["n_candidates"] == 80 for r in rows)
+    assert all(r["n_corpus"] > r["n_candidates"] for r in rows)
+    d1 = {r["digest"] for r in rows}
+    d2 = {
+        r["digest"] for r in QUERIES["x5_knn_jl_sq8"](spark, sf_dir).collect()
+    }
+    assert len(d1) == 1 and d1 == d2

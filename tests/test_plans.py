@@ -540,3 +540,30 @@ def test_bigram_lm_no_literal_map_above_threshold(spark, sf_dir, monkeypatch):
         .toString()
     )
     assert "map(" in lit_plan  # the small-model fast path stays literal
+
+
+def test_jl_sq8_candidate_stage_never_reads_wide_column(spark, sf_dir):
+    """x5_knn_jl_sq8's point is the cheap scan: candidate generation reads
+    the checkpointed (codes, mn, scale) index, and the wide float column
+    is read from parquet EXACTLY once — in the exact rerank. (The 8-row
+    query projection is checkpointed too, so it doesn't re-plan the
+    extraction scan.)"""
+    from pyspark.sql import functions as F
+
+    from dmshadoop_spark.similarity import jl_sq8_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    topk, _ = jl_sq8_knn(emb, qs, k=5, expand=16, d_out=32)
+    p = spark._jvm.PythonSQLUtils.explainString(
+        topk._jdf.queryExecution(), "formatted"
+    )
+    assert "Scan ExistingRDD" in p  # the SQ8 index (and query) checkpoints
+    wide = [
+        ln
+        for ln in p.splitlines()
+        if "ReadSchema" in ln and "embedding" in ln
+    ]
+    assert len(wide) == 1, wide  # rerank only

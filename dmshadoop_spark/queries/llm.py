@@ -130,7 +130,12 @@ def x2_ngram_jaccard(spark, sf_dir):
     shares nothing but boilerplate, which is exactly the non-signal case
     MinHash pipelines (Gopher/RefinedWeb) also discard. The cap is far
     above any test SF's max df (25 at sf0.1), so oracle results are
-    unchanged; jaccard = |∩| / |∪| as one exact IEEE division."""
+    unchanged; jaccard = |∩| / |∪| as one exact IEEE division.
+
+    CAP ACCOUNTING (no silent drops): the companion x2_cap_accounting
+    query emits the df=1 and df>cap dropped-shingle/posting counts and
+    the observed max df under a full value oracle, so a production run
+    audits exactly what the skew guard cost it."""
     from dmshadoop_spark.catalog import widen
 
     docs = widen(load_table(spark, sf_dir, "documents"))
@@ -178,6 +183,75 @@ def x2_ngram_jaccard(spark, sf_dir):
     )
     return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= 0.05
+    )
+
+
+@query(
+    "x2_cap_accounting",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        FROM tok
+    ),
+    dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+    SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(coalesce(sum(CASE WHEN df = 1 THEN 1 END), 0) AS BIGINT)
+               AS n_df1_dropped,
+           CAST(coalesce(sum(CASE WHEN df > {JACCARD_DF_CAP} THEN 1 END), 0)
+               AS BIGINT) AS n_hot_dropped,
+           CAST(coalesce(sum(CASE WHEN df > {JACCARD_DF_CAP} THEN df END), 0)
+               AS BIGINT) AS n_postings_dropped,
+           CAST(max(df) AS BIGINT) AS max_df,
+           CAST({JACCARD_DF_CAP} AS BIGINT) AS df_cap
+    FROM dfs
+    """,
+)
+def x2_cap_accounting(spark, sf_dir):
+    """Skew-cap audit for the near-dup tier (round-7 verdict task 5 — the
+    brief's no-silent-caps rule): x2_ngram_jaccard silently drops df=1
+    postings (can't pair) and df > JACCARD_DF_CAP postings (the skew
+    guard); dedup/minhash.py applies the same max_bucket policy. This
+    query makes the recall trade DRIVER-CHECKED every round: distinct
+    shingle count, both dropped classes, the postings those hot shingles
+    would have contributed, the observed max df (headroom against the
+    cap), and the cap itself — all exact counts under a full value
+    oracle. A 100 TB run reads this one row to know exactly what the cap
+    cost it (at every test SF: n_hot_dropped = 0, max_df ≪ cap).
+
+    Plan: the SAME single corpus scan + one shingle-key agg as
+    x2_ngram_jaccard's postings stage, then a global single-row rollup —
+    no extra pass over the corpus beyond the df table the index already
+    builds."""
+    from dmshadoop_spark.catalog import widen
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    sh_arr = docs.select(
+        "doc_id", tokenize("text").alias("toks")
+    ).select("doc_id", shingles("toks", 3).alias("sh"))
+    dfs = (
+        sh_arr.select(F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    cap = F.lit(JACCARD_DF_CAP)
+    return dfs.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("df") == 1).cast("long")).alias("n_df1_dropped"),
+        F.sum((F.col("df") > cap).cast("long")).alias("n_hot_dropped"),
+        F.coalesce(
+            F.sum(F.when(F.col("df") > cap, F.col("df"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_postings_dropped"),
+        F.max("df").cast("long").alias("max_df"),
+        cap.cast("long").alias("df_cap"),
     )
 
 

@@ -42,6 +42,13 @@ def connected_components(
     # for x35_semdedup that was the 24-second pair-emission subtree,
     # re-run ~10 times. The edge set itself is the bounded candidate
     # output (same size contract as ``labels`` below).
+    # RELIABILITY TRADE (round-7 ADVICE): localCheckpoint blocks live on
+    # executors, so losing an executor mid-run makes the job
+    # unrecoverable (lineage is truncated). A cluster run that must
+    # survive executor loss should set a checkpoint dir and switch these
+    # (and the callers' edge/feature checkpoints) to reliable
+    # .checkpoint(); in local mode and for the bounded test SFs the
+    # executor-local form is strictly better (no HDFS round-trip).
     und = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()

@@ -47,7 +47,17 @@ def with_sorted_digest(df: DataFrame, *cols: str) -> DataFrame:
     size. Invisible at the 500-row test SFs, it turned a 25-second
     pipeline into a 17-minute one at sf1 (50k rows: 50k × sort-50k). The
     sum-combine form is O(n), still one window, same execution shape; all
-    pinned digest constants were re-measured when it landed."""
+    pinned digest constants were re-measured when it landed.
+
+    STRENGTH TRADE (round-7 ADVICE): a commutative SUM of 64-bit hashes
+    is a weaker multiset fingerprint than hashing the sorted content —
+    a pair of row edits whose hash deltas cancel (while preserving
+    count) passes undetected, at ~2⁻⁶⁴ odds for non-adversarial drift.
+    That is acceptable for this gate's purpose (catching semantic
+    drift, not an adversary). If stronger resistance is ever needed,
+    combine two independent sums (xxhash64 with a second seed column)
+    or add a sum of squared hashes — same O(n), but it flips every
+    pinned digest constant, so do it only with a full re-pin sweep."""
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
     w = Window.partitionBy()
     return df.withColumn(

@@ -57,36 +57,27 @@ def load_all() -> None:
 # canaries. Everything not listed follows in registration order, so the
 # window rotates across rounds until every query has a confirmed row.
 #
-# ROUND-7 DECISION: CORRECTNESS_r06 ran 50/50 clean; cumulative coverage
-# closed the round-6 registry at 212/212 (tools/rotation.py). This
-# window, regenerated from live state: 3 canaries + the 5 round-7
-# registrations (x6_flac_roundtrip — real lossless compressed-audio
-# decode under a full value oracle; x6_webp_roundtrip — real lossless
-# WebP/VP8L decode under a full value oracle, closing the last image
-# codec gap; x6_awebp_frames — animated-WebP ANMF demux through
-# sample_frames with real per-frame VP8L decode, full pipeline oracle;
-# x24b_extract_dispatch_wide — the 15-format dispatch incl.
-# zip/WARC archive sniffing, real-frame FLAC, MJPEG-AVI and webp;
-# x6_mjpeg_features — the compressed-codec video
-# pipeline, digest-pinned rows-only; x5_knn_sq8 — 8-bit scalar-quantized
-# ADC scan, the X5 family's first fully value-hash-oracled quantized
-# variant; x35_semdedup — the SemDeDup semantic-dedup tier, rows-only
-# digest-pinned; x36_quality_classifier — distributed logistic-regression
-# quality filter, rows-only digest-pinned; x37_jl_projection —
-# Johnson-Lindenstrauss sign projection under a FULL value oracle (the
-# md5-derived matrix is re-derivable by DuckDB; x38_bigram_lm_score —
-# add-one-smoothed bigram LM quality scoring, log-free so the trained
-# model sits under a FULL value oracle); the five displace the
-# t9_bm25_topk, st8_interval_join, s13_bucketed_join, a10_percentile
-# and a8b_grouping_sets round-3 fillers) + 2 re-confirms
-# (x5_pq_recall
-# moved its IVF-PQ production point to nprobe=8/coarse_iters=4 →
-# recall@5 0.900 and a new digest; x24_extract_dispatch sits on the
-# sniffer that gained the zip/WARC/gzip arms) + ALL 31 queries still
-# on their ROUND-2 confirmation (the TPC-H tail q2-q22, w2-w6,
-# ud3/ud4, j8, and the first-generation X entries — the oldest-green
-# tail retires completely this round) + 9 oldest round-3 rows across
-# diverse families to fill the window to exactly 50.
+# ROUND-8 DECISION: CORRECTNESS_r07 ran 50/50 clean; cumulative coverage
+# closed the round-7 registry at 222/222 (tools/rotation.py, re-verified
+# this round). This window, regenerated from live state: 3 canaries +
+# the 2 round-8 registrations (x2_cap_accounting — the no-silent-caps
+# audit for the near-dup tier's df=1/df>cap drops, full value oracle;
+# x5_knn_jl_sq8 — the composed JL(64→32)+SQ8 candidate-generation /
+# exact-rerank ANN tier with a digest-pinned per-query recall audit,
+# rows-only) + 3 changed-this-round re-confirms (x38_bigram_lm_score —
+# scoring switched to the threshold-picked literal/join strategy, value
+# hash proven unchanged locally; x36_quality_classifier — held-out
+# md5-nibble evaluation added split/train_acc/eval_acc columns → new
+# digest; x37_jl_projection — the sign formula moved to similarity/jl.py,
+# hash re-verified) + the 42 OLDEST cumulative-green rows, which are
+# exactly the remaining round-3 vintage (tools/rotation.py oldest-first
+# selection: the T6/T7/T9 analyzer rows, the x3 quality tier, x10-x15,
+# w7-w9, st8-st10, sink family s6-s8/s10/s13/s14/s17, a8b/a10-a15/
+# a_pivot, u4, f13, j10, p3, x2c, x4_embedding_norm, x6_wav_features,
+# x8 — the round-3 tail retires this round the way round-7 retired the
+# round-2 tail). Still-unrotated r4+ vintage rows (x16/x17, x20-x23,
+# w10/w11, u5, s15/s16/s18/s19, a16, j11/j12, f14, st11-st14, x29-x31,
+# t8/t10/t11) are next round's fillers.
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
 # before this window was handed to the driver.
 PRIORITY: list[str] = [
@@ -94,65 +85,56 @@ PRIORITY: list[str] = [
     "a6_q1_pricing_summary",
     "w1_latest_per_group",
     "x2_ngram_jaccard",
-    # round-7 registrations, oracle-backed first
-    "x6_flac_roundtrip",
-    "x5_knn_sq8",
-    "x35_semdedup",
+    # round-8 registrations
+    "x2_cap_accounting",
+    "x5_knn_jl_sq8",
+    # changed this round → re-confirm
+    "x38_bigram_lm_score",
     "x36_quality_classifier",
     "x37_jl_projection",
-    "x38_bigram_lm_score",
-    "x6_webp_roundtrip",
-    "x6_awebp_frames",
-    "x24b_extract_dispatch_wide",
-    "x6_mjpeg_features",
-    # changed this round → re-confirm (x5_pq_recall moved its IVF-PQ
-    # production point to nprobe=8/coarse_iters=4 — new digest; x24's
-    # sniffer gained zip/WARC/gzip arms ahead of its dispatch table)
-    "x5_pq_recall",
-    "x24_extract_dispatch",
-    # oldest-green re-validation: the ENTIRE remaining round-2 tail
-    # retires this round (31 queries — TPC-H tail, window family,
-    # UDF family, and the first-generation X entries)
-    "q2_top_supplier_per_nation",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_filter",
-    "q20_promotion_suppliers",
-    "q21_waiting_supplier",
-    "q22_global_sales",
-    "w2_next_version",
-    "w3_rank",
-    "w4_lag",
-    "w5_running_sum",
-    "w6_ntile",
-    "ud3_grouped_agg_udaf",
-    "ud4_pandas_scalar",
-    "j8_cross_join",
-    "x1_exact_dedup",
-    "x2_embedding_neardup",
-    "x3_text_stats",
-    "x4_cosine_topk",
-    "x5_knn_search",
-    "x6_exif_meta",
-    "x6_multimodal_meta",
-    "x7_training_pipeline",
-    # oldest round-3 rows, diverse families, to fill the window to 50
-    "a8_cube",
-    "j6b_binned_range_join",
-    "j9_salted_skew_join",
-    "s12_partitioned_sink",
-    # (x13_pagerank and x9_decontaminate were the 49th/50th fillers
-    # until the mid-round x6_webp_roundtrip / x6_awebp_frames
-    # registrations displaced them — they stay on their round-3 greens
-    # and rotate next round)
+    # oldest-green re-validation: the entire round-3 tail (42 rows)
+    "a10_percentile",
+    "a11_histogram",
+    "a12_table_profile",
+    "a13_constraint_audit",
+    "a14_heavy_hitters",
+    "a15_mode_per_group",
+    "a8b_grouping_sets",
+    "a_pivot",
+    "f13_levenshtein",
+    "j10_fuzzy_join",
+    "p3_regex_predicate",
+    "s10_catalog_ddl",
+    "s13_bucketed_join",
+    "s14_zorder_layout",
+    "s17_incremental_rollup",
+    "s6_append_sink",
+    "s7_delete_sink",
+    "s8_overwrite_upsert",
+    "st10_foreach_batch_upsert",
+    "st8_interval_join",
+    "st9_dedup_within_watermark",
+    "t6_phrase_search",
+    "t7_boolean_search",
+    "t9_bm25_topk",
+    "u4_unpivot",
+    "w7_rolling_time_range",
+    "w8_gaps_islands",
+    "w9_funnel",
+    "x10_chunk_dedup",
+    "x11_stratified_sample",
+    "x12_domain_mix",
+    "x13_pagerank",
+    "x14_repetition_signals",
+    "x15_blocklist_scrub",
+    "x2c_dedup_components",
+    "x3_fingerprint",
+    "x3_lang_id",
+    "x3_quality_score",
+    "x3_token_count",
+    "x4_embedding_norm",
+    "x6_wav_features",
+    "x8_train_test_split",
 ]
 
 

@@ -17,6 +17,8 @@ cost is codec work on a fixed row subset, not SF-scaling.
 
 Usage: python tools/scale_probe.py SF_DIR [SF_DIR...] > BENCH_sf1_probe.json
 e.g.:  python tools/scale_probe.py /root/testdata/sf0.1 /tmp/sf1
+       python tools/scale_probe.py --queries x2_ngram_jaccard,x35_semdedup \
+              /tmp/sf1 /tmp/sf3 /tmp/sf5     # targeted second-decade probe
 """
 
 from __future__ import annotations
@@ -47,6 +49,9 @@ def main(sf_dirs: list[str]) -> None:
     import bench
 
     names = [n for n in bench.HEADLINE if n not in BOUNDED] + EXTRA
+    if sf_dirs and sf_dirs[0] == "--queries":
+        names = sf_dirs[1].split(",")
+        sf_dirs = sf_dirs[2:]
     spark = get_spark(app_name="dmshadoop-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 

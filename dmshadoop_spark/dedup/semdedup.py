@@ -86,36 +86,36 @@ def blocked_cosine_pairs(
     )
     side_a = F.filter(F.col("vecs"), lambda d: d["_s"] == F.col("i"))
     side_b = F.filter(F.col("vecs"), lambda d: d["_s"] == F.col("j"))
-    pair_structs = F.flatten(
-        F.transform(
-            side_a,
-            lambda x: F.transform(
-                side_b,
-                lambda y: F.struct(
-                    F.least(x["_id"], y["_id"]).alias("vec_a"),
-                    F.greatest(x["_id"], y["_id"]).alias("vec_b"),
-                    (dot(x["_v"], y["_v"]) / (x["_nv"] * y["_nv"])).alias(
-                        "cosine"
-                    ),
-                    (x["_id"] < y["_id"]).alias("lt"),
-                ),
-            ),
-        )
-    )
-    return (
+    # DOUBLE EXPLODE, not nested transform/flatten (round-8 sf5 probe
+    # finding, the same pathology x2_ngram_jaccard's pair stage already
+    # documents): the HOF form MATERIALIZED the full |A|×|B| struct array
+    # — with every cosine computed through interpreted boxed-double
+    # lambdas — per grouped row before the explode could stream it; at
+    # sf5 (~780 vectors per shard side) that is ~600k structs per row
+    # across 32 concurrent tasks, which killed a 32 GB heap. Two Generate
+    # operators stream the pairs: each first-level row carries only the
+    # side_b array (bounded by block/shards vectors — shrink it with the
+    # shard count), and the per-pair cosine fold is evaluated once per
+    # OUTPUT ROW, never accumulated into an array.
+    exploded = (
         grouped.select(
-            F.col("_blk"),
+            "_blk",
             (F.col("i") == F.col("j")).alias("intra"),
-            F.explode_outer(pair_structs).alias("p"),
+            side_b.alias("vb"),
+            F.explode(side_a).alias("x"),
         )
-        .filter(
-            F.col("p").isNotNull()
-            & (F.col("p.lt") | ~F.col("intra"))
-            & (F.col("p.cosine") >= threshold)
-        )
+        .select("_blk", "intra", "x", F.explode("vb").alias("y"))
+    )
+    x, y = F.col("x"), F.col("y")
+    return (
+        exploded.filter((x["_id"] < y["_id"]) | ~F.col("intra"))
         .select(
-            F.col("_blk").alias(block_col), "p.vec_a", "p.vec_b", "p.cosine"
+            F.col("_blk").alias(block_col),
+            F.least(x["_id"], y["_id"]).alias("vec_a"),
+            F.greatest(x["_id"], y["_id"]).alias("vec_b"),
+            (dot(x["_v"], y["_v"]) / (x["_nv"] * y["_nv"])).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
     )
 
 

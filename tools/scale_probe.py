@@ -42,7 +42,7 @@ BOUNDED = {"x24_extract_dispatch", "x28_image_neardup",
 # exponents ARE the interesting question — fixed iteration counts should
 # make both strongly sublinear in SF.
 EXTRA = ["x35_semdedup", "x36_quality_classifier"]
-N_PASSES = 3
+N_PASSES = int(os.environ.get("SCALE_PROBE_PASSES", "3"))
 
 
 def main(sf_dirs: list[str]) -> None:

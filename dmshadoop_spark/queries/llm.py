@@ -243,8 +243,15 @@ def x2_cap_accounting(spark, sf_dir):
     cap = F.lit(JACCARD_DF_CAP)
     return dfs.agg(
         F.count(F.lit(1)).alias("n_shingles"),
-        F.sum((F.col("df") == 1).cast("long")).alias("n_df1_dropped"),
-        F.sum((F.col("df") > cap).cast("long")).alias("n_hot_dropped"),
+        # coalesce like the oracle's COALESCE(...,0): on a degenerate
+        # corpus with zero shingles F.sum returns NULL, the oracle 0
+        # (round-8 ADVICE 1 — n_postings_dropped already did this).
+        F.coalesce(
+            F.sum((F.col("df") == 1).cast("long")), F.lit(0)
+        ).alias("n_df1_dropped"),
+        F.coalesce(
+            F.sum((F.col("df") > cap).cast("long")), F.lit(0)
+        ).alias("n_hot_dropped"),
         F.coalesce(
             F.sum(F.when(F.col("df") > cap, F.col("df"))), F.lit(0)
         )
@@ -5365,9 +5372,12 @@ def x36_quality_classifier(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
     ).collect()
     acc = {r["split"]: r["k"] / r["n"] for r in acc_rows}
-    out = out.withColumn("train_acc", F.lit(acc["train"])).withColumn(
-        "eval_acc", F.lit(acc["eval"])
-    )
+    # groupBy emits no row for a missing split value, so a tiny or
+    # nibble-skewed corpus would KeyError here (round-8 ADVICE 2) —
+    # emit an explicit NULL accuracy for an empty split instead.
+    out = out.withColumn(
+        "train_acc", F.lit(acc.get("train")).cast("double")
+    ).withColumn("eval_acc", F.lit(acc.get("eval")).cast("double"))
     return with_sorted_digest(
         out, "doc_id", "y", "prob", "pred", "split", "train_acc", "eval_acc"
     )

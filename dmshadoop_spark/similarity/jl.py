@@ -133,15 +133,21 @@ def jl_sq8_knn(
         "_qp",
         F.sqrt(norm_sq(F.col("_qp"))).alias("_nqp"),
     )
+    # Zero-norm guard (round-8 ADVICE 3): a constant projection (SQ8
+    # scale 0 → zero dequantized vector) or zero-norm query would divide
+    # by zero → NaN, and Spark orders NaN ABOVE all doubles in DESC
+    # sorts, so garbage would outrank real candidates. F.when nulls the
+    # cosine instead — NULLs sort LAST under desc, so such rows lose.
     scored = (
         dq.crossJoin(broadcast(qp))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col,
             "neighbor_id",
-            (
+            F.when(
+                (F.col("_nqp") > 0) & (F.col("ndv") > 0),
                 dot(F.col("_qp"), F.col("dv"))
-                / (F.col("_nqp") * F.col("ndv"))
+                / (F.col("_nqp") * F.col("ndv")),
             ).alias("approx_cosine"),
         )
     )
@@ -173,9 +179,11 @@ def jl_sq8_knn(
         .select(
             query_id_col,
             "neighbor_id",
-            (
+            # same zero-norm/NaN guard as the candidate stage
+            F.when(
+                (F.col("_nqf") > 0) & (F.col("_nv") > 0),
                 dot(F.col("_qfull"), F.col("_v"))
-                / (F.col("_nqf") * F.col("_nv"))
+                / (F.col("_nqf") * F.col("_nv")),
             ).alias("cosine"),
         )
     )

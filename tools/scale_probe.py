@@ -45,13 +45,28 @@ EXTRA = ["x35_semdedup", "x36_quality_classifier"]
 N_PASSES = int(os.environ.get("SCALE_PROBE_PASSES", "3"))
 
 
-def main(sf_dirs: list[str]) -> None:
+def main(argv: list[str]) -> None:
+    import argparse
+
     import bench
 
-    names = [n for n in bench.HEADLINE if n not in BOUNDED] + EXTRA
-    if sf_dirs and sf_dirs[0] == "--queries":
-        names = sf_dirs[1].split(",")
-        sf_dirs = sf_dirs[2:]
+    # argparse instead of hand-rolled flag peeling (round-8 ADVICE 4:
+    # `--queries` was only recognized as the FIRST positional and
+    # IndexError'd when passed without a value).
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dirs", nargs="+", help="SF data dirs, in size order")
+    ap.add_argument(
+        "--queries",
+        help="comma-separated query ids; OVERRIDES the default "
+        "HEADLINE-minus-BOUNDED set (i.e. bypasses the BOUNDED "
+        "exclusion — a bounded query named here WILL run)",
+    )
+    ns = ap.parse_args(argv)
+    sf_dirs = ns.sf_dirs
+    if ns.queries:
+        names = ns.queries.split(",")
+    else:
+        names = [n for n in bench.HEADLINE if n not in BOUNDED] + EXTRA
     spark = get_spark(app_name="dmshadoop-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 

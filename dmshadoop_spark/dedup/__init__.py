@@ -17,7 +17,7 @@ from dmshadoop_spark.dedup.imagehash import (
     image_neardup_pairs,
 )
 from dmshadoop_spark.dedup.components import connected_components, dedup_survivors
-from dmshadoop_spark.dedup.semdedup import blocked_cosine_pairs, semdedup
+from dmshadoop_spark.dedup.semdedup import auto_k, blocked_cosine_pairs, semdedup
 from dmshadoop_spark.dedup.minhash import (
     minhash_incremental_pairs,
     minhash_index,
@@ -38,6 +38,7 @@ __all__ = [
     "image_hash_df",
     "image_neardup_pairs",
     "dedup_survivors",
+    "auto_k",
     "semdedup",
     "minhash_incremental_pairs",
     "minhash_index",

@@ -119,20 +119,43 @@ def blocked_cosine_pairs(
     )
 
 
+def auto_k(n: int, target_cell_size: int = 500) -> int:
+    """The bounded-cell-size law: k = ceil(n / target_cell_size).
+
+    Intra-cell pair volume is O(n²/k); at FIXED k that is quadratic in
+    corpus size (the round-8 sf3→sf5 probe measured exponent 1.62 at
+    k=8), while k ∝ n keeps expected cell size — and therefore the pair
+    stage's total work — LINEAR in n (the regime the SemDeDup paper
+    runs: ~50k clusters over ~5×10⁹ LAION examples ≈ 10⁵ per cell).
+    Trade: driver/broadcast state is k×dim doubles (at n=10⁹,
+    target 500 ⇒ k=2M ⇒ ~1 GB at dim 64) — for corpora that large,
+    raise target_cell_size or train centroids on a sample; the pair
+    stage only needs cells bounded, not tiny."""
+    return max(1, -(-n // target_cell_size))
+
+
 def semdedup(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | str = "auto",
     n_iter: int = 4,
     seed: int = 7,
     eps: float = 0.35,
     shards: int = 4,
+    target_cell_size: int = 500,
 ) -> DataFrame:
     """Per-embedding SemDeDup decision:
     (id, cell, component, cos_centroid, keep) — ``keep`` marks the one
     survivor per semantic duplicate group (lowest centroid cosine, id
-    tie-break); non-duplicated embeddings keep themselves."""
+    tie-break); non-duplicated embeddings keep themselves.
+
+    ``k="auto"`` (the default since round 9 — the round-8 verdict's top
+    task) sizes the clustering by the bounded-cell-size law (auto_k):
+    one bounded count() picks k = ceil(n / target_cell_size), so the
+    intra-cell pair stage stays linear in corpus size instead of the
+    O(n²/k) blow-up a fixed k gives. Pass an explicit int k to
+    reproduce a pinned operating point (x35 pins k=8)."""
     from dmshadoop_spark.dedup.components import connected_components
     from dmshadoop_spark.similarity.assign import with_nearest_cell
     from dmshadoop_spark.similarity.kmeans import kmeans_centroids
@@ -140,6 +163,11 @@ def semdedup(
     base = emb.select(
         F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
     ).withColumn("_nv", F.sqrt(norm_sq(F.col("_v"))))
+
+    if k == "auto":
+        # one bounded driver scalar (a count), same class as the
+        # convergence checks the component loop already does
+        k = auto_k(emb.count(), target_cell_size)
 
     cents = kmeans_centroids(
         emb, vec_col=vec_col, k=k, n_iter=n_iter, seed=seed, id_col=id_col

@@ -5281,6 +5281,35 @@ def x35_semdedup(spark, sf_dir):
     )
 
 
+@query("x35b_semdedup_autok")  # iterative k-means training → rows-only
+def x35b_semdedup_autok(spark, sf_dir):
+    """SemDeDup under the bounded-cell-size default (k="auto"): the
+    round-8 sf3→sf5 probe measured pair-stage exponent 1.62 at FIXED
+    k=8 — the O(n²/k) parameter law — so round 9 made k ∝ n the default
+    policy (dedup/semdedup.auto_k: k = ceil(n / target_cell_size),
+    target 500). This entry runs THAT default end-to-end so the driver
+    checks the production operating point every window, while x35 keeps
+    the pinned explicit-k=8 reference point. At the test SFs auto-k
+    picks 1 cell (sf0.001, n=500) / 4 cells (sf0.01, n=2000) — small
+    corpora legitimately cluster coarsely; the law matters at sf1+
+    where the probe re-measures the exponent (SCALE.md).
+
+    Same rows-only digest contract as x35: the full per-embedding
+    decision set (cell, component, centroid cosine, survivor flag) is
+    digest-pinned."""
+    from dmshadoop_spark.dedup import semdedup
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semdedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        k="auto", n_iter=4, seed=7, eps=0.35, shards=4,
+    )
+    return with_sorted_digest(
+        out, "vec_id", "cell", "component", "cos_centroid", "keep"
+    )
+
+
 # Quality-classifier label threshold: stopword_ratio >= 0.06 splits the
 # synthetic corpus near 55/45 at every SF (the seed-label heuristic the
 # model distills). Deterministic — same integer-count division the

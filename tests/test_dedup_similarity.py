@@ -2184,6 +2184,51 @@ def test_x35_semdedup_accounting_and_determinism(spark, sf_dir):
     assert rerun == digests
 
 
+def test_semdedup_auto_k_bounded_cells():
+    """The bounded-cell-size law (round-8 verdict task 1): auto-k grows
+    WITH n so expected cell size never exceeds the target — the property
+    that keeps the intra-cell pair stage linear instead of O(n²/k)."""
+    from dmshadoop_spark.dedup import auto_k
+
+    for n in (1, 499, 500, 501, 5_000, 50_000, 10_000_000):
+        k = auto_k(n, target_cell_size=500)
+        assert k >= 1
+        assert n / k <= 500, (n, k)  # expected cell size bounded
+        # and not pathologically over-split: k never exceeds what the
+        # target implies by more than one cell
+        assert k <= -(-n // 500)
+    # monotone in n: a 10x corpus gets ~10x the cells
+    assert auto_k(50_000) == 10 * auto_k(5_000)
+    assert auto_k(499) == 1 and auto_k(501) == 2
+
+
+def test_x35b_semdedup_autok_runs_default_policy(spark, sf_dir):
+    """k="auto" (the default) must pick ceil(n/500) cells, keep the same
+    per-row accounting invariants as x35 (one row per embedding, one
+    survivor per component, components never span cells), and emit a
+    stable digest."""
+    from dmshadoop_spark.dedup import auto_k
+    from dmshadoop_spark.queries.llm import x35b_semdedup_autok
+
+    rows = x35b_semdedup_autok(spark, sf_dir).collect()
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_emb
+    k = auto_k(n_emb)
+    cells = {r["cell"] for r in rows}
+    assert 1 <= len(cells) <= k  # k-means may leave cells empty, never adds
+    comp_cells: dict = {}
+    comp_keeps: dict = {}
+    for r in rows:
+        comp_cells.setdefault(r["component"], set()).add(r["cell"])
+        comp_keeps[r["component"]] = comp_keeps.get(r["component"], 0) + bool(
+            r["keep"]
+        )
+    assert all(len(c) == 1 for c in comp_cells.values())
+    assert all(v == 1 for v in comp_keeps.values())
+    digests = {r["digest"] for r in rows}
+    assert len(digests) == 1 and None not in digests
+
+
 def test_jl_sq8_knn_recall_floor_and_determinism(spark, sf_dir):
     """The composed JL(64→32)+SQ8 candidate stage with exact rerank must
     keep recall@5 ≥ 0.8 at the production point (expand=16 → 80

@@ -17,7 +17,8 @@ tiny diameters, so practical round counts are 2-4.
 
 Scale posture per round: two shuffles on node id (uniform — ids, not
 content) plus one convergence aggregate. Lineage is truncated every
-round with ``localCheckpoint`` (iterative plans otherwise grow an
+round with ``stabilize`` — functions/checkpoint.py picks reliable vs
+executor-local storage (iterative plans otherwise grow an
 exponentially deep DAG); convergence is detected by the label-sum
 invariant — labels only ever decrease, so an unchanged sum means a
 fixed point, one cheap aggregate instead of a full old-vs-new join.
@@ -28,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dmshadoop_spark.functions.checkpoint import stabilize
+
 
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
@@ -36,29 +39,29 @@ def connected_components(
     ``component`` is the minimum node id in the node's connected component
     — deterministic, no RNG. Nodes must be integral and non-null."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # localCheckpoint is load-bearing (round-7 sf1 probe finding): every
+    # lineage truncation is load-bearing (round-7 sf1 probe finding): every
     # propagation round joins against ``und``, and without the checkpoint
     # each round RE-EXECUTES the caller's whole edge-generating plan —
     # for x35_semdedup that was the 24-second pair-emission subtree,
     # re-run ~10 times. The edge set itself is the bounded candidate
     # output (same size contract as ``labels`` below).
-    # RELIABILITY TRADE (round-7 ADVICE): localCheckpoint blocks live on
-    # executors, so losing an executor mid-run makes the job
-    # unrecoverable (lineage is truncated). A cluster run that must
-    # survive executor loss should set a checkpoint dir and switch these
-    # (and the callers' edge/feature checkpoints) to reliable
-    # .checkpoint(); in local mode and for the bounded test SFs the
-    # executor-local form is strictly better (no HDFS round-trip).
+    # RELIABILITY TRADE (round-7 ADVICE; operable since round 9): the
+    # stabilize() helper picks the form — reliable .checkpoint() when
+    # the session has sc.setCheckpointDir(...) set (survives executor
+    # loss), executor-local localCheckpoint otherwise (strictly better
+    # in local mode and for bounded test SFs: no distributed-FS
+    # round-trip). One standard Spark knob switches every iterative
+    # operator in the repo at once.
     und = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(stabilize)
     )
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(stabilize)
     )
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iter):
@@ -83,7 +86,7 @@ def connected_components(
             stepped["comp"] == F.col("pnode"),
             "left",
         ).select("node", F.coalesce("pcomp", "comp").alias("comp"))
-        labels = jumped.localCheckpoint(eager=True)
+        labels = jumped.transform(stabilize)
         cur_sum = labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)"))
         ).collect()[0][0]

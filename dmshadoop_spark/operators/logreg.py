@@ -9,7 +9,8 @@ and PageRank (operators/pagerank.py):
 
   * FEATURES — one explode + two hash-partitioned groupBys build a dense
     ``dim``-bucket hashed token-frequency vector per document, exactly
-    once; the matrix is localCheckpoint-ed and every training iteration
+    once; the matrix is stabilized (functions/checkpoint.py) and every
+    training iteration
     reuses it (no re-scan of text).
   * ITERATE  — full-batch gradient descent. The margin is a per-row
     zip_with/aggregate fold against the weight vector riding the plan as
@@ -150,7 +151,7 @@ def train_logreg(
 ) -> tuple[list[float], float]:
     """Full-batch GD on the logistic loss; returns (weights, bias).
 
-    ``feat`` must be reusable (caller localCheckpoints once); each
+    ``feat`` must be reusable (caller stabilizes it once); each
     iteration is one scan + one ≤ dim×partitions-row exchange."""
     n = feat.count()
     weights = [0.0] * dim

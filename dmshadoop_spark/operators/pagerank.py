@@ -15,7 +15,9 @@ orders — a float PageRank could never pass a value-hash oracle because
 
 Scale posture per iteration: one equi join on the uniform node-id key +
 one partial-aggregated sum — the canonical distributed PageRank step.
-Lineage is truncated each round with ``localCheckpoint`` (iterative
+Lineage is truncated each round with ``stabilize`` — reliable
+``checkpoint`` when a checkpoint dir is set, ``localCheckpoint``
+otherwise (iterative
 plans otherwise re-expand the whole upstream pipeline per round — same
 discipline as connected_components). Dangling nodes don't arise on
 undirected pair graphs (every node keeps out-degree ≥ 1), so no
@@ -27,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+
+from dmshadoop_spark.functions.checkpoint import stabilize
 
 SCALE = 10**12
 
@@ -57,15 +61,15 @@ def pagerank(
             ).alias("e")
         )
         .select("e.u", "e.v")
-        .localCheckpoint(eager=True)
+        .transform(stabilize)
     )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    ed = und.join(deg, "u").localCheckpoint(eager=True)
-    ndf = deg.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    ed = und.join(deg, "u").transform(stabilize)
+    ndf = deg.agg(F.count(F.lit(1)).alias("n")).transform(stabilize)
     ranks = (
         deg.crossJoin(broadcast(ndf))
         .select("u", F.expr(f"CAST({SCALE} AS BIGINT) div n").alias("r"))
-        .localCheckpoint(eager=True)
+        .transform(stabilize)
     )
     base_num = SCALE * 3 // 20
     for _ in range(iterations):
@@ -82,6 +86,6 @@ def pagerank(
                     f"CAST({base_num} AS BIGINT) div n + (17 * s) div 20"
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .transform(stabilize)
         )
     return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_int"))

@@ -13,7 +13,7 @@ d_in-dim column for candidate rows only**.
 
 100 TB plan: the index is a stored table in production (one per-row
 projection pass to build — zero shuffles, no training, no driver state;
-here an eager localCheckpoint stands in for the stored copy, so the plan
+here an eager stabilize() stands in for the stored copy, so the plan
 provably never touches the wide column during candidate scoring —
 pinned by tests/test_plans.py). Queries broadcast in both stages; the
 candidate set is (expand·k) rows per query, so the rerank is a
@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from dmshadoop_spark.functions.checkpoint import stabilize
 from dmshadoop_spark.functions.vectors import as_double, dot, norm_sq
 from dmshadoop_spark.similarity.sq8 import sq8_dequant, with_sq8
 from dmshadoop_spark.similarity.topk import local_topk
@@ -72,17 +73,17 @@ def jl_sq8_index(
 ) -> DataFrame:
     """(neighbor_id, codes, mn, scale) — the stored candidate index: JL
     projection SQ8-coded, d_out ints + two doubles per row. The eager
-    localCheckpoint materializes it once so downstream scoring plans scan
+    stabilize() materializes it once so downstream scoring plans scan
     the index, never the wide source column (a production run persists
     this as its own table; a cluster run that must survive executor loss
-    should use reliable .checkpoint() — localCheckpoint blocks are
-    executor-local)."""
+    sets sc.setCheckpointDir(...) — stabilize then upgrades to reliable
+    .checkpoint(); unset, it uses executor-local localCheckpoint)."""
     proj = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         jl_project(as_double(vec_col), d_in, d_out).alias("p"),
     )
     coded = with_sq8(proj, "p").drop("p")
-    return coded.localCheckpoint(eager=True) if checkpoint else coded
+    return stabilize(coded) if checkpoint else coded
 
 
 def jl_sq8_knn(
@@ -126,7 +127,7 @@ def jl_sq8_knn(
             "_qfull",
             jl_project(F.col("_qfull"), d_in, d_out).alias("_qp"),
         )
-        .localCheckpoint(eager=True)
+        .transform(stabilize)
     )
     qp = q.select(
         query_id_col,

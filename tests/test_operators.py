@@ -511,6 +511,43 @@ def test_widen_probe_estimates_without_rdd(spark, sf_dir):
     assert widen(mem) is mem
 
 
+def test_stabilize_reliable_checkpoint_switch(spark, tmp_path):
+    """functions/checkpoint.stabilize (round-8 verdict task 5): with no
+    checkpoint dir set it truncates lineage with executor-local
+    localCheckpoint; after sc.setCheckpointDir every stabilization site
+    upgrades to reliable .checkpoint() — blocks land in the dir, the
+    executor-loss-recoverable form — with identical results."""
+    from dmshadoop_spark.dedup import connected_components
+    from dmshadoop_spark.functions.checkpoint import stabilize
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    local_rows = {
+        (r["node"], r["comp"]) for r in connected_components(edges).collect()
+    }
+    ckpt = tmp_path / "ckpt"
+    try:
+        sc.setCheckpointDir(str(ckpt))
+        assert stabilize(spark.range(5)).count() == 5
+        # the reliable path actually wrote blocks to the dir
+        assert any(p.is_file() for p in ckpt.rglob("*"))
+        # an iterative operator routed through stabilize produces the
+        # same result under the reliable form
+        reliable_rows = {
+            (r["node"], r["comp"])
+            for r in connected_components(edges).collect()
+        }
+    finally:
+        # Option(null) → None resets the Scala-side checkpoint dir so the
+        # shared session leaves this test the way it entered
+        sc._jsc.sc().setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None
+    assert reliable_rows == local_rows
+
+
 def test_rows_only_queries_carry_digest(spark, sf_dir):
     """Policy gate: a registered query without a SQL oracle gets only a
     row-count check externally, so it MUST carry the constant content

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from dmshadoop_spark.catalog import load_table
+from dmshadoop_spark.functions.checkpoint import stabilize
 from dmshadoop_spark.dedup.components import connected_components
 from dmshadoop_spark.functions.text import (
     STOPWORDS,
@@ -385,7 +386,7 @@ def x13_pagerank(spark, sf_dir):
     pass a full value-hash oracle: the DuckDB side unrolls the identical
     three iterations declaratively, and integer sums cannot drift with
     reduction order. Per-iteration cost is one uniform node-id join + one
-    partial-aggregated sum; lineage localCheckpoints each round."""
+    partial-aggregated sum; lineage is stabilized each round."""
     from dmshadoop_spark.operators.pagerank import SCALE, pagerank
 
     pairs = x2_ngram_jaccard(spark, sf_dir)
@@ -5328,7 +5329,7 @@ def x36_quality_classifier(spark, sf_dir):
 
     Training is operators/logreg.py: the feature matrix (64 hashed token
     frequencies per doc) is built ONCE (one explode + two groupBys) and
-    localCheckpoint-ed after corpus-wide z-scoring (the conditioning fix
+    stabilize()-d after corpus-wide z-scoring (the conditioning fix
     that makes first-order GD converge — raw frequencies are tiny and
     near-collinear); each of the 12 full-batch GD iterations is one
     scan-local margin fold + one ≤ 64×partitions-row gradient exchange
@@ -5348,11 +5349,19 @@ def x36_quality_classifier(spark, sf_dir):
     100 TB plan: no per-row Python anywhere, no all-to-all; training cost
     is n_iter passes over a checkpointed projection of the corpus, the
     same shape MLlib's own LinearSVC/LogisticRegression aggregate uses.
+    Confusion row (round-8 verdict task 8): eval_tp/fp/tn/fn are the
+    eval split's exact confusion counts as constant columns — for a
+    quality gate the per-class error matters more than accuracy
+    (dropping good docs ≠ keeping bad ones), and a 0.93 accuracy on a
+    ~52% base rate could hide a collapsed minority class. The pytest
+    floor pins minority-class (y=0, "keep") eval recall ≥ 0.85
+    alongside the accuracy floor.
+
     Rows-only (iterative training has no SQL oracle); the digest column
-    pins labels, probabilities (6 dp), predictions, splits, and both
-    accuracy columns. ``pred`` derives from the same 6-dp-rounded
-    probability that is emitted, so the row is self-consistent at the
-    0.5 boundary."""
+    pins labels, probabilities (6 dp), predictions, splits, both
+    accuracy columns, and the eval confusion counts. ``pred`` derives
+    from the same 6-dp-rounded probability that is emitted, so the row
+    is self-consistent at the 0.5 boundary."""
     from dmshadoop_spark.functions.digest import with_sorted_digest
     from dmshadoop_spark.operators.logreg import (
         hashed_features,
@@ -5382,7 +5391,7 @@ def x36_quality_classifier(spark, sf_dir):
     feat, _mu, _sd = standardize(
         raw, "x", dim=64, stats_on=raw.filter(F.col("split") == "train")
     )
-    feat = feat.localCheckpoint(eager=True)
+    feat = stabilize(feat)
     train = feat.filter(F.col("split") == "train")
     weights, bias = train_logreg(train, "y", "x", dim=64, n_iter=12, lr=4.0)
     scored = score_logreg(feat, weights, bias)
@@ -5394,21 +5403,37 @@ def x36_quality_classifier(spark, sf_dir):
         (prob6 >= 0.5).cast("int").alias("pred"),
         "split",
     )
-    # Both accuracies are bounded driver scalars (2 rows) — exact integer
-    # counts divided once in IEEE, then attached as plan literals.
+    # Accuracies AND the eval confusion row are bounded driver scalars
+    # (2 rows × 6 exact integer counts) — attached as plan literals.
+    # The confusion counts are the production question for a quality
+    # gate (round-8 verdict task 8): dropping good docs (FN on the
+    # keep class) costs differently than keeping bad ones (FP), and a
+    # single accuracy on a ~52% base rate can hide either.
     acc_rows = out.groupBy("split").agg(
         F.sum((F.col("pred") == F.col("y")).cast("int")).alias("k"),
         F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("pred") == 1) & (F.col("y") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("pred") == 0) & (F.col("y") == 0)).cast("long")).alias("tn"),
+        F.sum(((F.col("pred") == 0) & (F.col("y") == 1)).cast("long")).alias("fn"),
     ).collect()
-    acc = {r["split"]: r["k"] / r["n"] for r in acc_rows}
+    by_split = {r["split"]: r for r in acc_rows}
+    acc = {s: r["k"] / r["n"] for s, r in by_split.items()}
     # groupBy emits no row for a missing split value, so a tiny or
     # nibble-skewed corpus would KeyError here (round-8 ADVICE 2) —
-    # emit an explicit NULL accuracy for an empty split instead.
-    out = out.withColumn(
-        "train_acc", F.lit(acc.get("train")).cast("double")
-    ).withColumn("eval_acc", F.lit(acc.get("eval")).cast("double"))
+    # emit an explicit NULL accuracy / zero confusion counts instead.
+    ev = by_split.get("eval")
+    out = (
+        out.withColumn("train_acc", F.lit(acc.get("train")).cast("double"))
+        .withColumn("eval_acc", F.lit(acc.get("eval")).cast("double"))
+        .withColumn("eval_tp", F.lit(ev["tp"] if ev else 0).cast("long"))
+        .withColumn("eval_fp", F.lit(ev["fp"] if ev else 0).cast("long"))
+        .withColumn("eval_tn", F.lit(ev["tn"] if ev else 0).cast("long"))
+        .withColumn("eval_fn", F.lit(ev["fn"] if ev else 0).cast("long"))
+    )
     return with_sorted_digest(
-        out, "doc_id", "y", "prob", "pred", "split", "train_acc", "eval_acc"
+        out, "doc_id", "y", "prob", "pred", "split", "train_acc", "eval_acc",
+        "eval_tp", "eval_fp", "eval_tn", "eval_fn",
     )
 
 
@@ -5630,12 +5655,12 @@ def x38_bigram_lm_score(spark, sf_dir):
     # CTE), V is a one-row broadcast scalar, and the probability is the
     # same IEEE division of exact integer counts as the literal path's.
     # The model is vocab-bounded (rows = distinct corpus bigrams), so the
-    # eager localCheckpoint materializes a SMALL table and collapses the
+    # eager stabilize materializes a SMALL table and collapses the
     # scoring plan to ONE corpus scan (without it the model's two agg
     # subtrees + V re-plan the tokenize scan — 5 corpus scans measured at
-    # the round-8 audit). Trade: localCheckpoint blocks live on executors,
-    # not reliable storage — a cluster run that must survive executor loss
-    # should set a checkpoint dir and use reliable .checkpoint() here.
+    # the round-8 audit). stabilize() picks the storage: reliable
+    # .checkpoint() when sc.setCheckpointDir(...) is set (survives
+    # executor loss), executor-local localCheckpoint otherwise.
     uc_df = bc_df.groupBy("w1").agg(F.sum("c").alias("u"))
     v_df = (
         toks.select(F.explode("t").alias("tk"))
@@ -5649,7 +5674,7 @@ def x38_bigram_lm_score(spark, sf_dir):
         bc_df.join(uc_df, ["w1"])
         .crossJoin(F.broadcast(v_df))
         .select("w1", "w2", pr.alias("pr"))
-        .localCheckpoint(eager=True)
+        .transform(stabilize)
     )
     # posexplode_outer keeps n<2 docs (one NULL-position row) so the
     # grouped result covers every document without a join back to toks;
@@ -5690,17 +5715,19 @@ def x38_bigram_lm_score(spark, sf_dir):
     )
 
 
-# x5 JL+SQ8 composition operating point (round-7 verdict task 4): project
+# x5 JL+SQ8 composition operating point (round-7 verdict task 4; recall
+# law re-measured round 9 per the round-8 verdict task 4): project
 # 64 -> 32 dims (halved scan width; JL distortion low enough for this
 # corpus's near-zero cosine margins), SQ8-code the projections (a further
 # 8x at rest), generate expand*k candidates per query, exact-rerank in 64
-# dims. Measured on the synthetic corpus (500 random vectors — the
-# HARDEST case for a contractive pre-filter, neighbors are barely closer
-# than the bulk): recall@5 0.800 at sf0.001 / 0.825 at sf0.01 with 80
-# candidates per query (16% of this corpus; the fraction shrinks as
-# N grows since the candidate count is fixed per query).
+# dims. The round-8 point FIXED expand=16 (80 candidates): recall@5
+# 0.800/0.825 at n=500 but 0.575 at n=2000 (sf0.1) — a fixed budget
+# decays with N on this margin-less random corpus. The measured law
+# (tools/jl_sq8_recall_probe.py; full curve in similarity/jl.auto_expand)
+# is constant candidate FRACTION ⇒ constant recall: at 25% the curve is
+# flat 0.875 / 0.925 / 0.875 across n=500/500/2000. expand="auto"
+# applies it; the pytest floor ≥ 0.8 now holds at the bench SF too.
 JL_SQ8_D_OUT = 32
-JL_SQ8_EXPAND = 16
 
 
 @query("x5_knn_jl_sq8")  # md5-derived projection + recall audit → rows-only
@@ -5713,8 +5740,11 @@ def x5_knn_jl_sq8(spark, sf_dir):
     expand·k survivors per query. Output is the x5_pq_recall discipline:
     per-query exact-top-5 hit counts plus the candidate-set size and
     corpus size, so the recall/reduction trade is digest-pinned and
-    auditable round over round (recall@5 0.800/0.825 at sf0.001/sf0.01,
-    80 candidates per query).
+    auditable round over round. expand="auto" applies the measured
+    constant-fraction recall law (similarity/jl.auto_expand — 25% of the
+    corpus as candidates): recall@5 0.875 at sf0.001, 0.925 at sf0.01,
+    0.875 at sf0.1, FLAT in N where the round-8 fixed-80 budget decayed
+    0.825 → 0.575.
 
     100 TB plan: the index build is one per-row projection (zero
     shuffles, no training, no driver state); candidate scoring reads
@@ -5747,7 +5777,7 @@ def x5_knn_jl_sq8(spark, sf_dir):
         emb,
         queries_df,
         k=5,
-        expand=JL_SQ8_EXPAND,
+        expand="auto",
         d_out=JL_SQ8_D_OUT,
     )
     hits = (

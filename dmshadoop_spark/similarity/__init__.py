@@ -1,4 +1,4 @@
-from dmshadoop_spark.similarity.jl import jl_project, jl_sq8_knn
+from dmshadoop_spark.similarity.jl import auto_expand, jl_project, jl_sq8_knn
 from dmshadoop_spark.similarity.kmeans import kmeans_centroids
 from dmshadoop_spark.similarity.knn import brute_force_knn, ivf_knn, lsh_knn
 from dmshadoop_spark.similarity.pq import (
@@ -11,6 +11,7 @@ from dmshadoop_spark.similarity.pq import (
 __all__ = [
     "brute_force_knn",
     "ivf_knn",
+    "auto_expand",
     "jl_project",
     "jl_sq8_knn",
     "kmeans_centroids",

@@ -718,31 +718,31 @@ def test_rows_only_digests_pinned(spark, sf_dir):
     from dmshadoop_spark.queries import aggregates, sinks
 
     pinned = {
-        "x2_minhash_lsh": 2083206873416195897,
+        "x2_minhash_lsh": -4451866062942984362,
         # re-pinned after the round-4 ADVICE hamming chunk-0 sign fix
         # (negative fingerprints now land in the correct bucket, so the
         # candidate set gained the sign-bit-differing pairs)
-        "x2_simhash": -8610181784620193394,
-        "x5_knn_lsh": 4804362156901170283,
-        "x5_knn_ivf": -5596109159452825782,
-        "x5_knn_ivf_trained": 6724519589122517787,
+        "x2_simhash": 5634871952523701006,
+        "x5_knn_lsh": 6684966133240233994,
+        "x5_knn_ivf": -6069897989754825905,
+        "x5_knn_ivf_trained": 4010603010530432115,
         # PQ ADC + exact rerank: codebook training, encode argmin, and
         # the top-k tie-breaks are all deterministic (similarity/pq.py)
-        "x5_knn_pq": 5931845717099081526,
+        "x5_knn_pq": 6015075922258279888,
         # IVF-PQ: coarse cells + residual codebooks, q·c + ADC scoring
-        "x5_knn_ivfpq": -4135324786616133961,
+        "x5_knn_ivfpq": 6424891436024041737,
         # PQ-family recall measurement: pins exact + flat/IVF-PQ sets at
         # BOTH codebook widths (measured at this pin, m=8: nbits=4 →
         # recall@5 0.675 flat / 0.55 IVF-PQ at nprobe 4; nbits=8 → 1.0
         # flat / 0.900 IVF-PQ at nprobe 8 + coarse_iters 4 — the
         # round-7 production point; sweep in the x5_pq_recall docstring)
-        "x5_pq_recall": -2865283919071571785,
+        "x5_pq_recall": 1009858562074280074,
         # ALL values below re-pinned once when with_sorted_digest moved
         # to the O(n) count+hash-sum form (round-7 sf1 probe finding:
         # the sorted-concat digest projection was O(n^2) per row) —
         # same row CONTENT everywhere, new combine formula.
         # codec round-trips: pixel pipelines are code-deterministic
-        "x6_png_roundtrip": -4562751537855592833,
+        "x6_png_roundtrip": 2378057155935711388,
         # Root cause of the round-5/round-7 pin flip-flopping
         # (3267694135184578302 vs -662191405487011748, each measured
         # "stably" in different sessions): the JPEG DCT/IDCT einsums ran
@@ -755,11 +755,11 @@ def test_rows_only_digests_pinned(spark, sf_dir):
         # invariant under OMP_NUM_THREADS=1/16 and
         # OPENBLAS_NUM_THREADS=2 and across local[8]/local[32] +
         # PYTHONHASHSEED 0/1/42 (tools/jpeg_digest_probe.py).
-        "x6_jpeg_roundtrip": 1307330621453647865,
-        "x21_dedup_incremental": 1288495461455244227,
+        "x6_jpeg_roundtrip": -3082455253893048038,
+        "x21_dedup_incremental": 26021813196804841,
         # image near-dup over sha256-pattern synth images (doc_id-pure):
         # exactly the 180 within-group variant pairs, hamming ≤ 3
-        "x28_image_neardup": -7221257309697734856,
+        "x28_image_neardup": -8031994509467616824,
     }
     at_default_sf = sf_dir.rstrip("/").endswith("sf0.001")
     for name, want in pinned.items():
@@ -2184,6 +2184,50 @@ def test_x35_semdedup_accounting_and_determinism(spark, sf_dir):
     assert rerun == digests
 
 
+def test_x2_df_cap_engages_and_is_accounted(spark, monkeypatch):
+    """Force JACCARD_DF_CAP low enough to ENGAGE (round-8 verdict task 2:
+    at every shipped SF the cap is pure headroom, so its drop semantics
+    were never exercised end-to-end): pairs sharing ONLY a hotter-than-cap
+    boilerplate shingle disappear, every pair sharing ANY sub-cap shingle
+    survives, and x2_cap_accounting reports exactly the drops."""
+    from dmshadoop_spark.queries import llm
+
+    # shingle census (3-grams, distinct per doc):
+    #   "the quick brown" (tqb) in docs 1-4 and 7          → df = 5 (hot)
+    #   "red green blue"  (rgb) in docs 5, 6, 7            → df = 3
+    #   "quick brown red" / "brown red green" (doc 7 only) → df = 1
+    rows = [
+        (1, "the quick brown"),
+        (2, "the quick brown"),
+        (3, "the quick brown"),
+        (4, "the quick brown"),
+        (5, "red green blue"),
+        (6, "red green blue"),
+        (7, "the quick brown red green blue"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(llm, "load_table", lambda s, sf, t: docs)
+    monkeypatch.setattr(llm, "JACCARD_DF_CAP", 3)
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in llm.x2_ngram_jaccard(spark, "ignored").collect()
+    }
+    # every pair sharing the sub-cap rgb shingle survives
+    assert set(pairs) == {(5, 6), (5, 7), (6, 7)}
+    assert pairs[(5, 6)] == 1.0          # identical single-shingle docs
+    assert pairs[(5, 7)] == 0.25         # 1 common / (1 + 4 - 1)
+    # pairs sharing ONLY the hot tqb shingle (e.g. 1-2, 1-7) are dropped —
+    # the documented recall bound — and the accounting row says exactly so
+    acct = llm.x2_cap_accounting(spark, "ignored").collect()[0]
+    assert acct["n_shingles"] == 4
+    assert acct["n_df1_dropped"] == 2    # the two doc-7-only shingles
+    assert acct["n_hot_dropped"] == 1    # tqb
+    assert acct["n_postings_dropped"] == 5
+    assert acct["max_df"] == 5
+    assert acct["df_cap"] == 3
+
+
 def test_semdedup_auto_k_bounded_cells():
     """The bounded-cell-size law (round-8 verdict task 1): auto-k grows
     WITH n so expected cell size never exceeds the target — the property
@@ -2229,12 +2273,27 @@ def test_x35b_semdedup_autok_runs_default_policy(spark, sf_dir):
     assert len(digests) == 1 and None not in digests
 
 
+def test_jl_sq8_auto_expand_law():
+    """auto_expand keeps the candidate FRACTION constant (the measured
+    recall law on the margin-less synthetic corpus): 25% of the corpus,
+    floored at expand 16."""
+    from dmshadoop_spark.similarity import auto_expand
+
+    assert auto_expand(500, 5) == 25     # 125 cands = 25%
+    assert auto_expand(2000, 5) == 100   # 500 cands = 25%
+    assert auto_expand(100, 5) == 16     # floor engages on tiny corpora
+    # fraction constant ⇒ expand linear in n
+    assert auto_expand(20_000, 5) == 10 * auto_expand(2_000, 5)
+
+
 def test_jl_sq8_knn_recall_floor_and_determinism(spark, sf_dir):
     """The composed JL(64→32)+SQ8 candidate stage with exact rerank must
-    keep recall@5 ≥ 0.8 at the production point (expand=16 → 80
-    candidates/query; measured 0.800 at sf0.001, 0.825 at sf0.01) and the
-    digest-pinned decision set must be stable across executions."""
+    keep recall@5 ≥ 0.8 at the auto operating point (25% candidate
+    fraction; measured 0.875 at sf0.001, 0.925 at sf0.01, 0.875 at
+    sf0.1) and the digest-pinned decision set must be stable across
+    executions."""
     from dmshadoop_spark.registry import QUERIES
+    from dmshadoop_spark.similarity import auto_expand
 
     rows = QUERIES["x5_knn_jl_sq8"](spark, sf_dir).collect()
     assert len(rows) == 8
@@ -2242,10 +2301,31 @@ def test_jl_sq8_knn_recall_floor_and_determinism(spark, sf_dir):
         r["n_exact"] for r in rows
     )
     assert recall >= 0.8, recall
-    assert all(r["n_candidates"] == 80 for r in rows)
+    want_cands = 5 * auto_expand(rows[0]["n_corpus"], 5)
+    assert all(r["n_candidates"] == want_cands for r in rows)
     assert all(r["n_corpus"] > r["n_candidates"] for r in rows)
     d1 = {r["digest"] for r in rows}
     d2 = {
         r["digest"] for r in QUERIES["x5_knn_jl_sq8"](spark, sf_dir).collect()
     }
     assert len(d1) == 1 and d1 == d2
+
+
+def test_jl_sq8_recall_floor_at_bench_sf(spark):
+    """The round-8 gap the auto law closes: at the bench SF (sf0.1,
+    n=2000) the old fixed-80 budget scored recall@5 0.575; the 25%
+    fraction must hold the ≥ 0.8 floor here too (measured 0.875)."""
+    import os
+
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 fixtures not present")
+    from dmshadoop_spark.registry import QUERIES
+
+    rows = QUERIES["x5_knn_jl_sq8"](spark, sf_dir).collect()
+    recall = sum(r["hits_jl_sq8"] for r in rows) / sum(
+        r["n_exact"] for r in rows
+    )
+    assert recall >= 0.8, recall

@@ -1097,7 +1097,7 @@ def test_mjpeg_features_bounded_error_and_digest(spark, sf_dir):
         assert abs(r["mean_r"] - gt[0]) < 1.0
         assert abs(r["mean_g"] - gt[1]) < 1.0
         assert abs(r["mean_b"] - gt[2]) < 1.0
-    assert rows[0]["digest"] == 2275623977220758253
+    assert rows[0]["digest"] == 5796452913402262970
 
 
 def test_real_flag_surface_matches_readme():
@@ -1185,6 +1185,19 @@ def test_quality_classifier_learns_and_is_deterministic(spark, sf_dir):
     # pred is derived from the SAME rounded prob that is emitted —
     # row-level self-consistency at the 0.5 boundary (round-7 ADVICE 3)
     assert all(r["pred"] == int(r["prob"] >= 0.5) for r in rows)
+    # Confusion row (round-8 verdict task 8): the emitted eval counts
+    # are exactly recomputable from the per-row output, and the
+    # minority class (y=0, the "keep" side a production gate must not
+    # collapse) keeps eval recall ≥ 0.85 (measured 0.92 at sf0.001,
+    # 0.933 at sf0.01).
+    r0 = rows[0]
+    assert r0["eval_tp"] == sum(1 for r in ev if r["pred"] == 1 and r["y"] == 1)
+    assert r0["eval_fp"] == sum(1 for r in ev if r["pred"] == 1 and r["y"] == 0)
+    assert r0["eval_tn"] == sum(1 for r in ev if r["pred"] == 0 and r["y"] == 0)
+    assert r0["eval_fn"] == sum(1 for r in ev if r["pred"] == 0 and r["y"] == 1)
+    assert r0["eval_tp"] + r0["eval_fp"] + r0["eval_tn"] + r0["eval_fn"] == len(ev)
+    minority_recall = r0["eval_tn"] / (r0["eval_tn"] + r0["eval_fp"])
+    assert minority_recall >= 0.85, minority_recall
 
 
 def test_bigram_lm_join_path_matches_literal(spark, sf_dir, monkeypatch):

@@ -55,12 +55,18 @@ HEADLINE = [
     "x33_video_neardup",       # MKV mux→demux→PNG decode→dHash→Jaccard
     # Round-7 addition: the SQ8 compressed ANN scan (JVM-only, one pass,
     # excluded from the comparable subtotal like the other late adds).
-    # The two iterative trainers added the same round (x35_semdedup,
-    # x36_quality_classifier) are deliberately NOT here: their wall time
-    # is driver-synchronized iteration rounds (Lloyd / GD), a job-count
-    # constant that would dominate the bench loop while measuring
-    # scheduler latency, not plan cost — pytest pins their runtime paths.
     "x5_knn_sq8",              # 8-bit quantized ADC scan + exact top-k
+    # Round-9 additions (round-8 verdict task 6): the operator tier whose
+    # regressions the next rounds most need to see. x36's wall time
+    # includes its 12 driver-synchronized GD rounds and x38's includes
+    # the strategy probe — a scheduler-latency component rides along,
+    # but a REGRESSION in either (an extra corpus scan, a lost
+    # checkpoint) still shows as a step change in the band, which is
+    # what surveillance is for. All three sit in `later_added`, so the
+    # 19-query comparable subtotal is untouched.
+    "x36_quality_classifier",  # hashed-BoW logreg: 12 GD rounds + score
+    "x38_bigram_lm_score",     # bigram LM train+score (two-strategy)
+    "x5_knn_jl_sq8",           # composed JL+SQ8 candidate gen + rerank
 ]
 
 
@@ -135,6 +141,7 @@ def main() -> None:
         "x24_extract_dispatch", "x28_image_neardup",
         "x32_audio_neardup", "x33_video_neardup",
         "x5_knn_sq8",
+        "x36_quality_classifier", "x38_bigram_lm_score", "x5_knn_jl_sq8",
     }
     shared = round(
         sum(t for n, t in timings.items() if n not in later_added), 4

@@ -66,7 +66,10 @@ def main(argv: list[str]) -> None:
     if ns.queries:
         names = ns.queries.split(",")
     else:
-        names = [n for n in bench.HEADLINE if n not in BOUNDED] + EXTRA
+        names = [n for n in bench.HEADLINE if n not in BOUNDED]
+        # EXTRA predates the round-9 HEADLINE additions — dedupe so a
+        # query promoted into HEADLINE isn't probed twice
+        names += [n for n in EXTRA if n not in names]
     spark = get_spark(app_name="dmshadoop-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -57,27 +57,29 @@ def load_all() -> None:
 # canaries. Everything not listed follows in registration order, so the
 # window rotates across rounds until every query has a confirmed row.
 #
-# ROUND-8 DECISION: CORRECTNESS_r07 ran 50/50 clean; cumulative coverage
-# closed the round-7 registry at 222/222 (tools/rotation.py, re-verified
-# this round). This window, regenerated from live state: 3 canaries +
-# the 2 round-8 registrations (x2_cap_accounting — the no-silent-caps
-# audit for the near-dup tier's df=1/df>cap drops, full value oracle;
-# x5_knn_jl_sq8 — the composed JL(64→32)+SQ8 candidate-generation /
-# exact-rerank ANN tier with a digest-pinned per-query recall audit,
-# rows-only) + 3 changed-this-round re-confirms (x38_bigram_lm_score —
-# scoring switched to the threshold-picked literal/join strategy, value
-# hash proven unchanged locally; x36_quality_classifier — held-out
-# md5-nibble evaluation added split/train_acc/eval_acc columns → new
-# digest; x37_jl_projection — the sign formula moved to similarity/jl.py,
-# hash re-verified) + the 42 OLDEST cumulative-green rows, which are
-# exactly the remaining round-3 vintage (tools/rotation.py oldest-first
-# selection: the T6/T7/T9 analyzer rows, the x3 quality tier, x10-x15,
-# w7-w9, st8-st10, sink family s6-s8/s10/s13/s14/s17, a8b/a10-a15/
-# a_pivot, u4, f13, j10, p3, x2c, x4_embedding_norm, x6_wav_features,
-# x8 — the round-3 tail retires this round the way round-7 retired the
-# round-2 tail). Still-unrotated r4+ vintage rows (x16/x17, x20-x23,
-# w10/w11, u5, s15/s16/s18/s19, a16, j11/j12, f14, st11-st14, x29-x31,
-# t8/t10/t11) are next round's fillers.
+# ROUND-9 DECISION: CORRECTNESS_r08 ran 50/50 clean; cumulative coverage
+# stands at 224/224 of the round-8 registry (tools/rotation.py,
+# re-verified at round-9 start: zero unconfirmed, zero stranded). This
+# window, regenerated from live state: 3 canaries + the round-9
+# registration (x35b_semdedup_autok — SemDeDup under the new
+# bounded-cell-size k="auto" default, rows-only) + 4 changed-this-round
+# re-confirms (x36_quality_classifier — eval confusion row added →
+# new digest; x5_knn_jl_sq8 — candidate budget switched to the measured
+# constant-fraction auto-expand law → new candidate sets;
+# x2_cap_accounting — two sums coalesced to match the oracle on
+# degenerate corpora, values unchanged at real SFs; x38_bigram_lm_score
+# — model table now routed through the stabilize() checkpoint switch,
+# values proven unchanged by the path-equivalence test) + the 42 OLDEST
+# cumulative-green rows (tools/rotation.py oldest-first: x9_decontaminate,
+# the one remaining r3-vintage row, then the entire 41-row round-4
+# vintage — approx sketches a7/a7b/a10b, a16, f14, j11/j12, the
+# s15/s16/s18/s19/s20 format/evolution sinks, s4, st11-st14 real-stream
+# rows, t8/t10/t11, u5, w10/w11, x16/x17, x18, x20-x23, x25/x26,
+# x2_minhash_lsh, x5_knn_lsh/ivf/ivf_trained, x6 codec rows
+# avi/g711/mp3/mp4/png). The remaining r5 vintage rotates next round.
+# x2c_dedup_components and x13_pagerank also changed paths this round
+# (stabilize()) but were re-validated in r8 and their path equivalence
+# is pytest-pinned; they rotate with the r5 tail.
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
 # before this window was handed to the driver.
 PRIORITY: list[str] = [
@@ -85,56 +87,56 @@ PRIORITY: list[str] = [
     "a6_q1_pricing_summary",
     "w1_latest_per_group",
     "x2_ngram_jaccard",
-    # round-8 registrations
-    "x2_cap_accounting",
-    "x5_knn_jl_sq8",
+    # round-9 registration
+    "x35b_semdedup_autok",
     # changed this round → re-confirm
-    "x38_bigram_lm_score",
     "x36_quality_classifier",
-    "x37_jl_projection",
-    # oldest-green re-validation: the entire round-3 tail (42 rows)
-    "a10_percentile",
-    "a11_histogram",
-    "a12_table_profile",
-    "a13_constraint_audit",
-    "a14_heavy_hitters",
-    "a15_mode_per_group",
-    "a8b_grouping_sets",
-    "a_pivot",
-    "f13_levenshtein",
-    "j10_fuzzy_join",
-    "p3_regex_predicate",
-    "s10_catalog_ddl",
-    "s13_bucketed_join",
-    "s14_zorder_layout",
-    "s17_incremental_rollup",
-    "s6_append_sink",
-    "s7_delete_sink",
-    "s8_overwrite_upsert",
-    "st10_foreach_batch_upsert",
-    "st8_interval_join",
-    "st9_dedup_within_watermark",
-    "t6_phrase_search",
-    "t7_boolean_search",
-    "t9_bm25_topk",
-    "u4_unpivot",
-    "w7_rolling_time_range",
-    "w8_gaps_islands",
-    "w9_funnel",
-    "x10_chunk_dedup",
-    "x11_stratified_sample",
-    "x12_domain_mix",
-    "x13_pagerank",
-    "x14_repetition_signals",
-    "x15_blocklist_scrub",
-    "x2c_dedup_components",
-    "x3_fingerprint",
-    "x3_lang_id",
-    "x3_quality_score",
-    "x3_token_count",
-    "x4_embedding_norm",
-    "x6_wav_features",
-    "x8_train_test_split",
+    "x5_knn_jl_sq8",
+    "x2_cap_accounting",
+    "x38_bigram_lm_score",
+    # oldest-green re-validation: the r3 orphan + the full round-4 tail
+    "x9_decontaminate",
+    "a10b_approx_percentile",
+    "a16_stat_moments",
+    "a7_approx_count_distinct",
+    "a7b_hll_sketch_union",
+    "f14_parse_url",
+    "j11_asof_forward",
+    "j12_interval_overlap_join",
+    "s15_orc_roundtrip",
+    "s16_csv_roundtrip",
+    "s18_schema_evolution",
+    "s19_nested_types",
+    "s20_compaction",
+    "s4_binary_ingest",
+    "st11_stream_stream_join",
+    "st12_stream_tumbling",
+    "st13_stream_sliding",
+    "st14_stream_session",
+    "t10_fuzzy_term",
+    "t11_field_scoped_search",
+    "t8_stemmed_lookup",
+    "u5_bag_set_ops",
+    "w10_gap_fill",
+    "w11_window_fn_suite",
+    "x16_pii_redact",
+    "x17_rare_token_filter",
+    "x18_triangle_count",
+    "x20_rag_chunking",
+    "x21_dedup_incremental",
+    "x22_ingest_decontam",
+    "x23_winnowing_fingerprint",
+    "x25_sequence_packing",
+    "x26_weighted_sample",
+    "x2_minhash_lsh",
+    "x5_knn_ivf",
+    "x5_knn_ivf_trained",
+    "x5_knn_lsh",
+    "x6_avi_frames",
+    "x6_g711_roundtrip",
+    "x6_mp3_meta",
+    "x6_mp4_frames",
+    "x6_png_roundtrip",
 ]
 
 

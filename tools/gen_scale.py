@@ -20,8 +20,21 @@ distort the workload):
   * embeddings: vectors np.roll by r (norm- and distribution-
     preserving, but distinct — no artificial cosine-1.0 clusters).
 
-Usage: python tools/gen_scale.py SRC_DIR DEST_DIR FACTOR
+--open-vocab (round-8 verdict task 2): the base corpus's ~25-word
+vocabulary SATURATES the 3-gram shingle space, so under plain scaling
+every shingle's df grows ∝ n and the inverted-index pair volume Σdf²
+measures quadratic — a fixture artifact, not a plan property (the
+round-8 probe's 2.63 exponent). With --open-vocab each replica r > 0
+tags every word with its replica id ("word~r"): token count, length,
+and within-replica frequency statistics are preserved, but shingles
+never cross replicas, so every shingle's df stays AT the base corpus's
+df no matter the factor — bounded df by construction, the open-vocab
+regime real web corpora live in. Pair volume then grows ∝ factor and
+the x2 exponent should measure ~1.
+
+Usage: python tools/gen_scale.py SRC_DIR DEST_DIR FACTOR [--open-vocab]
 e.g.:  python tools/gen_scale.py /root/testdata/sf0.1 /tmp/sf1 10
+       python tools/gen_scale.py /root/testdata/sf0.1 /tmp/sf1o 10 --open-vocab
 """
 
 from __future__ import annotations
@@ -56,7 +69,7 @@ def _shift_keys(tbl: pa.Table, keys: list[str], spans: dict[str, int],
     return tbl
 
 
-def _mutate_documents(tbl: pa.Table, r: int) -> pa.Table:
+def _mutate_documents(tbl: pa.Table, r: int, open_vocab: bool = False) -> pa.Table:
     if r == 0:
         return tbl
     rng = np.random.default_rng(42_000 + r)
@@ -68,6 +81,10 @@ def _mutate_documents(tbl: pa.Table, r: int) -> pa.Table:
             continue
         words = t.split(" ")
         rng.shuffle(words)
+        if open_vocab:
+            # replica-tagged tokens: shingles can never cross replicas,
+            # so df stays at the base corpus's level for any factor
+            words = [f"{w}~{r}" for w in words]
         out.append(" ".join(words))
     tbl = tbl.set_column(
         tbl.schema.get_field_index("text"), tbl.schema.field("text"),
@@ -97,7 +114,7 @@ def _mutate_embeddings(tbl: pa.Table, r: int) -> pa.Table:
     )
 
 
-def main(src: str, dest: str, factor: int) -> None:
+def main(src: str, dest: str, factor: int, open_vocab: bool = False) -> None:
     import os
 
     os.makedirs(dest, exist_ok=True)
@@ -115,7 +132,7 @@ def main(src: str, dest: str, factor: int) -> None:
         for r in range(factor):
             t = _shift_keys(base, keys, spans, r)
             if name == "documents":
-                t = _mutate_documents(t, r)
+                t = _mutate_documents(t, r, open_vocab)
             elif name == "embeddings":
                 t = _mutate_embeddings(t, r)
             replicas.append(t)
@@ -125,4 +142,5 @@ def main(src: str, dest: str, factor: int) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    args = [a for a in sys.argv[1:] if a != "--open-vocab"]
+    main(args[0], args[1], int(args[2]), "--open-vocab" in sys.argv[1:])

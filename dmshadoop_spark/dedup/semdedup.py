@@ -119,6 +119,15 @@ def blocked_cosine_pairs(
     )
 
 
+# Above this cell count the auto-k path switches assignment to the
+# vectorized einsum form (see semdedup() body). 32 is above every
+# pinned operating point that could reach the auto path (driver-SF
+# auto-k is 1) and below the first probed point where the literal path
+# already lost (k=40 at sf1: 149.5s vs 72s at k=8); explicit-k callers
+# (x35 k=8, IVF k=16, PQ codebooks k≤256) never see this constant.
+SEMDEDUP_VECTORIZED_MIN_K = 32
+
+
 def auto_k(n: int, target_cell_size: int = 500) -> int:
     """The bounded-cell-size law: k = ceil(n / target_cell_size).
 
@@ -164,15 +173,28 @@ def semdedup(
         F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
     ).withColumn("_nv", F.sqrt(norm_sq(F.col("_v"))))
 
+    vectorized: bool | None = None
     if k == "auto":
         # one bounded driver scalar (a count), same class as the
         # convergence checks the component loop already does
         k = auto_k(emb.count(), target_cell_size)
+        # the auto path OWNS its operating point, so it may flip the
+        # assignment to the vectorized einsum path once the literal
+        # path's interpreted zip_with folds (CodegenFallback — k·dim
+        # boxed ops per row) would dominate: the round-9 probe measured
+        # the literal path 2× SLOWER than fixed k=8 at k=40 and
+        # crawling at k=120. Explicit-k callers (the pinned x35 point)
+        # keep the default path pick — the two paths' float arithmetic
+        # differs, so pinned outputs must never flip.
+        vectorized = True if k > SEMDEDUP_VECTORIZED_MIN_K else None
 
     cents = kmeans_centroids(
-        emb, vec_col=vec_col, k=k, n_iter=n_iter, seed=seed, id_col=id_col
+        emb, vec_col=vec_col, k=k, n_iter=n_iter, seed=seed, id_col=id_col,
+        vectorized=vectorized,
     )
-    assigned = with_nearest_cell(base, "_v", cents, out_col="cell")
+    assigned = with_nearest_cell(
+        base, "_v", cents, out_col="cell", vectorized=vectorized
+    )
 
     spark = SparkSession.getActiveSession()
     cent_rows = [

@@ -5290,10 +5290,10 @@ def x35b_semdedup_autok(spark, sf_dir):
     policy (dedup/semdedup.auto_k: k = ceil(n / target_cell_size),
     target 500). This entry runs THAT default end-to-end so the driver
     checks the production operating point every window, while x35 keeps
-    the pinned explicit-k=8 reference point. At the test SFs auto-k
-    picks 1 cell (sf0.001, n=500) / 4 cells (sf0.01, n=2000) — small
+    the pinned explicit-k=8 reference point. At the driver SFs auto-k
+    picks 1 cell (n=500 embeddings at both sf0.001 and sf0.01) — small
     corpora legitimately cluster coarsely; the law matters at sf1+
-    where the probe re-measures the exponent (SCALE.md).
+    (n=20k+) where the probe re-measures the exponent (SCALE.md).
 
     Same rows-only digest contract as x35: the full per-embedding
     decision set (cell, component, centroid cosine, survivor flag) is

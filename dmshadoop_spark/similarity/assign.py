@@ -76,10 +76,30 @@ def _dist_chunks(
 
 
 def with_nearest_cell(
-    df: DataFrame, vec_col: str, cents: np.ndarray, out_col: str = "cell"
+    df: DataFrame,
+    vec_col: str,
+    cents: np.ndarray,
+    out_col: str = "cell",
+    vectorized: bool | None = None,
 ) -> DataFrame:
-    """Append the 1-based id of the nearest centroid (first-min tie-break)."""
-    if len(cents) <= LITERAL_MAX_CENTROIDS:
+    """Append the 1-based id of the nearest centroid (first-min tie-break).
+
+    ``vectorized`` overrides the k-threshold path pick: the literal
+    path's zip_with/aggregate HOFs are CodegenFallback — INTERPRETED,
+    boxed-double evaluation — so its per-row cost is k·dim interpreted
+    ops; fine at k ≤ ~32, it dominates the wall clock by k ≈ 100 (the
+    round-9 semdedup auto-k probe measured it). The einsum path is one
+    vectorized contraction per Arrow batch, O(1) plan size. The two
+    paths' float arithmetic differs (fold order vs matmul identity), so
+    a near-tie argmin can land differently — callers with PINNED outputs
+    must not flip paths (the default keeps today's threshold pick);
+    callers that OWN their operating point (semdedup k="auto") opt in."""
+    use_literal = (
+        len(cents) <= LITERAL_MAX_CENTROIDS
+        if vectorized is None
+        else not vectorized
+    )
+    if use_literal:
         staged = df.withColumn("_d", _dist_arr(F.col(vec_col), cents))
         return staged.withColumn(
             out_col,

@@ -38,11 +38,14 @@ def kmeans_centroids(
     n_iter: int = 5,
     seed: int = 42,
     id_col: str | None = None,
+    vectorized: bool | None = None,
 ) -> np.ndarray:
     """Train k centroids over ``df[vec_col]``; returns a (k, dim) array.
 
     Init = deterministic hash-ordered sample (matches ivf_knn's untrained
-    quantizer, so ``n_iter=0`` reproduces it exactly)."""
+    quantizer, so ``n_iter=0`` reproduces it exactly). ``vectorized``
+    is threaded to the assignment path pick (assign.with_nearest_cell's
+    docstring has the trade — don't flip it under pinned outputs)."""
     order = (
         [F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc()]
         if id_col
@@ -56,7 +59,9 @@ def kmeans_centroids(
     from dmshadoop_spark.similarity.assign import with_nearest_cell
 
     for _ in range(n_iter):
-        staged = with_nearest_cell(vecs.select("_v"), "_v", cents)
+        staged = with_nearest_cell(
+            vecs.select("_v"), "_v", cents, vectorized=vectorized
+        )
         # DECIMAL sum: double addition is order-dependent, so a plain
         # F.sum would make centroids (and every digest downstream of
         # them) depend on partitioning — the same bug class as the JPEG

@@ -39,13 +39,26 @@ def kmeans_centroids(
     seed: int = 42,
     id_col: str | None = None,
     vectorized: bool | None = None,
+    train_sample: int | None = None,
 ) -> np.ndarray:
     """Train k centroids over ``df[vec_col]``; returns a (k, dim) array.
 
     Init = deterministic hash-ordered sample (matches ivf_knn's untrained
     quantizer, so ``n_iter=0`` reproduces it exactly). ``vectorized``
     is threaded to the assignment path pick (assign.with_nearest_cell's
-    docstring has the trade — don't flip it under pinned outputs)."""
+    docstring has the trade — don't flip it under pinned outputs).
+
+    ``train_sample`` (opt-in; None = train on everything, today's
+    pinned behavior) bounds the TRAINING set to the first N rows of the
+    same seeded hash order the init uses — the faiss
+    max_points_per_centroid discipline (its default trains on ≤ 256·k
+    points). Lloyd's cost is n_iter passes over the training set, so a
+    bounded sample caps training at O(n_iter·sample·k·d) no matter the
+    corpus size; callers still assign the FULL corpus once with the
+    returned centroids. Deterministic: the sample is a prefix of a
+    seeded total order, so retraining reproduces identical centroids on
+    any partitioning. Changing a caller from None to a bound CHANGES
+    its centroids — never flip it under pinned outputs."""
     order = (
         [F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc()]
         if id_col
@@ -54,6 +67,12 @@ def kmeans_centroids(
     vecs = df.select(
         *( [F.col(id_col)] if id_col else [] ), as_double(vec_col).alias("_v")
     )
+    if train_sample is not None and train_sample > 0:
+        from dmshadoop_spark.functions.checkpoint import stabilize
+
+        # one global sort-limit (TakeOrderedAndProject), materialized so
+        # the n_iter Lloyd passes scan the bounded sample, not the corpus
+        vecs = stabilize(vecs.orderBy(*order).limit(train_sample))
     init_rows = vecs.orderBy(*order).limit(k).collect()
     cents = np.array([row["_v"] for row in init_rows], dtype=np.float64)
     from dmshadoop_spark.similarity.assign import with_nearest_cell

@@ -2228,6 +2228,48 @@ def test_x2_df_cap_engages_and_is_accounted(spark, monkeypatch):
     assert acct["df_cap"] == 3
 
 
+def test_semdedup_vectorized_branch_engages_and_is_deterministic(spark):
+    """The auto path flips assignment to the vectorized einsum form above
+    SEMDEDUP_VECTORIZED_MIN_K cells. Cross-path equality with the
+    literal form is deliberately NOT the contract — Lloyd amplifies
+    last-bit arithmetic differences at midpoint ties into different (but
+    equally valid) clusterings, which is exactly why pinned callers
+    never flip paths. What IS pinned: a tiny target_cell_size forces the
+    vectorized branch on 140 vectors, it runs end-to-end, repeats
+    bit-identically, and keeps every accounting invariant."""
+    from dmshadoop_spark.dedup import semdedup
+    from dmshadoop_spark.dedup.semdedup import SEMDEDUP_VECTORIZED_MIN_K, auto_k
+
+    rows = []
+    for i in range(140):
+        axis = i % 7
+        v = [0.0] * 8
+        v[axis] = 10.0
+        v[(axis + 1) % 8] = 0.01 * (i // 7)  # tiny within-cluster spread
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert auto_k(140, target_cell_size=2) > SEMDEDUP_VECTORIZED_MIN_K
+
+    def run():
+        return {
+            (r["vec_id"], r["cell"], r["component"],
+             r["cos_centroid"], r["keep"])
+            for r in semdedup(df, k="auto", target_cell_size=2,
+                              n_iter=3, seed=11, eps=0.9, shards=2).collect()
+        }
+
+    first = run()
+    assert len(first) == 140  # one decision row per embedding
+    assert first == run()     # vectorized path is deterministic
+    comp_cells: dict = {}
+    comp_keeps: dict = {}
+    for vid, cell, comp, _cos, keep in first:
+        comp_cells.setdefault(comp, set()).add(cell)
+        comp_keeps[comp] = comp_keeps.get(comp, 0) + bool(keep)
+    assert all(len(c) == 1 for c in comp_cells.values())
+    assert all(v == 1 for v in comp_keeps.values())
+
+
 def test_kmeans_train_sample_bounded_and_deterministic(spark):
     """Opt-in bounded-sample training (the faiss max_points_per_centroid
     discipline): cap ≥ n reproduces full training EXACTLY (the sample is

@@ -58,6 +58,14 @@ YARN_CONF: dict[str, str] = {
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.kryoserializer.buffer.max": "256m",
     # -- fault tolerance at scale ------------------------------------------
+    # Reliable checkpointing (functions/checkpoint.stabilize upgrades every
+    # iterative operator once sc.setCheckpointDir is set): without the
+    # cleaner, each Lloyd/propagation round leaves a full RDD copy in the
+    # checkpoint dir — x2c alone writes up to ~27 per call — and a long
+    # run fills the store (review finding). The cleaner deletes a
+    # checkpoint's files when its RDD is GC'd on the driver, i.e. as the
+    # iteration loop rebinds — exactly the lifecycle these loops have.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     "spark.stage.maxConsecutiveAttempts": "8",
     "spark.shuffle.io.maxRetries": "10",
     "spark.speculation": "true",  # tail-latency guard on 1000-node fleets

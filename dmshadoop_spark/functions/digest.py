@@ -58,8 +58,23 @@ def with_sorted_digest(df: DataFrame, *cols: str) -> DataFrame:
     first's): a drift must now cancel both sums simultaneously, ~2⁻¹²⁸
     for non-adversarial edits. Same O(n), same single window. The
     upgrade flipped every pinned digest constant — all re-measured in
-    the round-9 re-pin sweep (tools/digest_sweep.py)."""
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    the round-9 re-pin sweep (tools/digest_sweep.py).
+
+    NULL SAFETY (round-9 review finding): concat_ws silently DROPS null
+    fields, so (NULL, x) and (x, NULL) rows produced the same key —
+    distinct degenerate outputs could collide to one digest. Every
+    column is now coalesced to an explicit sentinel (U+2400 SYMBOL FOR
+    NULL — collides only if the data contains that literal string,
+    accepted odds for this gate) before joining, so null position is
+    part of the fingerprint. The flip was folded into the same round-9
+    re-pin sweep as the second seed."""
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\u2400"))
+            for c in cols
+        ],
+    )
     w = Window.partitionBy()
     return df.withColumn(
         "digest",

@@ -86,7 +86,13 @@ def jl_sq8_index(
     return stabilize(coded) if checkpoint else coded
 
 
-def auto_expand(n: int, k: int, frac: float = 0.25, floor: int = 16) -> int:
+def auto_expand(
+    n: int,
+    k: int,
+    frac: float = 0.25,
+    floor: int = 16,
+    max_cands: int = 262_144,
+) -> int:
     """The measured recall law for the candidate budget (round-8 verdict
     task 4): on THIS repo's synthetic corpus — uniform random vectors,
     the WORST case for any contractive pre-filter because cosine margins
@@ -101,12 +107,24 @@ def auto_expand(n: int, k: int, frac: float = 0.25, floor: int = 16) -> int:
     the honest default keeps a constant fraction: expand =
     max(floor, ceil(frac·n / k)). On margin-less data this is
     information-theoretically unavoidable — the approximate scores carry
-    too little signal to rank a o(n) candidate set reliably. REAL
+    too little signal to rank a o(n) candidate set reliably.
+
+    ``max_cands`` keeps the PLAN sane at production n (review finding):
+    an uncapped 25% of 10⁸ vectors would neutralize the local-topk
+    prune and push the per-query candidate set past Spark's broadcast
+    limits in the rerank. The ceiling (256k candidates/query ≈ a few MB
+    of (id, score) rows broadcast per query) restores the bounded-
+    candidate contract; past it, recall on margin-less data decays with
+    n/max_cands — that is the data's information limit, not a plan
+    defect, and no candidate-generation index can beat it. REAL
     embedding corpora are clustered (margins exist), where a fixed or
-    log-growing budget holds recall; callers with such data should pass
-    an explicit ``expand`` and re-measure with
-    tools/jl_sq8_recall_probe.py."""
-    return max(floor, -(-int(frac * n) // k))
+    log-growing budget holds recall — measured: the 50-cluster corpus
+    scores recall@5 = 1.0 at fixed expand=8 where the random corpus
+    gives 0.575 (test_jl_sq8_fixed_budget_holds_on_clustered_corpus);
+    callers with such data should pass an explicit ``expand`` and
+    re-measure with tools/jl_sq8_recall_probe.py."""
+    want = max(floor, -(-int(frac * n) // k))
+    return max(floor, min(want, max_cands // k))
 
 
 def jl_sq8_knn(

@@ -70,6 +70,13 @@ def kmeans_centroids(
     if train_sample is not None and train_sample > 0:
         from dmshadoop_spark.functions.checkpoint import stabilize
 
+        if train_sample < k:
+            raise ValueError(
+                f"train_sample={train_sample} < k={k}: the init draws k "
+                "seed centroids from the training set, so a smaller "
+                "sample would silently return fewer than k centroids"
+            )
+
         # one global sort-limit (TakeOrderedAndProject), materialized so
         # the n_iter Lloyd passes scan the bounded sample, not the corpus
         vecs = stabilize(vecs.orderBy(*order).limit(train_sample))

@@ -511,6 +511,27 @@ def test_widen_probe_estimates_without_rdd(spark, sf_dir):
     assert widen(mem) is mem
 
 
+def test_digest_distinguishes_null_position(spark):
+    """with_sorted_digest must fingerprint WHERE a null sits: concat_ws
+    drops null fields, so before the round-9 sentinel fix the rows
+    (NULL, 0.93) and (0.93, NULL) hashed identically — exactly the
+    degenerate-corpus outputs (one empty split ⇒ one NULL accuracy
+    column) the x36 guard emits."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+
+    a = spark.createDataFrame([(None, 0.93)], "x double, y double")
+    b = spark.createDataFrame([(0.93, None)], "x double, y double")
+    da = with_sorted_digest(a, "x", "y").collect()[0]["digest"]
+    db = with_sorted_digest(b, "x", "y").collect()[0]["digest"]
+    assert da != db
+    # and a true null still differs from the empty string
+    c = spark.createDataFrame([("", "0.93")], "x string, y string")
+    d = spark.createDataFrame([(None, "0.93")], "x string, y string")
+    dc = with_sorted_digest(c, "x", "y").collect()[0]["digest"]
+    dd = with_sorted_digest(d, "x", "y").collect()[0]["digest"]
+    assert dc != dd
+
+
 def test_stabilize_reliable_checkpoint_switch(spark, tmp_path):
     """functions/checkpoint.stabilize (round-8 verdict task 5): with no
     checkpoint dir set it truncates lineage with executor-local

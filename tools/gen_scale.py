@@ -25,12 +25,19 @@ vocabulary SATURATES the 3-gram shingle space, so under plain scaling
 every shingle's df grows ∝ n and the inverted-index pair volume Σdf²
 measures quadratic — a fixture artifact, not a plan property (the
 round-8 probe's 2.63 exponent). With --open-vocab each replica r > 0
-tags every word with its replica id ("word~r"): token count, length,
-and within-replica frequency statistics are preserved, but shingles
-never cross replicas, so every shingle's df stays AT the base corpus's
-df no matter the factor — bounded df by construction, the open-vocab
-regime real web corpora live in. Pair volume then grows ∝ factor and
-the x2 exponent should measure ~1.
+tags every word with its replica id ("word~r"): token COUNTS and
+within-replica frequency SHAPE are preserved, but shingles never cross
+replicas, so every shingle's df stays AT the base corpus's df no matter
+the factor — bounded df by construction, the open-vocab regime real web
+corpora live in. Pair volume then grows ∝ factor and the x2 exponent
+should measure ~1.
+
+NOT preserved under --open-vocab (review finding — scope the fixture to
+the DEDUP tier): tagged words leave the stopword dictionary (every
+replica>0 doc gets stopword_ratio 0, collapsing x36's labels and any
+stopword/length-derived quality stat) and grow ~2-3 chars. Probe
+x2/x35-family queries on *o fixtures; quality-tier scaling (x3/x36)
+belongs on the plain key-shifted fixtures.
 
 Usage: python tools/gen_scale.py SRC_DIR DEST_DIR FACTOR [--open-vocab]
 e.g.:  python tools/gen_scale.py /root/testdata/sf0.1 /tmp/sf1 10

@@ -38,18 +38,29 @@ from dmshadoop_spark.similarity.kmeans import kmeans_centroids  # noqa: E402
 
 
 def main(sf_dir: str, k_arg: str) -> None:
+    from dmshadoop_spark.dedup.semdedup import SEMDEDUP_VECTORIZED_MIN_K
+
     spark = get_spark(app_name="semdedup-stage-probe")
     spark.sparkContext.setLogLevel("ERROR")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
     k = auto_k(n) if k_arg == "auto" else int(k_arg)
+    # match production semdedup(k="auto") EXACTLY: the auto path flips to
+    # the vectorized assignment above the threshold, and the per-stage
+    # calls below must run the same code path the full run does (found in
+    # review: the first version resolved k to an int and measured the
+    # literal path production no longer runs for auto)
+    vectorized = (
+        True if k_arg == "auto" and k > SEMDEDUP_VECTORIZED_MIN_K else None
+    )
 
     out: dict = {"metric": "semdedup_stage_probe", "sf_dir": sf_dir,
-                 "n": n, "k": k}
+                 "n": n, "k": k, "vectorized": bool(vectorized)}
 
     t0 = time.perf_counter()
     cents = kmeans_centroids(
-        emb, vec_col="embedding", k=k, n_iter=4, seed=7, id_col="vec_id"
+        emb, vec_col="embedding", k=k, n_iter=4, seed=7, id_col="vec_id",
+        vectorized=vectorized,
     )
     out["train_s"] = round(time.perf_counter() - t0, 2)
 
@@ -57,7 +68,9 @@ def main(sf_dir: str, k_arg: str) -> None:
         F.col("vec_id").alias("_id"), as_double("embedding").alias("_v")
     ).withColumn("_nv", F.sqrt(norm_sq(F.col("_v"))))
     t0 = time.perf_counter()
-    assigned = with_nearest_cell(base, "_v", cents, out_col="cell")
+    assigned = with_nearest_cell(
+        base, "_v", cents, out_col="cell", vectorized=vectorized
+    )
     assigned.write.format("noop").mode("overwrite").save()
     out["assign_s"] = round(time.perf_counter() - t0, 2)
 
@@ -68,7 +81,8 @@ def main(sf_dir: str, k_arg: str) -> None:
     out["pairs_s"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    semdedup(emb, id_col="vec_id", vec_col="embedding", k=k,
+    semdedup(emb, id_col="vec_id", vec_col="embedding",
+             k="auto" if k_arg == "auto" else k,
              n_iter=4, seed=7, eps=0.35, shards=4).write.format(
         "noop").mode("overwrite").save()
     out["full_s"] = round(time.perf_counter() - t0, 2)

@@ -26,6 +26,14 @@ upgrades to the reliable form; leave it unset and the executor-local
 fast path is used. Results are identical either way — both forms
 materialize the same rows; only the storage (and recoverability) of the
 truncation point differs.
+
+Disk lifecycle on the reliable path: checkpoint files are NOT deleted
+by default when the RDD goes out of scope, and the iterative loops here
+write one per round (connected components: up to ~27 per call). Set
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` alongside the
+dir — deploy.YARN_CONF ships it — so files are reclaimed as each
+round's RDD is GC'd; otherwise budget the dir for (rounds × dataset)
+copies per job.
 """
 
 from __future__ import annotations

@@ -153,6 +153,8 @@ def semdedup(
     eps: float = 0.35,
     shards: int = 4,
     target_cell_size: int = 500,
+    assign: str = "exact",
+    assign_nprobe: int = 8,
 ) -> DataFrame:
     """Per-embedding SemDeDup decision:
     (id, cell, component, cos_centroid, keep) — ``keep`` marks the one
@@ -164,9 +166,25 @@ def semdedup(
     one bounded count() picks k = ceil(n / target_cell_size), so the
     intra-cell pair stage stays linear in corpus size instead of the
     O(n²/k) blow-up a fixed k gives. Pass an explicit int k to
-    reproduce a pinned operating point (x35 pins k=8)."""
+    reproduce a pinned operating point (x35 pins k=8).
+
+    ``assign="coarse"`` (opt-in; "exact" is the default and today's
+    pinned behavior) routes the FULL-CORPUS final assignment through the
+    two-level coarse-to-fine search (assign.with_nearest_cell_coarse,
+    nprobe=``assign_nprobe``) — the scale path for the one remaining
+    O(n·k·d) term when k itself is huge (n=10⁹ at target 500 ⇒ k=2M ⇒
+    exact assignment is 2M×dim flops PER ROW; coarse-to-fine is
+    ~√k/(1+nprobe) times less). Approximate: a row near a cell boundary
+    may land in a probed-set-local nearest cell instead of the global
+    one — for SemDeDup that only perturbs which block a boundary point
+    pairs within, the same trade the paper's own k-means already makes.
+    Training always uses the exact path (it runs on the bounded
+    train_sample at that scale — kmeans_centroids docstring)."""
     from dmshadoop_spark.dedup.components import connected_components
-    from dmshadoop_spark.similarity.assign import with_nearest_cell
+    from dmshadoop_spark.similarity.assign import (
+        with_nearest_cell,
+        with_nearest_cell_coarse,
+    )
     from dmshadoop_spark.similarity.kmeans import kmeans_centroids
 
     base = emb.select(
@@ -192,9 +210,14 @@ def semdedup(
         emb, vec_col=vec_col, k=k, n_iter=n_iter, seed=seed, id_col=id_col,
         vectorized=vectorized,
     )
-    assigned = with_nearest_cell(
-        base, "_v", cents, out_col="cell", vectorized=vectorized
-    )
+    if assign == "coarse":
+        assigned = with_nearest_cell_coarse(
+            base, "_v", cents, nprobe=assign_nprobe, out_col="cell"
+        )
+    else:
+        assigned = with_nearest_cell(
+            base, "_v", cents, out_col="cell", vectorized=vectorized
+        )
 
     spark = SparkSession.getActiveSession()
     cent_rows = [

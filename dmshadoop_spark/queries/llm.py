@@ -5311,6 +5311,42 @@ def x35b_semdedup_autok(spark, sf_dir):
     )
 
 
+@query("x35c_semdedup_coarse")  # iterative k-means training → rows-only
+def x35c_semdedup_coarse(spark, sf_dir):
+    """SemDeDup with the coarse-to-fine (IVF-style) final assignment —
+    the scale path for the one O(n·k·d) full-corpus term that remains
+    once training is sample-bounded and pair volume is cell-bounded: at
+    n=10⁹ under the bounded-cell-size law k=2M, so EXACT assignment
+    costs 2M×dim flops per row, while the two-level search
+    (assign.with_nearest_cell_coarse: rank C≈√k coarse cells, scan only
+    the fine centroids of the nprobe nearest) costs ~√k/(1+nprobe)
+    times less.
+
+    Operating point here: explicit k=8 (same clustering as the pinned
+    x35 reference — training is identical; only the final assignment
+    strategy differs), nprobe=2 of C=3 coarse cells, so the approximate
+    path GENUINELY engages at the driver SFs rather than degenerating
+    to a full probe. Approximation semantics: a boundary row may land
+    in a probed-set-local nearest cell — it then pairs within that
+    block, the same trade the paper's own k-means partitioning already
+    makes; at nprobe ≥ C the assignment is bit-identical to the exact
+    vectorized path (pytest-pinned). Deterministic: no RNG anywhere,
+    fixed-order einsum arithmetic, stable orderings — the digest pins
+    the full decision set for the rows-only driver check."""
+    from dmshadoop_spark.dedup import semdedup
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semdedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        k=8, n_iter=4, seed=7, eps=0.35, shards=4,
+        assign="coarse", assign_nprobe=2,
+    )
+    return with_sorted_digest(
+        out, "vec_id", "cell", "component", "cos_centroid", "keep"
+    )
+
+
 # Quality-classifier label threshold: stopword_ratio >= 0.06 splits the
 # synthetic corpus near 55/45 at every SF (the seed-label heuristic the
 # model distills). Deterministic — same integer-count division the

@@ -121,6 +121,170 @@ def with_nearest_cell(
     return df.withColumn(out_col, nearest(F.col(vec_col)))
 
 
+def coarse_quantize(
+    cents: np.ndarray, n_coarse: int | None = None, n_iter: int = 4
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Driver-side numpy Lloyd over the FINE centroid matrix — the
+    coarse level of a two-level (IVF-style) assignment.
+
+    The fine centroids are already driver state (k×dim — kmeans_centroids
+    returns them), so quantizing THEM needs no Spark stage: k is at most
+    a few million rows of dim doubles. Init is the deterministic strided
+    prefix of the index order (no RNG — same reproducibility contract as
+    kmeans_centroids' seeded-hash init); distances use the fixed-order
+    einsum identity (BLAS-free, bit-stable — see _dist_chunks); empty
+    coarse cells keep their previous centroid, matching the Spark Lloyd
+    loop's rule.
+
+    Returns ``(coarse_cents, perm, offs)``: the (C, dim) coarse centroid
+    matrix; ``perm``, the fine-centroid indices sorted by (coarse cell,
+    fine index) — stable, so within each cell fine ids ascend, which is
+    what makes the two-level argmin reproduce the exact path's first-min
+    tie-break; and ``offs`` (C+1,), cell c's members are
+    ``perm[offs[c]:offs[c+1]]``.
+    """
+    k = len(cents)
+    if n_coarse is None:
+        n_coarse = max(1, int(np.ceil(np.sqrt(k))))
+    n_coarse = min(n_coarse, k)
+    stride = max(1, k // n_coarse)
+    coarse = np.ascontiguousarray(cents[::stride][:n_coarse], dtype=np.float64)
+    cents64 = np.ascontiguousarray(cents, dtype=np.float64)
+    c_sq = (cents64 * cents64).sum(axis=1)
+    assign = np.zeros(k, dtype=np.int64)
+    for _ in range(n_iter + 1):  # final pass recomputes assign for the
+        # returned coarse set (update may have moved centroids)
+        xc = np.einsum("nd,kd->nk", cents64, coarse, optimize=False)
+        d2 = c_sq[:, None] - 2.0 * xc + (coarse * coarse).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        new = coarse.copy()
+        for c in range(len(coarse)):
+            members = cents64[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        if np.array_equal(new, coarse):
+            break
+        coarse = new
+    # final assignment must match the RETURNED coarse matrix
+    xc = np.einsum("nd,kd->nk", cents64, coarse, optimize=False)
+    d2 = c_sq[:, None] - 2.0 * xc + (coarse * coarse).sum(axis=1)[None, :]
+    assign = d2.argmin(axis=1)
+    perm = np.argsort(assign, kind="stable")
+    counts = np.bincount(assign, minlength=len(coarse))
+    offs = np.zeros(len(coarse) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return coarse, perm.astype(np.int64), offs
+
+
+def with_nearest_cell_coarse(
+    df: DataFrame,
+    vec_col: str,
+    cents: np.ndarray,
+    nprobe: int = 8,
+    n_coarse: int | None = None,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Two-level (coarse-to-fine, IVF-style) nearest-cell assignment —
+    the scale path for the one remaining O(n·k·d) full-corpus term when
+    k is itself huge (bounded-cell-size SemDeDup at n=10⁹ ⇒ k=2M).
+
+    Per row: rank the C ≈ √k coarse cells (fixed-order einsum, stable
+    argsort), then search ONLY the fine centroids belonging to the
+    ``nprobe`` nearest coarse cells. Cost per row falls from O(k·d) to
+    O((√k + nprobe·k/√k)·d) — ~√k/(1+nprobe) times less work.
+
+    APPROXIMATE unless ``nprobe >= C``: the true nearest fine centroid
+    can live in an unprobed coarse cell, exactly the IVF recall trade
+    ``ivf_knn`` already documents for queries. At ``nprobe >= C`` the
+    result is BIT-IDENTICAL to ``with_nearest_cell(vectorized=True)``
+    (same einsum distance arithmetic, same first-min-fine-id tie-break —
+    pinned by tests/test_dedup_similarity.py). Deterministic for any
+    nprobe: no RNG, fixed-order float arithmetic, stable ordering.
+
+    Never flip an exact caller to this path under pinned outputs; it is
+    the opt-in final-assignment strategy for callers that own their
+    operating point (semdedup(assign="coarse"))."""
+    coarse, perm, offs = coarse_quantize(cents, n_coarse=n_coarse)
+    spark = SparkSession.getActiveSession()
+    bc_fine = spark.sparkContext.broadcast(
+        np.ascontiguousarray(cents, dtype=np.float64)[perm]
+    )
+    bc_coarse = spark.sparkContext.broadcast(coarse)
+    bc_perm = spark.sparkContext.broadcast(perm)
+    bc_offs = spark.sparkContext.broadcast(offs)
+    n_take = min(nprobe, len(coarse))
+    # bound BOTH intermediates: the (rows, C) coarse block and the
+    # (rows-probing-c, members(c)) fine block of the hottest cell
+    max_group = int((offs[1:] - offs[:-1]).max()) if len(cents) else 1
+    widest = max(len(coarse), max_group, 1)
+
+    @F.pandas_udf("long")
+    def nearest2(v: pd.Series) -> pd.Series:
+        fine, crs = bc_fine.value, bc_coarse.value
+        perm_v, offs_v = bc_perm.value, bc_offs.value
+        c_sq = (crs * crs).sum(axis=1)
+        out = np.empty(len(v), dtype=np.int64)
+        step = max(1, _MAX_DIST_CELLS // widest)
+        for lo in range(0, len(v), step):
+            x = np.array(v.iloc[lo : lo + step].tolist(), dtype=np.float64)
+            x_sq = (x * x).sum(axis=1)
+            xc = np.einsum("nd,kd->nk", x, crs, optimize=False)
+            d2c = x_sq[:, None] - 2.0 * xc + c_sq[None, :]
+            order = np.argsort(d2c, axis=1, kind="stable")[:, :n_take]
+            best_d = np.full(len(x), np.inf)
+            best_id = np.zeros(len(x), dtype=np.int64)
+            for c in range(len(crs)):
+                glo, ghi = offs_v[c], offs_v[c + 1]
+                if glo == ghi:
+                    continue
+                mask = (order == c).any(axis=1)
+                if not mask.any():
+                    continue
+                xs = x[mask]
+                m = fine[glo:ghi]
+                xm = np.einsum("nd,kd->nk", xs, m, optimize=False)
+                d2 = (
+                    x_sq[mask][:, None]
+                    - 2.0 * xm
+                    + (m * m).sum(axis=1)[None, :]
+                )
+                # argmin's first occurrence = smallest fine id in the
+                # cell (perm is stable within cells); cross-cell ties
+                # break on fine id below — together, the exact path's
+                # global first-min tie-break
+                j = d2.argmin(axis=1)
+                dmin = d2[np.arange(len(xs)), j]
+                fid = perm_v[glo:ghi][j] + 1
+                bd, bi = best_d[mask], best_id[mask]
+                upd = (dmin < bd) | ((dmin == bd) & (fid < bi))
+                bd[upd] = dmin[upd]
+                bi[upd] = fid[upd]
+                best_d[mask] = bd
+                best_id[mask] = bi
+            # a row whose every probed coarse cell is EMPTY of fine
+            # members (possible when coarse Lloyd strands a cell) keeps
+            # the id-0 sentinel — resolve it with an exact full scan,
+            # first-min-by-fine-id on distance ties
+            unres = best_id == 0
+            if unres.any():
+                xs = x[unres]
+                xm = np.einsum("nd,kd->nk", xs, fine, optimize=False)
+                d2 = (
+                    x_sq[unres][:, None]
+                    - 2.0 * xm
+                    + (fine * fine).sum(axis=1)[None, :]
+                )
+                dmin = d2.min(axis=1)
+                fid_all = perm_v[None, :] + 1
+                best_id[unres] = np.where(
+                    d2 == dmin[:, None], fid_all, np.iinfo(np.int64).max
+                ).min(axis=1)
+            out[lo : lo + len(x)] = best_id
+        return pd.Series(out)
+
+    return df.withColumn(out_col, nearest2(F.col(vec_col)))
+
+
 def with_probe_cells(
     df: DataFrame,
     vec_col: str,

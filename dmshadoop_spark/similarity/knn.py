@@ -197,6 +197,8 @@ def ivf_knn(
     nprobe: int = 4,
     seed: int = 42,
     train_iters: int = 0,
+    coarse_index_assign: bool = False,
+    coarse_index_nprobe: int = 8,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into `n_centroids` cells,
     probe each query's `nprobe` nearest cells, exact-rerank candidates.
@@ -213,9 +215,25 @@ def ivf_knn(
     Catalyst expression tree (round-3 VERDICT). Expected candidates per
     query: |corpus| * nprobe / n_centroids; the cell id is the only join
     key, so the corpus never shuffles on anything wider than one int.
+
+    ``coarse_index_assign`` (opt-in; False is today's pinned behavior)
+    routes the INDEX-side corpus→cell assignment through the two-level
+    coarse-to-fine search (assign.with_nearest_cell_coarse, probing
+    ``coarse_index_nprobe`` of the ~√n_centroids coarse cells) — the
+    scale path when the cell count is itself production-sized (n=10⁹ at
+    the √n rule ⇒ 32k-64k cells, where exact assignment is an O(n·k·d)
+    index-build pass; the faiss analogue is the HNSW coarse quantizer).
+    Approximate: a corpus vector near a cell boundary may be filed in a
+    probed-set-local nearest cell — queries that probe THAT cell still
+    find it, so the recall perturbation is bounded by the same boundary
+    geometry the probe trade already accepts. At
+    ``coarse_index_nprobe ≥ √n_centroids`` assignment is bit-identical
+    to the exact path (pytest-pinned); never flip it under pinned
+    outputs.
     """
     from dmshadoop_spark.similarity.assign import (
         with_nearest_cell,
+        with_nearest_cell_coarse,
         with_probe_cells,
     )
 
@@ -248,7 +266,13 @@ def ivf_knn(
         )
         cents_np = np.array([row["_v"] for row in cents], dtype=np.float64)
 
-    c_cells = with_nearest_cell(corpus2, "_v", cents_np, out_col="cell")
+    if coarse_index_assign:
+        c_cells = with_nearest_cell_coarse(
+            corpus2, "_v", cents_np, nprobe=coarse_index_nprobe,
+            out_col="cell",
+        )
+    else:
+        c_cells = with_nearest_cell(corpus2, "_v", cents_np, out_col="cell")
     q_staged = queries.select(
         F.col(query_id_col), as_double(query_vec_col).alias("_qv")
     ).select(query_id_col, "_qv", F.sqrt(norm_sq(F.col("_qv"))).alias("_nq"))

@@ -2445,3 +2445,218 @@ def test_jl_sq8_recall_floor_at_bench_sf(spark):
         r["n_exact"] for r in rows
     )
     assert recall >= 0.8, recall
+
+
+def test_coarse_quantize_partitions_all_fine_centroids():
+    """coarse_quantize's (perm, offs) must be a partition of the fine
+    ids — every fine centroid in exactly one coarse cell — with fine
+    ids ASCENDING within each cell (the property the two-level argmin's
+    first-min tie-break relies on)."""
+    import numpy as np
+
+    from dmshadoop_spark.similarity.assign import coarse_quantize
+
+    cents = np.array(
+        [[float((i * 13 + j * 5) % 17) for j in range(6)] for i in range(40)]
+    )
+    coarse, perm, offs = coarse_quantize(cents)
+    assert coarse.shape[1] == 6
+    assert len(coarse) == int(np.ceil(np.sqrt(40)))
+    assert sorted(perm.tolist()) == list(range(40))
+    assert offs[0] == 0 and offs[-1] == 40
+    for c in range(len(coarse)):
+        members = perm[offs[c] : offs[c + 1]].tolist()
+        assert members == sorted(members)
+    # deterministic — same input, same structure
+    c2, p2, o2 = coarse_quantize(cents)
+    assert np.array_equal(coarse, c2)
+    assert np.array_equal(perm, p2)
+    assert np.array_equal(offs, o2)
+
+
+def test_coarse_assignment_full_probe_bit_identical(spark):
+    """At nprobe >= C the two-level search considers every fine centroid
+    with the SAME fixed-order einsum arithmetic and the same
+    first-min-fine-id tie-break as the exact vectorized path — the
+    assignment must be bit-identical, including on deliberate exact
+    distance ties."""
+    import numpy as np
+
+    from dmshadoop_spark.similarity.assign import (
+        coarse_quantize,
+        with_nearest_cell,
+        with_nearest_cell_coarse,
+    )
+
+    cents = np.array(
+        [[float((i * 7 + j * 3) % 11) for j in range(4)] for i in range(40)]
+    )
+    # centroids 0 and 20 coincide → every row is an exact tie between
+    # fine ids 1 and 21; first-min must pick 1 on both paths
+    cents[20] = cents[0]
+    rows = [
+        (i, [float((i * 5 + j) % 9) + 0.25 for j in range(4)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n_coarse = len(coarse_quantize(cents)[0])
+    exact = {
+        r["vec_id"]: r["cell"]
+        for r in with_nearest_cell(
+            df, "embedding", cents, vectorized=True
+        ).collect()
+    }
+    two_level = {
+        r["vec_id"]: r["cell"]
+        for r in with_nearest_cell_coarse(
+            df, "embedding", cents, nprobe=n_coarse
+        ).collect()
+    }
+    assert exact == two_level
+    # the planted tie must resolve to the FIRST minimal fine id on the
+    # two-level path, same as exact's array_position/argmin rule
+    assert all(c != 21 for c in two_level.values())
+
+
+def test_coarse_assignment_agrees_on_separated_clusters(spark):
+    """On well-separated clusters even nprobe=1 must reproduce the exact
+    assignment — the clustered-data regime where the coarse level is
+    near-free; and the approximate path must be deterministic across
+    executions and partitionings."""
+    import numpy as np
+
+    from dmshadoop_spark.similarity.assign import (
+        with_nearest_cell,
+        with_nearest_cell_coarse,
+    )
+
+    # 36 fine centroids in 6 tight groups on orthogonal axes
+    cents = np.zeros((36, 8))
+    for i in range(36):
+        cents[i, i % 6] = 50.0
+        cents[i, 6] = 0.1 * (i // 6)
+    rows = []
+    for i in range(240):
+        v = [0.0] * 8
+        v[i % 6] = 50.0
+        v[6] = 0.1 * ((i // 6) % 6) + 0.03
+        v[7] = 0.001 * i  # unique, keeps rows distinct
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        r["vec_id"]: r["cell"]
+        for r in with_nearest_cell(
+            df, "embedding", cents, vectorized=True
+        ).collect()
+    }
+    probe1 = {
+        r["vec_id"]: r["cell"]
+        for r in with_nearest_cell_coarse(
+            df, "embedding", cents, nprobe=1
+        ).collect()
+    }
+    assert exact == probe1
+    rerun = {
+        r["vec_id"]: r["cell"]
+        for r in with_nearest_cell_coarse(
+            df.repartition(7), "embedding", cents, nprobe=1
+        ).collect()
+    }
+    assert probe1 == rerun
+
+
+def test_semdedup_coarse_assign_end_to_end(spark):
+    """semdedup(assign="coarse") on the planted corpus: same semantic
+    groups, survivor rule, and accounting invariants as the exact path
+    (on well-separated planted clusters the coarse assignment IS the
+    exact one), and deterministic across executions."""
+    from dmshadoop_spark.dedup import semdedup
+
+    rows = [
+        (0, [1.0, 0.02, 0.0, 0.0]),
+        (1, [1.0, 0.00, 0.0, 0.0]),
+        (2, [1.0, -0.02, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.01]),
+        (4, [0.0, 0.0, 1.0, -0.01]),
+        (5, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run():
+        return {
+            (r["vec_id"], r["cell"], r["component"],
+             r["cos_centroid"], r["keep"])
+            for r in semdedup(
+                df, k=3, n_iter=3, seed=7, eps=0.95, shards=2,
+                assign="coarse", assign_nprobe=1,
+            ).collect()
+        }
+
+    first = run()
+    assert first == run()
+    by_id = {t[0]: t for t in first}
+    assert len(first) == 6
+    assert len({by_id[i][2] for i in (0, 1, 2)}) == 1
+    assert len({by_id[i][2] for i in (3, 4)}) == 1
+    assert by_id[5][2] != by_id[0][2]
+    keeps = [t[0] for t in first if t[4]]
+    assert len(keeps) == 3  # one survivor per group + the singleton
+
+
+def test_x35c_semdedup_coarse_runs_and_is_stable(spark, sf_dir):
+    """The driver entry: coarse final assignment at nprobe=2 of C=3 (the
+    approximate path genuinely engaged), one decision row per embedding,
+    one survivor per component, components never span cells, digest
+    stable across executions."""
+    from dmshadoop_spark.queries.llm import x35c_semdedup_coarse
+
+    rows = x35c_semdedup_coarse(spark, sf_dir).collect()
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_emb
+    comp_cells: dict = {}
+    comp_keeps: dict = {}
+    for r in rows:
+        comp_cells.setdefault(r["component"], set()).add(r["cell"])
+        comp_keeps[r["component"]] = (
+            comp_keeps.get(r["component"], 0) + bool(r["keep"])
+        )
+    assert all(len(c) == 1 for c in comp_cells.values())
+    assert all(v == 1 for v in comp_keeps.values())
+    rerun = {r["digest"] for r in x35c_semdedup_coarse(spark, sf_dir).collect()}
+    assert {r["digest"] for r in rows} == rerun
+
+
+def test_ivf_coarse_index_assign_matches_exact_on_separated_data(spark):
+    """coarse_index_assign=True (the two-level index-side assignment)
+    must reproduce the default path's exact top-k on well-separated
+    data, both at a full coarse probe (assignment provably identical)
+    and at coarse_index_nprobe=1 (the clustered regime where the coarse
+    level is near-free)."""
+    import numpy as np
+
+    from dmshadoop_spark.similarity.knn import ivf_knn
+
+    # 8 well-separated clusters of 25 on orthogonal axes
+    rows = []
+    for i in range(200):
+        v = [0.0] * 16
+        v[i % 8] = 40.0
+        v[8 + (i % 8)] = 0.05 * (i // 8)  # within-cluster spread
+        rows.append((i, v))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qrows = [(j, rows[j * 31][1]) for j in range(6)]
+    queries = spark.createDataFrame(qrows, "query_id long, q_emb array<double>")
+
+    def run(**kw):
+        return {
+            (r["query_id"], r["neighbor_id"], round(r["cosine"], 9))
+            for r in ivf_knn(
+                corpus, queries, k=5, n_centroids=16, nprobe=4, **kw
+            ).collect()
+        }
+
+    base = run()
+    full_probe = run(coarse_index_assign=True, coarse_index_nprobe=16)
+    assert base == full_probe
+    probe1 = run(coarse_index_assign=True, coarse_index_nprobe=1)
+    assert base == probe1

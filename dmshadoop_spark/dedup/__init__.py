@@ -17,7 +17,12 @@ from dmshadoop_spark.dedup.imagehash import (
     image_neardup_pairs,
 )
 from dmshadoop_spark.dedup.components import connected_components, dedup_survivors
-from dmshadoop_spark.dedup.semdedup import auto_k, blocked_cosine_pairs, semdedup
+from dmshadoop_spark.dedup.semdedup import (
+    auto_k,
+    blocked_cosine_pairs,
+    semdedup,
+    semdedup_ingest,
+)
 from dmshadoop_spark.dedup.minhash import (
     minhash_incremental_pairs,
     minhash_index,
@@ -40,6 +45,7 @@ __all__ = [
     "dedup_survivors",
     "auto_k",
     "semdedup",
+    "semdedup_ingest",
     "minhash_incremental_pairs",
     "minhash_index",
     "minhash_lsh_pairs",

@@ -119,6 +119,143 @@ def blocked_cosine_pairs(
     )
 
 
+def semdedup_ingest(
+    existing: DataFrame,
+    batch: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.35,
+    shards: int = 4,
+) -> DataFrame:
+    """At-ingest semantic dedup: decide each NEW embedding against a
+    frozen quantizer and the existing survivor set — the semantic twin
+    of the MinHash dedup-at-ingest tier (x21), for corpora that arrive
+    continuously instead of being deduped once.
+
+    ``existing`` holds the kept docs so far (id + vector), ``cents`` is
+    the frozen centroid matrix they were assigned under (production
+    practice: retrain rarely, assign always — retraining per batch
+    would reshuffle every historical cell). Returns one decision row
+    per BATCH doc: (id, cell, component, cos_centroid, anchored, keep).
+
+    Semantics (deterministic, order-free within the batch):
+      1. ANCHOR — a new doc within ``eps`` cosine of ANY existing
+         survivor in its cell is anchored: its semantic content is
+         already represented.
+      2. COMPONENT — new-new pairs within cells (the same triangle-
+         sharded exact pair stage the batch path uses) form connected
+         components among the batch docs.
+      3. DECIDE — a component with ≥1 anchored member keeps NOTHING
+         (transitively duplicate of existing content); an unanchored
+         component keeps exactly one survivor — lowest cosine to its
+         cell centroid, id tie-break (the paper's rule); unanchored
+         singletons keep themselves.
+
+    Re-ingesting an already-ingested batch therefore keeps zero docs
+    (every doc anchors on its own survivor) — the idempotence test
+    pins it. Ids must be globally unique across existing and batch.
+
+    100 TB shape: the anchor check is an equi-join on (cell, salt) —
+    the EXISTING side (the big one) never replicates; the batch side
+    replicates ``shards``× to meet every existing salt, so a hot cell's
+    join fan-in shrinks shards× exactly like the pair stage's triangle
+    shards. Anchors aggregate to a distinct id set before touching the
+    component stage. Nothing recomputes over history beyond one
+    assignment scan of the existing survivors (id, cell) — and a caller
+    that persisted cell at ingest time can pass it pre-assigned via a
+    ``cell`` column to skip even that (detected below)."""
+    from dmshadoop_spark.dedup.components import connected_components
+    from dmshadoop_spark.similarity.assign import with_nearest_cell
+
+    def prep(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            as_double(vec_col).alias("_v"),
+            *([F.col("cell")] if "cell" in df.columns else []),
+        ).withColumn("_nv", F.sqrt(norm_sq(F.col("_v"))))
+        if "cell" not in df.columns:
+            base = with_nearest_cell(base, "_v", cents, out_col="cell")
+        return base
+
+    ex = prep(existing)
+    nb = prep(batch)
+
+    # ANCHOR: salted cell-join — existing stays put, batch replicates
+    ex_s = ex.withColumn(
+        "_salt", F.pmod(F.xxhash64("_id"), F.lit(shards)).cast("int")
+    )
+    nb_s = nb.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(shards - 1)).cast("array<int>")),
+    )
+    anchored_ids = (
+        nb_s.alias("n")
+        .join(ex_s.alias("e"), ["cell", "_salt"])
+        .where(
+            dot(F.col("n._v"), F.col("e._v"))
+            / (F.col("n._nv") * F.col("e._nv"))
+            >= F.lit(eps)
+        )
+        .select(F.col("n._id").alias("_id"))
+        .distinct()
+    )
+
+    # COMPONENT: new-new pairs within cells, exact triangle-sharded
+    pairs = blocked_cosine_pairs(nb, "cell", "_id", "_v", eps, shards)
+    comps = connected_components(pairs, src="vec_a", dst="vec_b")
+
+    spark = SparkSession.getActiveSession()
+    cent_rows = [
+        (i + 1, [float(x) for x in c], float(np.sqrt((c * c).sum())))
+        for i, c in enumerate(cents)
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cell long, cent array<double>, ncent double"
+    )
+    staged = (
+        nb.join(broadcast(cent_df), "cell")
+        .select(
+            "_id",
+            "cell",
+            (
+                dot(F.col("_v"), F.col("cent"))
+                / (F.col("_nv") * F.col("ncent"))
+            ).alias("cos_centroid"),
+        )
+        .join(comps.select(F.col("node").alias("_id"), "comp"), "_id", "left")
+        .join(
+            anchored_ids.withColumn("_anch", F.lit(True)), "_id", "left"
+        )
+        .select(
+            "_id",
+            "cell",
+            F.coalesce("comp", F.col("_id")).alias("component"),
+            F.round("cos_centroid", 6).alias("cos_centroid"),
+            F.coalesce("_anch", F.lit(False)).alias("_anch"),
+        )
+    )
+    # DECIDE: anchored components keep nothing; unanchored keep one
+    comp_anchored = staged.groupBy("component").agg(
+        F.max("_anch").alias("anchored")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.asc("cos_centroid"), F.asc("_id")
+    )
+    return (
+        staged.join(comp_anchored, "component")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            "component",
+            "cos_centroid",
+            "anchored",
+            ((F.col("_rn") == 1) & ~F.col("anchored")).alias("keep"),
+        )
+    )
+
+
 # Above this cell count the auto-k path switches assignment to the
 # vectorized einsum form (see semdedup() body). 32 is above every
 # pinned operating point that could reach the auto path (driver-SF

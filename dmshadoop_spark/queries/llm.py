@@ -5347,6 +5347,61 @@ def x35c_semdedup_coarse(spark, sf_dir):
     )
 
 
+@query("x35d_semdedup_ingest")  # iterative k-means training → rows-only
+def x35d_semdedup_ingest(spark, sf_dir):
+    """At-ingest semantic dedup (dedup/semdedup.semdedup_ingest) — the
+    semantic twin of x21_dedup_incremental's MinHash-at-ingest: a
+    production corpus arrives continuously, so each new batch must be
+    decided against a FROZEN quantizer and the existing survivor set
+    without recomputing history. Semantics: a new doc within eps of any
+    existing survivor in its cell is ANCHORED (content already
+    represented); new-new pairs form components; anchored components
+    keep nothing, unanchored components keep one (lowest centroid
+    cosine — the paper's rule).
+
+    Setup here: the md5-nibble split sends ~75% of embeddings to the
+    "existing" corpus (same determinism device as x8/x36's splits),
+    which is deduped by the pinned batch path (k=8 — training the
+    frozen quantizer); the remaining ~25% arrive as the ingest batch.
+
+    100 TB plan: the anchor check is a salted equi-join on (cell, salt)
+    where the EXISTING side (the big one) never replicates — the batch
+    side replicates shards× — and anchors collapse to a distinct id set
+    before the component stage; history is touched by exactly one
+    assignment scan (or zero, when cells were persisted at ingest).
+    Rows-only digest pins the full batch decision set."""
+    from dmshadoop_spark.dedup import semdedup, semdedup_ingest
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+    from dmshadoop_spark.similarity.kmeans import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nib = F.substring(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 1
+    )
+    is_batch = nib.isin("c", "d", "e", "f")  # ~25% arrive later
+    existing_all = emb.where(~is_batch)
+    batch = emb.where(is_batch)
+    cents = kmeans_centroids(
+        existing_all, vec_col="embedding", k=8, n_iter=4, seed=7,
+        id_col="vec_id",
+    )
+    decided = semdedup(
+        existing_all, id_col="vec_id", vec_col="embedding",
+        k=8, n_iter=4, seed=7, eps=0.35, shards=4,
+    )
+    survivors = existing_all.join(
+        decided.where("keep").select("vec_id"), "vec_id"
+    )
+    out = semdedup_ingest(
+        survivors, batch, cents, id_col="vec_id", vec_col="embedding",
+        eps=0.35, shards=4,
+    )
+    return with_sorted_digest(
+        out, "vec_id", "cell", "component", "cos_centroid", "anchored",
+        "keep",
+    )
+
+
 # Quality-classifier label threshold: stopword_ratio >= 0.06 splits the
 # synthetic corpus near 55/45 at every SF (the seed-label heuristic the
 # model distills). Deterministic — same integer-count division the

@@ -79,10 +79,11 @@ def load_all() -> None:
 # avi/g711/mp3/mp4/png). The remaining r5 vintage rotates next round.
 # x2c_dedup_components and x13_pagerank also changed paths this round
 # (stabilize()) but were re-validated in r8 and their path equivalence
-# is pytest-pinned; they rotate with the r5 tail. Late-round-9 addition:
-# x35c_semdedup_coarse (the coarse-to-fine final-assignment tier) takes
-# the window slot x6_png_roundtrip held — png is cumulative-green (r4)
-# and rotates with the r5 tail next round.
+# is pytest-pinned; they rotate with the r5 tail. Late-round-9 additions:
+# x35c_semdedup_coarse (the coarse-to-fine final-assignment tier) and
+# x35d_semdedup_ingest (at-ingest semantic dedup) take the window slots
+# x6_png_roundtrip and x6_mp4_frames held — both cumulative-green (r4)
+# and rotating with the r5 tail next round.
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
 # before this window was handed to the driver.
 PRIORITY: list[str] = [
@@ -93,6 +94,7 @@ PRIORITY: list[str] = [
     # round-9 registrations
     "x35b_semdedup_autok",
     "x35c_semdedup_coarse",
+    "x35d_semdedup_ingest",
     # changed this round → re-confirm
     "x36_quality_classifier",
     "x5_knn_jl_sq8",
@@ -139,7 +141,6 @@ PRIORITY: list[str] = [
     "x6_avi_frames",
     "x6_g711_roundtrip",
     "x6_mp3_meta",
-    "x6_mp4_frames",
 ]
 
 

@@ -164,8 +164,21 @@ def semdedup_ingest(
     component stage. Nothing recomputes over history beyond one
     assignment scan of the existing survivors (id, cell) — and a caller
     that persisted cell at ingest time can pass it pre-assigned via a
-    ``cell`` column to skip even that (detected below)."""
+    ``cell`` column to skip even that (detected below).
+
+    Physical choices this surface OWNS (it ships new — no pinned
+    digests predate them): assignment always takes the vectorized
+    einsum path (the literal HOF path is interpreted k·dim work per
+    row — the round-9 probe's cliff — and an ingest quantizer is
+    production-sized by definition), and the prepared BATCH side is
+    stabilize()d because four downstream stages reuse it (anchor join,
+    pair emission, centroid-cosine staging ×2) — re-deriving an
+    interpreted assignment per stage made the first sf1 probe of this
+    function 4.5× SLOWER than a full rebuild; materializing the small
+    side is the 100 TB-sane fix (the big existing side streams through
+    exactly once and is never persisted)."""
     from dmshadoop_spark.dedup.components import connected_components
+    from dmshadoop_spark.functions.checkpoint import stabilize
     from dmshadoop_spark.similarity.assign import with_nearest_cell
 
     def prep(df: DataFrame) -> DataFrame:
@@ -175,11 +188,13 @@ def semdedup_ingest(
             *([F.col("cell")] if "cell" in df.columns else []),
         ).withColumn("_nv", F.sqrt(norm_sq(F.col("_v"))))
         if "cell" not in df.columns:
-            base = with_nearest_cell(base, "_v", cents, out_col="cell")
+            base = with_nearest_cell(
+                base, "_v", cents, out_col="cell", vectorized=True
+            )
         return base
 
     ex = prep(existing)
-    nb = prep(batch)
+    nb = stabilize(prep(batch))
 
     # ANCHOR: salted cell-join — existing stays put, batch replicates
     ex_s = ex.withColumn(

@@ -41,13 +41,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _strip_stats(df: DataFrame) -> DataFrame:
+    """Rebuild ``df`` on its own JVM row RDD, discarding the logical
+    plan statistics the checkpoint preserved.
+
+    Why this exists (round-9 finding, root-caused with thread dumps +
+    per-round digit counts — SCALE.md "Exponential planner stall"):
+    ``Dataset.checkpoint``/``localCheckpoint`` carries the optimized
+    plan's ``Statistics`` into the resulting ``LogicalRDD``, and the
+    size-only estimator MULTIPLIES child ``sizeInBytes`` at every join.
+    An iterative loop that joins two frames derived from the previous
+    round's checkpoint therefore SQUARES the BigInt estimate each round
+    — its digit count doubles (measured: 76 → 190 → 417 → 870 → 1777 →
+    3591 over six rounds of the component loop), and by round ~15 every
+    plan compile and AQE decision is doing arithmetic on million-digit
+    BigInts: wall clock ×2.5 per round with constant data, plans,
+    stages, and tasks (the component loop hit 33 s/round on 3 451
+    edges). Rebuilding via the PUBLIC ``createDataFrame(JavaRDD[Row],
+    schema)`` yields a fresh LogicalRDD whose stats are the bounded
+    session default (19 digits) — measured flat 0.4-0.5 s/round with
+    bit-identical results. All JVM-side: no Python round-trip, no disk;
+    the cost is one InternalRow↔Row conversion per scan of the
+    checkpointed data. Runtime join strategy is unaffected where it
+    matters: explicit broadcast() hints are preserved by downstream
+    plans, and AQE re-plans from ACTUAL runtime sizes, not these
+    estimates."""
+    # .toDF() coerces a TYPED Dataset (spark.range → Dataset[Long]) to
+    # Dataset[Row] — javaRDD() on the typed form yields bare Longs that
+    # the Row encoder rejects. The schema (incl. nullability) is
+    # preserved verbatim.
+    jdf = df._jdf.toDF()
+    spark = df.sparkSession
+    fresh = spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema())
+    return DataFrame(fresh, spark)
+
+
 def stabilize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Truncate ``df``'s lineage: reliable ``checkpoint()`` when the
     session has a checkpoint dir set (``sc.setCheckpointDir``), else
     ``localCheckpoint()``. Same rows either way — the switch picks
     where the materialized blocks live (recoverable storage vs executor
-    memory/disk)."""
+    memory/disk). The checkpointed frame is then rebuilt WITHOUT the
+    plan statistics the checkpoint preserves — see ``_strip_stats``:
+    carried stats compound multiplicatively through iterative join
+    loops until BigInt arithmetic dominates the driver."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+        return _strip_stats(df.checkpoint(eager=eager))
+    return _strip_stats(df.localCheckpoint(eager=eager))

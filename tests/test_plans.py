@@ -567,3 +567,48 @@ def test_jl_sq8_candidate_stage_never_reads_wide_column(spark, sf_dir):
         if "ReadSchema" in ln and "embedding" in ln
     ]
     assert len(wide) == 1, wide  # rerank only
+
+
+def test_stabilize_strips_compounding_statistics(spark):
+    """The round-9 exponential-planner finding: Dataset.checkpoint
+    preserves the optimized plan's Statistics into LogicalRDD, and join
+    estimation MULTIPLIES child sizeInBytes — so an iterative loop that
+    joins two frames derived from the previous round's checkpoint
+    SQUARES the BigInt estimate every round (digit count doubles:
+    measured 76→190→417→870→1777→3591 over six component-loop rounds,
+    wall clock ×2.5/round from round ~15 with constant data/plans/
+    tasks, root-caused via thread dump to scala.math.BigInt.$times).
+    stabilize() therefore rebuilds the checkpointed frame without the
+    carried stats; this pins that the estimate stays BOUNDED across
+    iterated self-join rounds."""
+    from pyspark.sql import functions as F
+
+    from dmshadoop_spark.functions.checkpoint import stabilize
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(50)], "a long, b long")
+    labels = stabilize(
+        df.select(F.col("a").alias("node")).withColumn("comp", F.col("node"))
+    )
+    digit_counts = []
+    for _ in range(4):
+        # the component loop's compounding shape: two joins per round,
+        # both sides derived from the previous round's checkpoint
+        stepped = labels.join(
+            labels.select(F.col("node").alias("b"), F.col("comp").alias("c2")),
+            F.col("node") == F.col("b"),
+        ).select("node", F.least("comp", "c2").alias("comp"))
+        jumped = stepped.join(
+            stepped.select(
+                F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
+            ),
+            F.col("comp") == F.col("pnode"),
+            "left",
+        ).select("node", F.coalesce("pcomp", "comp").alias("comp"))
+        labels = stabilize(jumped)
+        stats = labels._jdf.queryExecution().optimizedPlan().stats()
+        digit_counts.append(len(str(stats.sizeInBytes())))
+    # bounded (the session default estimate, ~19 digits), NOT doubling:
+    # without the strip this sequence measured 76, 190, 417, 870
+    assert max(digit_counts) <= 25, digit_counts
+    assert digit_counts[-1] <= digit_counts[0] + 1, digit_counts
+    assert labels.count() == 50

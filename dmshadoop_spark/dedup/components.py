@@ -78,7 +78,14 @@ def connected_components(
             "node",
             F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
         )
-        # pointer jumping: follow the label one hop (labels are node ids)
+        # pointer jumping: follow the label one hop (labels are node
+        # ids). One jump per round is the measured sweet spot: a
+        # round-9 experiment with TWO jumps per round (compounding to
+        # ~4x chain-depth reduction) cut round counts but the extra
+        # self-join per round cost MORE than the rounds it saved —
+        # ingest-probe components went 11.2s -> 14.2s and the full
+        # rebuild 16.2s -> 18.8s — so it was reverted. The driver-side
+        # loop holds only a round counter and one number either way.
         jumped = stepped.join(
             stepped.select(
                 F.col("node").alias("pnode"), F.col("comp").alias("pcomp")

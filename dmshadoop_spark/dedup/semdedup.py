@@ -307,6 +307,7 @@ def semdedup(
     target_cell_size: int = 500,
     assign: str = "exact",
     assign_nprobe: int = 8,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Per-embedding SemDeDup decision:
     (id, cell, component, cos_centroid, keep) — ``keep`` marks the one
@@ -331,7 +332,17 @@ def semdedup(
     one — for SemDeDup that only perturbs which block a boundary point
     pairs within, the same trade the paper's own k-means already makes.
     Training always uses the exact path (it runs on the bounded
-    train_sample at that scale — kmeans_centroids docstring)."""
+    train_sample at that scale — kmeans_centroids docstring).
+
+    ``train_sample`` (opt-in; None = full-corpus training, today's
+    pinned behavior) bounds Lloyd's training set to a seeded-order
+    prefix — threaded straight to kmeans_centroids, whose docstring has
+    the determinism contract. Together, ``k="auto"`` +
+    ``train_sample`` + ``assign="coarse"`` are the full production
+    posture: pair stage linear by the cell bound, training capped at
+    O(n_iter·sample·k·d), final assignment O(n·(√k + nprobe·k/√k)·d).
+    Changing train_sample changes the trained centroids — never flip it
+    under pinned outputs."""
     from dmshadoop_spark.dedup.components import connected_components
     from dmshadoop_spark.similarity.assign import (
         with_nearest_cell,
@@ -360,7 +371,7 @@ def semdedup(
 
     cents = kmeans_centroids(
         emb, vec_col=vec_col, k=k, n_iter=n_iter, seed=seed, id_col=id_col,
-        vectorized=vectorized,
+        vectorized=vectorized, train_sample=train_sample,
     )
     if assign == "coarse":
         assigned = with_nearest_cell_coarse(

@@ -2796,3 +2796,42 @@ def test_x35d_semdedup_ingest_invariants(spark, sf_dir):
 
     rerun = {r["digest"] for r in x35d_semdedup_ingest(spark, sf_dir).collect()}
     assert {r["digest"] for r in rows} == rerun
+
+
+def test_semdedup_production_posture_composes(spark):
+    """The three scale knobs composed — k="auto" + train_sample +
+    assign="coarse" — must run end-to-end, keep every accounting
+    invariant, and be deterministic across executions and input
+    partitionings (each knob is individually deterministic; this pins
+    the composition)."""
+    from dmshadoop_spark.dedup import semdedup
+
+    rows = []
+    for i in range(120):
+        v = [0.0] * 8
+        v[i % 6] = 30.0
+        v[6] = 0.02 * (i // 6)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(frame):
+        return {
+            (r["vec_id"], r["cell"], r["component"],
+             r["cos_centroid"], r["keep"])
+            for r in semdedup(
+                frame, k="auto", target_cell_size=10, n_iter=3, seed=11,
+                eps=0.9, shards=2, train_sample=64, assign="coarse",
+                assign_nprobe=3,
+            ).collect()
+        }
+
+    first = run(df)
+    assert len(first) == 120
+    assert first == run(df.repartition(7))  # partitioning-invariant
+    comp_cells: dict = {}
+    comp_keeps: dict = {}
+    for _vid, cell, comp, _cos, keep in first:
+        comp_cells.setdefault(comp, set()).add(cell)
+        comp_keeps[comp] = comp_keeps.get(comp, 0) + bool(keep)
+    assert all(len(c) == 1 for c in comp_cells.values())
+    assert all(v == 1 for v in comp_keeps.values())

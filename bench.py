@@ -67,6 +67,14 @@ HEADLINE = [
     "x36_quality_classifier",  # hashed-BoW logreg: 12 GD rounds + score
     "x38_bigram_lm_score",     # bigram LM train+score (two-strategy)
     "x5_knn_jl_sq8",           # composed JL+SQ8 candidate gen + rerank
+    # Late-round-9 addition: the semantic-dedup production default
+    # (auto-k clustering -> intra-cell pairs -> components -> survivor).
+    # Its wall time rides the iterative-loop machinery (Lloyd rounds +
+    # component rounds + per-round checkpoints), so it is the lane that
+    # would have caught the exponential-planner stall (SCALE.md, late
+    # r9) had it existed earlier — that is exactly why it exists now.
+    # In `later_added`; the 19-query comparable subtotal is untouched.
+    "x35b_semdedup_autok",     # SemDeDup production default, end-to-end
 ]
 
 
@@ -142,6 +150,7 @@ def main() -> None:
         "x32_audio_neardup", "x33_video_neardup",
         "x5_knn_sq8",
         "x36_quality_classifier", "x38_bigram_lm_score", "x5_knn_jl_sq8",
+        "x35b_semdedup_autok",
     }
     shared = round(
         sum(t for n, t in timings.items() if n not in later_added), 4

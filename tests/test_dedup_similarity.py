@@ -2835,3 +2835,26 @@ def test_semdedup_production_posture_composes(spark):
         comp_keeps[comp] = comp_keeps.get(comp, 0) + bool(keep)
     assert all(len(c) == 1 for c in comp_cells.values())
     assert all(v == 1 for v in comp_keeps.values())
+
+
+def test_components_driver_and_distributed_paths_agree(spark):
+    """connected_components is size-routed: small edge sets solve with a
+    driver union-find, large ones with the distributed loop. Both paths
+    must produce IDENTICAL (node, min-id-in-component) labels and the
+    same schema, on every graph shape the suite pins."""
+    from dmshadoop_spark.dedup import connected_components
+
+    cases = [
+        [(1, 2), (2, 3), (10, 11), (20, 20)],
+        [(i, i + 1) for i in range(1, 60)],          # chain
+        [(100, 1), (100, 2), (100, 3), (2, 50)],      # star + tail
+        [(7, 7)],                                     # self-loop
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        fast = connected_components(df)
+        slow = connected_components(df, driver_max_edges=0)  # force loop
+        f = {(r["node"], r["comp"]) for r in fast.collect()}
+        s = {(r["node"], r["comp"]) for r in slow.collect()}
+        assert f == s, edges
+        assert fast.dtypes == slow.dtypes

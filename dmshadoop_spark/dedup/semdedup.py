@@ -49,6 +49,7 @@ def blocked_cosine_pairs(
     vec_col: str,
     threshold: float,
     shards: int = 4,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ ``threshold`` within each block —
     (block, vec_a, vec_b, cosine), each unordered pair exactly once.
@@ -58,7 +59,21 @@ def blocked_cosine_pairs(
     every unordered shard pair {i, j} (including i == j) is a group, a
     vector in shard s replicates to the ``shards`` groups it can meet a
     partner in, and the A×B product inside a group emits each pair once.
-    Exact for ANY shard count; worst-row memory shrinks shards×."""
+    Exact for ANY shard count; worst-row memory shrinks shards×.
+
+    ``vectorized`` (opt-in; False is the pinned default) computes each
+    group's A×B cosine block as ONE numpy contraction inside
+    applyInPandas instead of an interpreted zip_with/aggregate fold per
+    emitted pair — the same CodegenFallback cliff the assignment path
+    documents, paid per PAIR here (the round-9 sf1 stage split measured
+    the pair stage at 5.0 s; the fold is ~3·dim boxed ops per pair).
+    The (|A|,|B|) float block is bounded by (block/shards)² exactly
+    like the collected arrays on the default path. Same exchange (one
+    grouped shuffle), same pair set on any data without exact-threshold
+    ties; cosine float arithmetic differs at the last bit (matmul
+    identity vs fold order), so a pair EXACTLY at the threshold can
+    flip — callers with PINNED outputs keep the default; paths that own
+    their operating point (semdedup k="auto", semdedup_ingest) opt in."""
     base = df.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
@@ -81,6 +96,66 @@ def blocked_cosine_pairs(
         F.struct("_id", "_v", "_nv", "_s").alias("d"),
         F.explode(memberships).alias("g"),
     )
+    if vectorized:
+        import pandas as pd
+
+        blk_t = dict(base.dtypes)["_blk"]
+        out_schema = (
+            f"`{block_col}` {blk_t}, vec_a long, vec_b long, cosine double"
+        )
+        thr = float(threshold)  # close over a plain float, not a Column
+
+        def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            blk, i, j = key
+            a = pdf[pdf["_s"] == i]
+            b = pdf[pdf["_s"] == j]
+            if len(a) and len(b):
+                A = np.array(a["_v"].tolist(), dtype=np.float64)
+                B = np.array(b["_v"].tolist(), dtype=np.float64)
+                # fixed-order einsum, not BLAS matmul — see assign.py's
+                # bit-stability note
+                M = np.einsum("nd,kd->nk", A, B, optimize=False)
+                denom = np.outer(
+                    a["_nv"].to_numpy(dtype=np.float64),
+                    b["_nv"].to_numpy(dtype=np.float64),
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, M / denom, -np.inf)
+                ia = a["_id"].to_numpy()
+                ib = b["_id"].to_numpy()
+                mask = cos >= thr
+                if i == j:
+                    mask &= ia[:, None] < ib[None, :]
+                r, c = np.nonzero(mask)
+                ida, idb = ia[r], ib[c]
+                return pd.DataFrame(
+                    {
+                        block_col: pd.Series([blk] * len(r)),
+                        "vec_a": np.minimum(ida, idb),
+                        "vec_b": np.maximum(ida, idb),
+                        "cosine": cos[r, c],
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    block_col: pd.Series([], dtype=object),
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+
+        flat = sharded.select(
+            "_blk",
+            F.col("g.i").alias("i"),
+            F.col("g.j").alias("j"),
+            F.col("d._id").alias("_id"),
+            F.col("d._v").alias("_v"),
+            F.col("d._nv").alias("_nv"),
+            F.col("d._s").alias("_s"),
+        )
+        return flat.groupBy("_blk", "i", "j").applyInPandas(emit, out_schema)
+
     grouped = sharded.groupBy("_blk", "g.i", "g.j").agg(
         F.collect_list("d").alias("vecs")
     )
@@ -217,7 +292,11 @@ def semdedup_ingest(
     )
 
     # COMPONENT: new-new pairs within cells, exact triangle-sharded
-    pairs = blocked_cosine_pairs(nb, "cell", "_id", "_v", eps, shards)
+    # the ingest surface owns its operating point (shipped round 9) —
+    # numpy block cosine, not the interpreted per-pair fold
+    pairs = blocked_cosine_pairs(
+        nb, "cell", "_id", "_v", eps, shards, vectorized=True
+    )
     comps = connected_components(pairs, src="vec_a", dst="vec_b")
 
     spark = SparkSession.getActiveSession()
@@ -355,7 +434,15 @@ def semdedup(
     ).withColumn("_nv", F.sqrt(norm_sq(F.col("_v"))))
 
     vectorized: bool | None = None
+    pair_vectorized = False
     if k == "auto":
+        # the auto path also owns the PAIR stage's physical form: the
+        # numpy block cosine replaces the interpreted per-pair fold
+        # (blocked_cosine_pairs docstring has the trade; pair volume is
+        # ∝ n at any k under the cell-size bound, so this gate is not
+        # k-conditional). Explicit-k callers (x35's pinned k=8 point)
+        # keep the fold path — a pair exactly at eps could flip.
+        pair_vectorized = True
         # one bounded driver scalar (a count), same class as the
         # convergence checks the component loop already does
         k = auto_k(emb.count(), target_cell_size)
@@ -400,7 +487,8 @@ def semdedup(
     )
 
     pairs = blocked_cosine_pairs(
-        assigned, "cell", "_id", "_v", threshold=eps, shards=shards
+        assigned, "cell", "_id", "_v", threshold=eps, shards=shards,
+        vectorized=pair_vectorized,
     )
     comps = connected_components(pairs, src="vec_a", dst="vec_b")
 

@@ -2858,3 +2858,38 @@ def test_components_driver_and_distributed_paths_agree(spark):
         s = {(r["node"], r["comp"]) for r in slow.collect()}
         assert f == s, edges
         assert fast.dtypes == slow.dtypes
+
+
+def test_blocked_cosine_pairs_vectorized_matches_fold(spark):
+    """The numpy block-cosine path must emit the SAME pair set as the
+    interpreted fold path (no exact-threshold ties in this fixture),
+    with cosines equal to float tolerance, at two shard counts, and be
+    invariant to input partitioning."""
+    from dmshadoop_spark.dedup import blocked_cosine_pairs
+
+    rows = []
+    for i in range(90):
+        v = [0.0] * 6
+        v[i % 3] = 5.0
+        v[3 + (i % 3)] = 0.02 * (i // 3)  # in-block spread, clear margins
+        rows.append((i % 4, i, v))
+    df = spark.createDataFrame(rows, "blk long, vid long, emb array<double>")
+
+    for shards in (2, 4):
+        fold = {
+            (r["blk"], r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in blocked_cosine_pairs(
+                df, "blk", "vid", "emb", threshold=0.95, shards=shards
+            ).collect()
+        }
+        vec = {
+            (r["blk"], r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in blocked_cosine_pairs(
+                df.repartition(5), "blk", "vid", "emb",
+                threshold=0.95, shards=shards, vectorized=True,
+            ).collect()
+        }
+        assert fold.keys() == vec.keys(), shards
+        assert fold, "fixture emitted no pairs — degenerate"
+        for key, cv in vec.items():
+            assert abs(cv - fold[key]) < 1e-9, (key, cv, fold[key])

@@ -36,16 +36,21 @@ from dmshadoop_spark.functions.checkpoint import stabilize
 # Rationale (round-9 stage split, sf0.1): the distributed loop costs
 # ~0.45 s of FIXED scheduling per round (9 AQE jobs) × 10-21 rounds —
 # 8.7 s on a 1 782-edge graph whose union-find answer takes
-# microseconds. The collect is bounded by THIS constant (1M edge rows ≈
-# tens of MB of longs — the same bounded-driver-merge class as the BPE
-# table and k-means centroids); production-scale graphs route to the
-# distributed loop unchanged. The two paths produce IDENTICAL labels
-# (min node id per component — exact, order-free), pinned by
+# microseconds. Driver footprint (round-10 ADVICE fix): the edges come
+# back through Arrow as two numpy int64 columns — 2 × 2M × 8 B = 32 MB
+# at the threshold, plus a transient ~60 MB tolist() during the
+# union-find loop and a parent dict of ≤2M int entries (~150 MB peak on
+# a pathological all-distinct-node graph). That is real but bounded and
+# well inside a default 1-2 GB driver; the earlier Row-object collect
+# was 3-5× heavier, which is why the route now goes through Arrow
+# rather than lowering the threshold. Production-scale graphs route to
+# the distributed loop unchanged. The two paths produce IDENTICAL
+# labels (min node id per component — exact, order-free), pinned by
 # test_components_driver_and_distributed_paths_agree.
 DRIVER_UNION_FIND_MAX_EDGES = 1_000_000
 
 
-def _driver_union_find(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+def _driver_union_find(pairs) -> list[tuple[int, int]]:
     """Union-find with path compression; returns (node, min-id-in-component)
     rows sorted by node — the exact contract of the distributed loop."""
     parent: dict[int, int] = {}
@@ -111,7 +116,11 @@ def connected_components(
     # checkpoint (it is the materialization row count)
     if und.count() <= 2 * driver_max_edges:
         spark = edges.sparkSession
-        pairs = [(r["a"], r["b"]) for r in und.collect()]
+        # Arrow collect: two numpy int64 columns, not Row objects — the
+        # footprint math in DRIVER_UNION_FIND_MAX_EDGES's comment
+        # depends on this path staying columnar until the loop.
+        pdf = und.toPandas()
+        pairs = zip(pdf["a"].tolist(), pdf["b"].tolist())
         rows = _driver_union_find(pairs)
         node_t = dict(e.dtypes)["a"]  # preserve the caller's id type
         return spark.createDataFrame(rows, f"node {node_t}, comp {node_t}")

@@ -69,11 +69,20 @@ def blocked_cosine_pairs(
     the pair stage at 5.0 s; the fold is ~3·dim boxed ops per pair).
     The (|A|,|B|) float block is bounded by (block/shards)² exactly
     like the collected arrays on the default path. Same exchange (one
-    grouped shuffle), same pair set on any data without exact-threshold
-    ties; cosine float arithmetic differs at the last bit (matmul
-    identity vs fold order), so a pair EXACTLY at the threshold can
-    flip — callers with PINNED outputs keep the default; paths that own
-    their operating point (semdedup k="auto", semdedup_ingest) opt in."""
+    grouped shuffle); cosine float arithmetic differs at the last bits
+    (matmul accumulation order vs fold order), so any pair whose cosine
+    lies within a few ulps of the threshold — not only exact ties — can
+    flip membership between the two paths, which can then change
+    components and survivor choice downstream. Callers with PINNED
+    outputs keep the default; paths that own their operating point
+    (semdedup k="auto" — whose x35b digests were pinned AFTER the
+    round-9 flip to vectorized, so they pin this arithmetic — and
+    semdedup_ingest, which shipped vectorized from birth) opt in.
+
+    ``vectorized`` requires an integral ``id_col`` (the block kernel
+    orders pairs with numpy min/max and declares an integer output
+    schema); the default fold path handles any orderable id type via
+    least/greatest. A non-integral id with vectorized=True raises."""
     base = df.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
@@ -99,9 +108,17 @@ def blocked_cosine_pairs(
     if vectorized:
         import pandas as pd
 
-        blk_t = dict(base.dtypes)["_blk"]
+        dts = dict(base.dtypes)
+        blk_t, id_t = dts["_blk"], dts["_id"]
+        if id_t not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"blocked_cosine_pairs(vectorized=True) requires an "
+                f"integral id column; {id_col!r} is {id_t}. Use the "
+                f"default fold path for non-integer ids."
+            )
         out_schema = (
-            f"`{block_col}` {blk_t}, vec_a long, vec_b long, cosine double"
+            f"`{block_col}` {blk_t}, vec_a {id_t}, vec_b {id_t}, "
+            f"cosine double"
         )
         thr = float(threshold)  # close over a plain float, not a Column
 
@@ -239,7 +256,11 @@ def semdedup_ingest(
     component stage. Nothing recomputes over history beyond one
     assignment scan of the existing survivors (id, cell) — and a caller
     that persisted cell at ingest time can pass it pre-assigned via a
-    ``cell`` column to skip even that (detected below).
+    ``cell`` column ON THE EXISTING FRAME ONLY to skip even that
+    (range-asserted 1..k at runtime; a ``cell`` column on the batch is
+    ignored — the batch is always assigned against ``cents`` here, which
+    also guarantees one decision row per batch doc through the
+    centroid-cosine join).
 
     Physical choices this surface OWNS (it ships new — no pinned
     digests predate them): assignment always takes the vectorized
@@ -256,20 +277,53 @@ def semdedup_ingest(
     from dmshadoop_spark.functions.checkpoint import stabilize
     from dmshadoop_spark.similarity.assign import with_nearest_cell
 
-    def prep(df: DataFrame) -> DataFrame:
+    k = len(cents)
+
+    def prep(df: DataFrame, allow_cell: bool) -> DataFrame:
+        # A pre-assigned ``cell`` column is honored only on the EXISTING
+        # frame (the docstring's promise — survivors persisted with
+        # their cell at a prior ingest). The batch is ALWAYS assigned
+        # here, so every batch cell is in 1..k by construction and the
+        # centroid-cosine inner join below keeps exactly one decision
+        # row per batch doc. Caller-supplied existing cells are range-
+        # asserted at runtime (out-of-range would silently disable
+        # anchoring for that survivor).
+        use_cell = allow_cell and "cell" in df.columns
         base = df.select(
             F.col(id_col).alias("_id"),
             as_double(vec_col).alias("_v"),
-            *([F.col("cell")] if "cell" in df.columns else []),
+            *([F.col("cell")] if use_cell else []),
         ).withColumn("_nv", F.sqrt(norm_sq(F.col("_v"))))
-        if "cell" not in df.columns:
+        if use_cell:
+            base = base.withColumn(
+                "cell",
+                F.when(
+                    (F.col("cell") >= 1) & (F.col("cell") <= F.lit(k)),
+                    F.col("cell"),
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "semdedup_ingest: pre-assigned cell out "
+                                f"of range 1..{k} for id "
+                            ),
+                            F.col("_id").cast("string"),
+                        )
+                    )
+                ),
+            )
+        else:
             base = with_nearest_cell(
                 base, "_v", cents, out_col="cell", vectorized=True
             )
         return base
 
-    ex = prep(existing)
-    nb = stabilize(prep(batch))
+    ex = prep(existing, allow_cell=True)
+    # hint_small: the batch is the small side by contract; stabilize()
+    # strips compile-time size stats, so without the re-derived
+    # broadcast hint the anchor join would plan as a shuffle join and
+    # replicate the EXISTING side's salt column through an exchange.
+    nb = stabilize(prep(batch, allow_cell=False), hint_small=True)
 
     # ANCHOR: salted cell-join — existing stays put, batch replicates
     ex_s = ex.withColumn(

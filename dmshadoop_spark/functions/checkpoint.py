@@ -39,6 +39,20 @@ copies per job.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import broadcast
+
+_SIZE_SUFFIX = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3}
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse Spark byte-size conf strings ('67108864', '10MB', '-1')."""
+    s = v.strip().lower()
+    for suf, mult in _SIZE_SUFFIX.items():
+        if s.endswith(suf + "b") and suf != "b":
+            return int(float(s[: -len(suf) - 1]) * mult)
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * mult)
+    return int(float(s))
 
 
 def _strip_stats(df: DataFrame) -> DataFrame:
@@ -76,7 +90,9 @@ def _strip_stats(df: DataFrame) -> DataFrame:
     return DataFrame(fresh, spark)
 
 
-def stabilize(df: DataFrame, eager: bool = True) -> DataFrame:
+def stabilize(
+    df: DataFrame, eager: bool = True, hint_small: bool = False
+) -> DataFrame:
     """Truncate ``df``'s lineage: reliable ``checkpoint()`` when the
     session has a checkpoint dir set (``sc.setCheckpointDir``), else
     ``localCheckpoint()``. Same rows either way — the switch picks
@@ -84,8 +100,38 @@ def stabilize(df: DataFrame, eager: bool = True) -> DataFrame:
     memory/disk). The checkpointed frame is then rebuilt WITHOUT the
     plan statistics the checkpoint preserves — see ``_strip_stats``:
     carried stats compound multiplicatively through iterative join
-    loops until BigInt arithmetic dominates the driver."""
+    loops until BigInt arithmetic dominates the driver.
+
+    KNOWN TRADE (round-9 ADVICE): the rebuilt frame's ``sizeInBytes``
+    is the session default (~Long.MaxValue), so COMPILE-TIME
+    auto-broadcast will never pick a stabilized frame as the small join
+    side — only explicit ``broadcast()`` hints and AQE's runtime
+    re-plan (both enabled in this repo's session) recover it. For
+    small, dimension-like frames that feed joins after stabilization,
+    pass ``hint_small=True``: the materialized row count (one cheap
+    scan of the checkpoint blocks) × the schema's Catalyst
+    ``defaultSize`` gives a bounded estimate, and when it falls under
+    ``spark.sql.autoBroadcastJoinThreshold`` the frame comes back
+    wrapped in an explicit ``broadcast()`` hint — exactly the decision
+    the estimator would have made with honest stats. Leave it False
+    (the default) in iterative loops: the extra count job per round
+    costs more than a compile-time hint AQE would re-derive anyway."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return _strip_stats(df.checkpoint(eager=eager))
-    return _strip_stats(df.localCheckpoint(eager=eager))
+        out = _strip_stats(df.checkpoint(eager=eager))
+    else:
+        out = _strip_stats(df.localCheckpoint(eager=eager))
+    if hint_small and eager:
+        try:
+            thr = _parse_bytes(
+                df.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                )
+            )
+        except ValueError:
+            thr = 10 * 1024**2
+        if thr > 0:
+            est = out.count() * out._jdf.schema().defaultSize()
+            if est <= thr:
+                out = broadcast(out)
+    return out

@@ -2893,3 +2893,87 @@ def test_blocked_cosine_pairs_vectorized_matches_fold(spark):
         assert fold, "fixture emitted no pairs — degenerate"
         for key, cv in vec.items():
             assert abs(cv - fold[key]) < 1e-9, (key, cv, fold[key])
+
+
+def test_blocked_pairs_vectorized_rejects_non_integral_ids(spark):
+    """ADVICE r9: the vectorized pair kernel orders ids with numpy
+    min/max and declares an integer output schema — a non-integral id
+    column must raise up front, not silently mangle (the fold path
+    handles any orderable id type)."""
+    import pytest
+
+    from dmshadoop_spark.dedup.semdedup import blocked_cosine_pairs
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.01])],
+        "doc string, embedding array<double>",
+    ).withColumn("blk", F.lit(1))
+    with pytest.raises(ValueError, match="integral id column"):
+        blocked_cosine_pairs(
+            df, "blk", "doc", "embedding", 0.9, 2, vectorized=True
+        )
+    # fold path: same call shape, string ids are fine
+    got = blocked_cosine_pairs(
+        df, "blk", "doc", "embedding", 0.9, 2, vectorized=False
+    ).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in got} == {("a", "b")}
+
+
+def test_semdedup_ingest_ignores_stray_batch_cell_and_checks_existing(spark):
+    """ADVICE r9: a caller-supplied ``cell`` column is honored on the
+    EXISTING frame only — a stray (wrong) cell on the batch is ignored
+    (the batch is always assigned against ``cents``, so no batch row
+    can fall out of the centroid join), and an out-of-range existing
+    cell raises instead of silently disabling anchoring."""
+    import numpy as np
+    import pytest
+
+    from dmshadoop_spark.dedup import semdedup_ingest
+
+    cents = np.array([[1.0, 0, 0, 0], [0, 0, 1.0, 0]])
+    existing = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # batch carries a bogus cell=99 column — must be ignored, not joined
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.05, 0.0, 0.0], 99), (5, [0.0, 0.0, 1.0, 0.1], 99)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semdedup_ingest(
+            existing, batch, cents, eps=0.92, shards=2
+        ).collect()
+    }
+    assert len(out) == 2  # one decision row per batch doc — none dropped
+    assert out[1]["cell"] == 1 and out[5]["cell"] == 2  # re-assigned
+    assert out[1]["anchored"] and not out[1]["keep"]
+    assert out[5]["keep"]
+
+    bad_existing = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0], 7)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    clean_batch = batch.drop("cell")
+    with pytest.raises(Exception, match="out of range"):
+        semdedup_ingest(
+            bad_existing, clean_batch, cents, eps=0.92, shards=2
+        ).collect()
+
+
+def test_stabilize_hint_small_restores_broadcast(spark):
+    """ADVICE r9: stabilize() strips compile-time size stats, so
+    auto-broadcast never fires on a checkpointed frame; hint_small=True
+    re-derives the decision from the materialized row count and wraps
+    qualifying frames in an explicit broadcast hint."""
+    from dmshadoop_spark.functions.checkpoint import stabilize
+
+    dim = spark.range(10).withColumnRenamed("id", "k")
+    fact = spark.range(10_000).withColumn("k", F.col("id") % 10)
+
+    plain = fact.join(stabilize(dim), "k").count()
+    hinted_df = stabilize(dim, hint_small=True)
+    joined = fact.join(hinted_df, "k")
+    assert joined.count() == plain == 10_000
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,238 @@
+"""Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better" — the ExactSubstr tier).
+
+Whole-doc hashing (x1), shingle-Jaccard (x2), MinHash (x2b) and
+winnowing (x23) all DECIDE AT DOCUMENT GRANULARITY: a doc is either a
+duplicate or it isn't. The paper's second dedup tier is finer: any
+token SPAN of length ≥ L that occurs in more than one document is
+excised from the documents themselves, keeping each doc's unique
+remainder. C4/RefinedWeb/FineWeb-class pipelines run this *in
+addition to* MinHash — boilerplate (licenses, navigation chrome,
+quoted passages) survives document-level dedup because the documents
+around it differ, and span excision is the only tier that removes it.
+
+The paper builds one giant suffix array over the concatenated corpus —
+exact, but a single sequential data structure. The Spark-shaped
+equivalent used here decomposes into relational stages with the same
+output:
+
+  1. TOKENIZE      — one corpus scan; the repo-wide single-space
+                     tokenizer (functions/text.py contract).
+  2. SHINGLE-HASH  — every position p emits the 128-bit hash of the
+                     L-token window starting at p. A span of length
+                     m ≥ L duplicated across docs produces m-L+1
+                     consecutive duplicated windows, so window-level
+                     detection reconstructs full spans exactly.
+                     Computed in one Arrow-batched mapInPandas pass:
+                     per-token blake2b-64, then a sliding polynomial
+                     combination over two independent odd bases mod
+                     2^64 (numpy uint64 wraparound — vectorized, no
+                     per-pair Python). Zero shuffles; the corpus never
+                     replicates L× as literal shingle STRINGS — each
+                     position ships 16 hash bytes, not ~L tokens
+                     (that 20-30× shuffle-byte saving is the reason
+                     detection runs on hashes; collision probability
+                     is the usual two-independent-64-bit ~2^-128
+                     argument the repo's digest machinery documents).
+  3. DETECT        — groupBy(h1, h2) with agg(min(doc) <> max(doc)):
+                     map-side combinable (partial aggregation eats
+                     repeats BEFORE the exchange, so a million-doc
+                     boilerplate shingle crosses the wire once per
+                     input partition, not once per occurrence — the
+                     skew guard x2 needs a df-cap for is structural
+                     here, no cap and no silent recall loss), and
+                     min<>max is exactly "≥ 2 distinct docs" without
+                     a count-distinct expand.
+  4. MARK + MERGE  — occurrences left-semi join the duplicated keys
+                     (same partitioning as stage 3 — exchange reuse),
+                     then classic gaps-and-islands per doc: running
+                     max of span end, a break when the next window
+                     starts past end+1, running sum of breaks = island
+                     id, min/max per island = merged maximal spans.
+                     Only MARKED positions (the duplicated minority)
+                     reach the window stage.
+  5. EXCISE        — merged spans collapse to one interval-array row
+                     per affected doc and join back to the token-array
+                     form of the corpus; tokens are dropped with an
+                     index-aware filter((x, i) -> ...) lambda. Docs
+                     with no duplicated span take the join as a
+                     left-join miss and pass through byte-identical.
+                     The per-token exists() over the doc's merged
+                     interval list is interpreted (CodegenFallback),
+                     but the list is a handful of merged spans — the
+                     k·dim cliff the assignment path documents needs
+                     k in the hundreds; n_spans per doc is single
+                     digits by construction (merged, disjoint, ≥ L
+                     tokens apart).
+
+Semantics (deterministic, order-free):
+  * A window is DUPLICATED iff it occurs in ≥ 2 distinct documents;
+    repeats within a single document do not mark (the paper's
+    cross-document criterion).
+  * Every occurrence of a duplicated window is excised — both copies
+    lose the span (the fixture-pinned contract: two docs sharing one
+    long span both keep exactly their unique tails). Keeping one
+    canonical copy is the paper's alternative; it needs a global
+    occurrence order and is noted, not implemented.
+  * Output accounting per doc: orig/kept/removed token counts and the
+    merged-span count — removal is never silent.
+
+100 TB audit: stages shuffle (a) 16-byte hash keys + (doc, pos) for
+detection — uniform by construction (hashes), (b) marked positions by
+doc id — the duplicated minority only, (c) the interval rows (one per
+affected doc) joining the corpus — broadcastable when small, AQE
+otherwise. No stage is quadratic in anything; the only corpus-sized
+exchange is (a), which is the suffix-array sort's relational twin and
+carries ~32 bytes/token.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dmshadoop_spark.functions.checkpoint import stabilize
+from dmshadoop_spark.functions.text import tokenize
+
+# Two independent odd bases for the sliding polynomial combination —
+# odd => invertible mod 2^64, so distinct windows of per-token hashes
+# collide with probability ~2^-64 per base, ~2^-128 combined.
+_BASE1 = np.uint64(0x9E3779B97F4A7C15)
+_BASE2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _window_hashes(tokens, L: int):
+    """(h1, h2) uint64 arrays for every L-token window of ``tokens``."""
+    n = len(tokens)
+    if n < L:
+        return (np.empty(0, np.uint64), np.empty(0, np.uint64))
+    th = np.frombuffer(
+        b"".join(
+            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
+            for t in tokens
+        ),
+        dtype="<u8",
+    )
+    sw = np.lib.stride_tricks.sliding_window_view(th, L)
+    out = []
+    for base in (_BASE1, _BASE2):
+        # powers mod 2^64 via Python ints (numpy scalar ops warn on the
+        # intended wraparound; the ARRAY ops below wrap silently)
+        b, p, pws = int(base), 1, []
+        for _ in range(L):
+            pws.append(p)
+            p = (p * b) & 0xFFFFFFFFFFFFFFFF
+        pw = np.array(pws, dtype=np.uint64)
+        out.append((sw * pw[::-1]).sum(axis=1, dtype=np.uint64))
+    return out[0], out[1]
+
+
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+) -> DataFrame:
+    """Excise every cross-document duplicated token span of ≥ ``min_len``
+    tokens; one output row per input doc:
+    (id, clean_text, orig_tokens, kept_tokens, removed_tokens, n_spans).
+    See the module docstring for the algorithm and scale audit."""
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be ≥ 2")
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        # null text ≡ empty text: one "" token, passes through untouched
+        tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("t"),
+    )
+
+    def emit(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, poss, h1s, h2s = [], [], [], []
+            for did, t in zip(pdf["_id"], pdf["t"]):
+                h1, h2 = _window_hashes(list(t), L)
+                m = len(h1)
+                if m:
+                    ids.append(np.full(m, did, dtype=np.int64))
+                    poss.append(np.arange(m, dtype=np.int64))
+                    h1s.append(h1)
+                    h2s.append(h2)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "_id": np.concatenate(ids),
+                        "pos": np.concatenate(poss),
+                        # reinterpret as signed for Spark's long
+                        "h1": np.concatenate(h1s).view(np.int64),
+                        "h2": np.concatenate(h2s).view(np.int64),
+                    }
+                )
+
+    # occ feeds BOTH the detection agg and the mark semi-join; without
+    # materialization each consumer re-runs the scan + tokenize + Arrow
+    # hashing subtree (the round-3 repeated-fact-scan audit class —
+    # SCALE.md #5). Stabilized, the corpus is hashed exactly once; the
+    # materialized (id, pos, h1, h2) table is ~32 bytes/token. The
+    # final excision join below re-scans documents for the token
+    # arrays instead of persisting them — 2 pruned column scans total,
+    # cheaper at 100 TB than storing a tokenized copy of the corpus.
+    occ = stabilize(
+        toks.mapInPandas(emit, "_id long, pos long, h1 long, h2 long")
+    )
+    dup = (
+        occ.groupBy("h1", "h2")
+        .agg(F.min("_id").alias("_a"), F.max("_id").alias("_b"))
+        .where(F.col("_a") != F.col("_b"))
+        .select("h1", "h2")
+    )
+    marked = occ.join(dup, ["h1", "h2"], "left_semi").select(
+        "_id", "pos", (F.col("pos") + F.lit(L - 1)).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        marked.withColumn(
+            "brk",
+            (
+                F.col("pos")
+                > F.coalesce(F.max("end").over(w_prev), F.lit(-2)) + 1
+            ).cast("int"),
+        )
+        .withColumn("g", F.sum("brk").over(w_run))
+        .groupBy("_id", "g")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+    )
+    ivals = islands.groupBy("_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivals"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("removed"),
+    )
+    out = toks.join(ivals, "_id", "left")
+    kept_t = F.when(
+        F.col("ivals").isNull(), F.col("t")
+    ).otherwise(
+        F.expr("filter(t, (x, i) -> not exists(ivals, v -> i >= v.s and i <= v.e))")
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws(" ", kept_t).alias("clean_text"),
+        F.size("t").cast("long").alias("orig_tokens"),
+        (F.size("t") - F.coalesce(F.col("removed"), F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.coalesce(F.col("removed"), F.lit(0)).cast("long").alias("removed_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+    )

@@ -5900,3 +5900,80 @@ def x5_knn_jl_sq8(spark, sf_dir):
     return with_sorted_digest(
         out, "query_id", "n_exact", "hits_jl_sq8", "n_candidates", "n_corpus"
     )
+
+
+@query(
+    "x39_substring_dedup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok,
+                   generate_subscripts(t, 1) - 1 AS pos
+            FROM toks),
+    sh AS (SELECT doc_id, pos,
+                  string_agg(tok, ' ') OVER w AS s,
+                  count(*) OVER w AS c
+           FROM tok
+           WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)),
+    occ AS (SELECT doc_id, pos, s FROM sh WHERE c = 10),
+    dup AS (SELECT s FROM occ GROUP BY s
+            HAVING min(doc_id) <> max(doc_id)),
+    marked AS (SELECT o.doc_id, o.pos, o.pos + 9 AS e
+               FROM occ o JOIN dup USING (s)),
+    isl AS (SELECT doc_id, pos, e,
+                   CASE WHEN pos > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -2) + 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM marked),
+    isl2 AS (SELECT doc_id, pos, e,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS g
+             FROM isl),
+    spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+              FROM isl2 GROUP BY doc_id, g),
+    iv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(e - s + 1) AS BIGINT) AS removed
+           FROM spans GROUP BY doc_id),
+    cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS idx
+            FROM spans),
+    kept AS (SELECT t.doc_id, t.pos, t.tok
+             FROM tok t LEFT JOIN cov c
+               ON t.doc_id = c.doc_id AND t.pos = c.idx
+             WHERE c.idx IS NULL),
+    cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(cl.clean_text, '') AS clean_text,
+           CAST(len(t.t) AS BIGINT) AS orig_tokens,
+           CAST(len(t.t) AS BIGINT) - coalesce(iv.removed, 0)
+               AS kept_tokens,
+           coalesce(iv.removed, 0) AS removed_tokens,
+           coalesce(iv.n_spans, 0) AS n_spans
+    FROM documents d
+    JOIN toks t USING (doc_id)
+    LEFT JOIN cl USING (doc_id)
+    LEFT JOIN iv USING (doc_id)
+    """,
+)
+def x39_substring_dedup(spark, sf_dir):
+    """Exact-substring deduplication (Lee et al. 2022's ExactSubstr tier
+    — the suffix-array span-removal stage C4/RefinedWeb/FineWeb run in
+    addition to MinHash): every token span of ≥ 10 tokens occurring in
+    more than one document is excised from EVERY document containing
+    it; each doc keeps its unique remainder, with per-doc accounting
+    (orig/kept/removed token counts + merged-span count — removal is
+    never silent). Full value oracle: DuckDB replays window-level
+    detection over position-indexed shingle STRINGS while the engine
+    detects on 128-bit window hashes — identical results modulo a
+    ~2^-128 collision (dedup/substring.py module docstring has the
+    relational decomposition of the paper's suffix array and the
+    100 TB shuffle audit). min_len=10 (not the paper's 50) because the
+    fixture's docs average ~45 tokens; the operator is parametric."""
+    from dmshadoop_spark.dedup.substring import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, "doc_id", "text", min_len=10)

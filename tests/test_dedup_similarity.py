@@ -2977,3 +2977,87 @@ def test_stabilize_hint_small_restores_broadcast(spark):
     joined = fact.join(hinted_df, "k")
     assert joined.count() == plain == 10_000
     assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+
+
+def test_substring_dedup_planted_spans(spark):
+    """Lee et al. 2022 ExactSubstr semantics on a planted fixture: two
+    docs share one long span and keep exactly their unique tails; a
+    span repeated WITHIN one doc does not mark; overlapping duplicated
+    windows merge into ONE accounted span; untouched docs pass through
+    byte-identical."""
+    from dmshadoop_spark.dedup.substring import substring_dedup
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"epsilon {shared} zeta"),
+            # 10-token span repeated twice INSIDE one doc — not cross-doc
+            (3, f"one {shared.replace('fox', 'cat')} two "
+                f"{shared.replace('fox', 'cat')} three"),
+            (4, "totally unique text with no duplicated span at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup(docs, "doc_id", "text", min_len=10).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[2]["clean_text"] == "epsilon zeta"
+    assert out[1]["removed_tokens"] == 10 and out[1]["n_spans"] == 1
+    assert out[2]["removed_tokens"] == 10 and out[2]["n_spans"] == 1
+    # within-doc repeat: untouched
+    assert out[3]["removed_tokens"] == 0 and out[3]["n_spans"] == 0
+    assert out[3]["clean_text"] == docs.where("doc_id = 3").first()["text"]
+    assert out[4]["clean_text"] == docs.where("doc_id = 4").first()["text"]
+    for r in out.values():
+        assert r["orig_tokens"] == r["kept_tokens"] + r["removed_tokens"]
+
+
+def test_substring_dedup_long_span_merges_windows(spark):
+    """A duplicated span LONGER than min_len produces consecutive
+    duplicated windows that must merge into one maximal span — and the
+    whole span is excised, not just the first window."""
+    from dmshadoop_spark.dedup.substring import substring_dedup
+
+    span = " ".join(f"w{i}" for i in range(20))  # 20-token shared span
+    docs = spark.createDataFrame(
+        [(1, f"head1 {span} tail1"), (2, f"head2 {span} tail2 extra2")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup(docs, "doc_id", "text", min_len=10).collect()
+    }
+    assert out[1]["clean_text"] == "head1 tail1"
+    assert out[2]["clean_text"] == "head2 tail2 extra2"
+    assert out[1]["removed_tokens"] == 20 and out[1]["n_spans"] == 1
+    assert out[2]["removed_tokens"] == 20 and out[2]["n_spans"] == 1
+
+
+def test_substring_dedup_two_disjoint_spans_and_full_removal(spark):
+    """Two disjoint duplicated spans count as two accounted spans; a doc
+    that is ENTIRELY duplicated content comes back as empty text with
+    kept_tokens = 0 (the doc row itself is never dropped)."""
+    from dmshadoop_spark.dedup.substring import substring_dedup
+
+    s1 = " ".join(f"a{i}" for i in range(10))
+    s2 = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{s1} middle1 middle2 {s2}"),
+            (2, f"x {s1} y"),
+            (3, f"p {s2} q"),
+            (4, s1),  # doc 4 IS the span — fully excised
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup(docs, "doc_id", "text", min_len=10).collect()
+    }
+    assert out[1]["clean_text"] == "middle1 middle2"
+    assert out[1]["n_spans"] == 2 and out[1]["removed_tokens"] == 20
+    assert out[4]["clean_text"] == "" and out[4]["kept_tokens"] == 0
+    assert out[4]["n_spans"] == 1

@@ -5977,3 +5977,42 @@ def x39_substring_dedup(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return substring_dedup(docs, "doc_id", "text", min_len=10)
+
+
+@query("x5_knn_jl_sq8_prod")  # production search path only → rows-only
+def x5_knn_jl_sq8_prod(spark, sf_dir):
+    """The JL+SQ8 composed ANN *production* path — candidate generation
+    + exact rerank, NOTHING else. Split out of x5_knn_jl_sq8 (round-9
+    verdict task 3): the audit entry's wall time is dominated by its
+    brute-force exact ground-truth pass and per-query recall joins, so
+    the bench lane was measuring the audit, not the index. This entry
+    is what a user pays per search batch and is the bench headliner;
+    x5_knn_jl_sq8 stays the driver-checked recall audit.
+
+    Same knobs as the audit (expand="auto" constant-fraction law,
+    d_out=32) except the index build, which takes the vectorized numpy
+    projection (jl_sq8_index docstring — the interpreted fold was 2.3 s
+    of the 5.3 s search at sf0.1; this path shipped WITH the flag, so
+    nothing pinned predates it). Output is the ranked top-5 per query
+    with the exact rerank cosine rounded to 1e-6, digest-pinned."""
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+    from dmshadoop_spark.similarity import jl_sq8_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    topk, _cands = jl_sq8_knn(
+        emb, queries_df, k=5, expand="auto", d_out=JL_SQ8_D_OUT,
+        vectorized_index=True,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    out = topk.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+    return with_sorted_digest(out, "query_id", "rank", "neighbor_id", "cosine")

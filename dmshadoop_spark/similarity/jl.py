@@ -70,6 +70,7 @@ def jl_sq8_index(
     d_in: int = 64,
     d_out: int = 16,
     checkpoint: bool = True,
+    vectorized: bool = False,
 ) -> DataFrame:
     """(neighbor_id, codes, mn, scale) — the stored candidate index: JL
     projection SQ8-coded, d_out ints + two doubles per row. The eager
@@ -77,11 +78,53 @@ def jl_sq8_index(
     the index, never the wide source column (a production run persists
     this as its own table; a cluster run that must survive executor loss
     sets sc.setCheckpointDir(...) — stabilize then upgrades to reliable
-    .checkpoint(); unset, it uses executor-local localCheckpoint)."""
-    proj = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        jl_project(as_double(vec_col), d_in, d_out).alias("p"),
-    )
+    .checkpoint(); unset, it uses executor-local localCheckpoint).
+
+    ``vectorized`` (opt-in; False is the pinned default) computes the
+    projection as ONE numpy matmul per Arrow batch instead of d_out
+    interpreted zip_with/aggregate folds per row — the same
+    CodegenFallback cliff semdedup's assignment stage documents, here
+    costing ~2·d_in·d_out boxed ops per corpus row (measured 2.3 s for
+    2 000×64→32 at sf0.1 — the dominant term of the whole search).
+    Matmul accumulation order differs from the fold at the last float
+    bits, so projections within an ulp of an SQ8 bucket edge can code
+    differently and shift candidates at the margin: callers whose
+    outputs are digest-pinned (x5_knn_jl_sq8's recall audit, x37's
+    oracle) keep the fold; paths that own their operating point
+    (x5_knn_jl_sq8_prod, which shipped with this flag) opt in. The
+    SAME md5-derived sign matrix and SQ8 coding either way."""
+    if vectorized:
+        import numpy as np
+
+        sgn = np.array(
+            [[jl_sign(i, k) for i in range(d_in)] for k in range(d_out)],
+            dtype=np.float64,
+        ).T  # (d_in, d_out)
+        scale = d_out**-0.5
+        id_t = dict(corpus.select(id_col).dtypes)[id_col]
+
+        def project(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["_v"].tolist(), dtype=np.float64)
+                P = np.einsum("nd,dk->nk", V, sgn, optimize=False) * scale
+                yield pd.DataFrame(
+                    {"neighbor_id": pdf["_id"], "p": list(P)}
+                )
+
+        proj = corpus.select(
+            F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+        ).mapInPandas(
+            project, f"neighbor_id {id_t}, p array<double>"
+        )
+    else:
+        proj = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            jl_project(as_double(vec_col), d_in, d_out).alias("p"),
+        )
     coded = with_sq8(proj, "p").drop("p")
     return stabilize(coded) if checkpoint else coded
 
@@ -138,6 +181,7 @@ def jl_sq8_knn(
     expand: int | str = "auto",
     d_in: int = 64,
     d_out: int = 16,
+    vectorized_index: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (topk, candidates).
 
@@ -158,7 +202,9 @@ def jl_sq8_knn(
     if expand == "auto":
         expand = auto_expand(corpus.count(), k)
     n_cand = expand * k
-    index = jl_sq8_index(corpus, id_col, vec_col, d_in, d_out)
+    index = jl_sq8_index(
+        corpus, id_col, vec_col, d_in, d_out, vectorized=vectorized_index
+    )
     dq = index.select(
         "neighbor_id",
         sq8_dequant(F.col("codes"), F.col("mn"), F.col("scale")).alias("dv"),

@@ -42,6 +42,37 @@ from pyspark.sql.functions import broadcast
 from dmshadoop_spark.functions.vectors import as_double, dot, norm_sq
 
 
+def centroid_frame(spark: SparkSession, cents: np.ndarray) -> DataFrame:
+    """(cell, cent array<double>, ncent) frame from a centroid matrix —
+    through Arrow, never a Python list-of-lists (round-10, the r9
+    verdict's task 4: the old ``[(i+1, [float(x) for x in c], ...)]``
+    built k·dim boxed floats on the driver — ~1 GB of PyObjects at
+    k=2M, dim=64 — then serialized them through py4j row by row. The
+    pyarrow route keeps the matrix as ONE numpy block: the list column
+    is built zero-copy from the raveled matrix + an offsets vector, and
+    Spark 4 ingests a pyarrow Table natively — independent of the
+    session's ``spark.sql.execution.arrow.pyspark.enabled`` setting, so
+    this works under the driver's untuned plain session too).
+    Value-identical: same cells, same doubles."""
+    import pyarrow as pa
+
+    cents64 = np.ascontiguousarray(cents, dtype=np.float64)
+    k, dim = cents64.shape
+    offsets = pa.array(np.arange(0, (k + 1) * dim, dim, dtype=np.int32))
+    tbl = pa.table(
+        {
+            "cell": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+            "cent": pa.ListArray.from_arrays(
+                offsets, pa.array(cents64.ravel(), type=pa.float64())
+            ),
+            "ncent": pa.array(np.sqrt((cents64 * cents64).sum(axis=1))),
+        }
+    )
+    return spark.createDataFrame(
+        tbl, "cell long, cent array<double>, ncent double"
+    )
+
+
 def blocked_cosine_pairs(
     df: DataFrame,
     block_col: str,
@@ -354,13 +385,7 @@ def semdedup_ingest(
     comps = connected_components(pairs, src="vec_a", dst="vec_b")
 
     spark = SparkSession.getActiveSession()
-    cent_rows = [
-        (i + 1, [float(x) for x in c], float(np.sqrt((c * c).sum())))
-        for i, c in enumerate(cents)
-    ]
-    cent_df = spark.createDataFrame(
-        cent_rows, "cell long, cent array<double>, ncent double"
-    )
+    cent_df = centroid_frame(spark, cents)
     staged = (
         nb.join(broadcast(cent_df), "cell")
         .select(
@@ -524,13 +549,7 @@ def semdedup(
         )
 
     spark = SparkSession.getActiveSession()
-    cent_rows = [
-        (i + 1, [float(x) for x in c], float(np.sqrt((c * c).sum())))
-        for i, c in enumerate(cents)
-    ]
-    cent_df = spark.createDataFrame(
-        cent_rows, "cell long, cent array<double>, ncent double"
-    )
+    cent_df = centroid_frame(spark, cents)
     with_cos = assigned.join(broadcast(cent_df), "cell").select(
         "_id",
         "_v",

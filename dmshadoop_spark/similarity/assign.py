@@ -151,12 +151,28 @@ def coarse_quantize(
     coarse = np.ascontiguousarray(cents[::stride][:n_coarse], dtype=np.float64)
     cents64 = np.ascontiguousarray(cents, dtype=np.float64)
     c_sq = (cents64 * cents64).sum(axis=1)
+
+    def _assign_to(crs: np.ndarray) -> np.ndarray:
+        # Chunked over fine-centroid rows (round-10: the unchunked
+        # (k, C) distance block is k·√k doubles — 22 GB at k=2M — the
+        # exact driver bound this function exists to avoid). Row
+        # chunking is result-identical: each row's argmin is
+        # independent; the arithmetic per row is the same fixed-order
+        # einsum either way.
+        crs_sq = (crs * crs).sum(axis=1)
+        out = np.empty(k, dtype=np.int64)
+        step = max(1, _MAX_DIST_CELLS // max(1, len(crs)))
+        for lo in range(0, k, step):
+            hi = min(lo + step, k)
+            xc = np.einsum("nd,kd->nk", cents64[lo:hi], crs, optimize=False)
+            d2 = c_sq[lo:hi, None] - 2.0 * xc + crs_sq[None, :]
+            out[lo:hi] = d2.argmin(axis=1)
+        return out
+
     assign = np.zeros(k, dtype=np.int64)
     for _ in range(n_iter + 1):  # final pass recomputes assign for the
         # returned coarse set (update may have moved centroids)
-        xc = np.einsum("nd,kd->nk", cents64, coarse, optimize=False)
-        d2 = c_sq[:, None] - 2.0 * xc + (coarse * coarse).sum(axis=1)[None, :]
-        assign = d2.argmin(axis=1)
+        assign = _assign_to(coarse)
         new = coarse.copy()
         for c in range(len(coarse)):
             members = cents64[assign == c]
@@ -166,9 +182,7 @@ def coarse_quantize(
             break
         coarse = new
     # final assignment must match the RETURNED coarse matrix
-    xc = np.einsum("nd,kd->nk", cents64, coarse, optimize=False)
-    d2 = c_sq[:, None] - 2.0 * xc + (coarse * coarse).sum(axis=1)[None, :]
-    assign = d2.argmin(axis=1)
+    assign = _assign_to(coarse)
     perm = np.argsort(assign, kind="stable")
     counts = np.bincount(assign, minlength=len(coarse))
     offs = np.zeros(len(coarse) + 1, dtype=np.int64)

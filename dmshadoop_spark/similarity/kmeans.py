@@ -80,8 +80,13 @@ def kmeans_centroids(
         # one global sort-limit (TakeOrderedAndProject), materialized so
         # the n_iter Lloyd passes scan the bounded sample, not the corpus
         vecs = stabilize(vecs.orderBy(*order).limit(train_sample))
-    init_rows = vecs.orderBy(*order).limit(k).collect()
-    cents = np.array([row["_v"] for row in init_rows], dtype=np.float64)
+    # Arrow collect (round-10: no O(k·dim) Row objects on the driver —
+    # the same footprint fix as components' union-find route): the init
+    # prefix and each Lloyd update land as numpy columns; driver state
+    # is ONE (k, dim) float64 matrix (~130 MB at k=2M, dim=64), never
+    # boxed Python floats.
+    init_pdf = vecs.orderBy(*order).limit(k).select("_v").toPandas()
+    cents = np.array(init_pdf["_v"].tolist(), dtype=np.float64)
     from dmshadoop_spark.similarity.assign import with_nearest_cell
 
     for _ in range(n_iter):
@@ -92,19 +97,29 @@ def kmeans_centroids(
         # F.sum would make centroids (and every digest downstream of
         # them) depend on partitioning — the same bug class as the JPEG
         # einsum bistability fixed in round 7. DECIMAL(38,18) is exact
-        # and order-independent; cast back once per component.
-        sums = (
+        # and order-independent; cast back once per component. The
+        # decimal→double cast and the double division happen JVM-side —
+        # bit-identical to the former driver-side float(Decimal)/int
+        # (both are round-to-nearest conversion + one IEEE divide).
+        upd = (
             staged.select("cell", F.posexplode("_v").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(
                 F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
-            .collect()
+            .select(
+                "cell",
+                "pos",
+                (F.col("s").cast("double") / F.col("n")).alias("m"),
+            )
+            .toPandas()
         )
         new_cents = cents.copy()  # empty cells keep their old centroid
-        for row in sums:
-            new_cents[row["cell"] - 1, row["pos"]] = float(row["s"]) / row["n"]
+        new_cents[
+            upd["cell"].to_numpy(dtype=np.int64) - 1,
+            upd["pos"].to_numpy(dtype=np.int64),
+        ] = upd["m"].to_numpy(dtype=np.float64)
         if np.array_equal(new_cents, cents):
             break
         cents = new_cents

@@ -511,3 +511,73 @@ def st14_stream_session(spark, sf_dir):
     )
     name = run_to_memory(stream, f"{workdir}/ckpt", output_mode="complete")
     return spark.table(name)
+
+
+@query(
+    "st15_stream_watermark_latedrop",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    lateset AS (
+        SELECT e.*, (e.ts > mx.m - INTERVAL '12 hours') AS above
+        FROM events e, mx
+        WHERE e.event_id % 7 = 3
+          AND (e.ts <= mx.m - INTERVAL '48 hours'
+               OR (e.ts > mx.m - INTERVAL '12 hours' AND e.ts < mx.m))
+    ),
+    ontime AS (
+        SELECT e.ts, e.event_type FROM events e, mx
+        WHERE NOT (e.event_id % 7 = 3
+                   AND (e.ts <= mx.m - INTERVAL '48 hours'
+                        OR (e.ts > mx.m - INTERVAL '12 hours'
+                            AND e.ts < mx.m)))
+    ),
+    surviving AS (
+        SELECT ts, event_type FROM ontime
+        UNION ALL
+        SELECT ts, event_type FROM lateset WHERE above
+    )
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+           event_type,
+           count(*) AS cnt
+    FROM surviving GROUP BY 1, 2
+    """,
+)
+def st15_stream_watermark_latedrop(spark, sf_dir):
+    """ST15: REAL watermark late-data DROP (the last batch-twin in the ST
+    family — round-9 verdict task 8). st4 checks the 10-minute cutoff as
+    a batch filter and st12 runs the watermarked window in complete mode
+    (state bounded, nothing dropped in a single drain); here the stream
+    executes THREE micro-batches in update mode over a staged file
+    source (streaming/streams.py write_two_phase_source): the early
+    commits advance the watermark to max(on-time ts) − 24h (the empty
+    middle batch exists because the late-input filter runs one batch
+    behind the eviction watermark — measured, see the helper's
+    docstring), and the late batch's sub-watermark rows are genuinely
+    discarded by the stateful aggregation while its above-watermark
+    rows are admitted (both tiers non-empty at every SF). The late set
+    is constructed hours clear of the watermark boundary in both
+    directions, so the drop set is exact and
+    the DuckDB oracle replays it as a window-end filter: on-time rows +
+    late rows above the watermark, tumbling 5-minute counts. The memory
+    sink in update mode logs every per-batch revision of a window's
+    count; counts only grow, so max(cnt) per (window, type) is the final
+    state."""
+    from dmshadoop_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_latedrop_counts,
+        write_two_phase_source,
+    )
+
+    workdir = _stream_workdir("st15")
+    src = f"{workdir}/events"
+    write_two_phase_source(spark, load_table(spark, sf_dir, "events"), src)
+    stream = streaming_latedrop_counts(
+        read_events_stream(spark, src, max_files_per_trigger=1)
+    )
+    name = run_to_memory(stream, f"{workdir}/ckpt", output_mode="update")
+    return (
+        spark.table(name)
+        .groupBy("w_start", "event_type")
+        .agg(F.max("cnt").alias("cnt"))
+    )

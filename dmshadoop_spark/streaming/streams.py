@@ -337,3 +337,95 @@ def run_foreach_batch_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def write_two_phase_source(
+    spark: SparkSession, events: DataFrame, src_dir: str
+) -> None:
+    """Lay out ``events`` as a three-file stream source with a controlled
+    arrival order — the harness for a REAL late-data drop (st15).
+
+    File A ("on-time") carries everything except the late set; file B is
+    EMPTY (schema only); file C ("late") carries rows that are either
+    ≥48 hours older than the global max ts (guaranteed BELOW the
+    24-hour watermark file A sets — window end ≤ max−48h+5min, a >23 h
+    margin under the max−24h watermark) or within (max−12h, max)
+    (guaranteed ABOVE it — window end > max−12h, a 12 h margin). Every
+    C row therefore sits hours clear of the watermark boundary, so the
+    drop set is deterministic regardless of Spark's </≤ eviction edge
+    semantics, and the global-max row always stays in A (C's upper tier
+    is strictly < max), so the watermark is max−24h exactly. The tier
+    widths are fixture-driven: the events table is sparse near its max
+    ts (nothing within 60 min at sf0.001), so minute-scale tiers left
+    the admitted-late side empty — hour-scale tiers exercise BOTH drop
+    and admit at every SF.
+
+    WHY THE EMPTY MIDDLE FILE (measured on this Spark, pinned by the
+    st15 oracle): the stateful aggregation's LATE-INPUT FILTER runs on
+    the watermark committed before the PREVIOUS batch — one batch
+    behind the eviction watermark the progress log shows. A late file
+    in batch 1 is filtered against the initial zero watermark and
+    admitted wholesale (observed: numRowsDroppedByWatermark=0, counts
+    incremented); the same file in batch 2 is dropped correctly. The
+    empty batch advances the filter watermark to max(A)−10min without
+    adding data or moving the max. Arrival order is pinned by file
+    modification times (the file source processes oldest-mtime first)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    mx = events.agg(F.max("ts").alias("m"))
+    flagged = events.crossJoin(broadcast(mx)).withColumn(
+        "_late",
+        (F.col("event_id") % 7 == 3)
+        & (
+            (F.col("ts") <= F.col("m") - F.expr("INTERVAL 48 HOURS"))
+            | (
+                (F.col("ts") > F.col("m") - F.expr("INTERVAL 12 HOURS"))
+                & (F.col("ts") < F.col("m"))
+            )
+        ),
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    for f in glob.glob(f"{src_dir}/*.parquet"):
+        os.remove(f)
+    now = _time.time()
+    parts = (
+        ("a_ontime", flagged.filter(~F.col("_late")), 300),
+        ("b_filler", flagged.filter(F.lit(False)), 200),
+        ("c_late", flagged.filter(F.col("_late")), 100),
+    )
+    for name, part_df, age in parts:
+        part_dir = f"{src_dir}/_stage_{name}"
+        (
+            part_df.drop("_late", "m")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        part = glob.glob(f"{part_dir}/part-*.parquet")[0]
+        dest = f"{src_dir}/{name}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(part_dir)
+        os.utime(dest, (now - age, now - age))
+
+
+def streaming_latedrop_counts(events: DataFrame) -> DataFrame:
+    """ST15: the watermarked tumbling count whose LATE INPUT IS ACTUALLY
+    DROPPED — st12 drains in complete mode (watermark bounds state but a
+    single drain still aggregates everything); this one runs in UPDATE
+    mode over the two-phase source (write_two_phase_source), where the
+    early commits advance the watermark to max(A)−24h and the late
+    batch's below-watermark rows are discarded by the stateful
+    aggregation exactly as a production stream discards stragglers."""
+    return (
+        events.withWatermark("ts", "24 hours")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            "event_type",
+            "cnt",
+        )
+    )

@@ -268,3 +268,62 @@ def test_foreach_batch_upsert_replay_idempotent(spark, events_dir, tmp_path):
         str(tmp_path / "ckpt2"),  # fresh checkpoint = full redelivery
     )
     assert _rows(spark.read.parquet(state)) == once
+
+
+def test_latedrop_stream_actually_drops(spark, sf_dir, tmp_path):
+    """ST15's claim is a REAL watermark drop, not just a hash match:
+    the staged three-file source must produce (1) ≥3 micro-batches,
+    (2) a numRowsDroppedByWatermark equal to the dropped tier's exact
+    row count, and (3) admitted-late rows incrementing their windows —
+    pinned against the same predicates the DuckDB oracle replays."""
+    from dmshadoop_spark.streaming import (
+        read_events_stream,
+        streaming_latedrop_counts,
+        write_two_phase_source,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events")
+    write_two_phase_source(spark, ev, src)
+
+    mx = ev.agg(F.max("ts").alias("m"))
+    tiers = (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("event_id") % 7 == 3)
+        .select(
+            (F.col("ts") <= F.col("m") - F.expr("INTERVAL 48 HOURS")).alias(
+                "dropped"
+            ),
+            (
+                (F.col("ts") > F.col("m") - F.expr("INTERVAL 12 HOURS"))
+                & (F.col("ts") < F.col("m"))
+            ).alias("admitted"),
+        )
+        .agg(
+            F.sum(F.col("dropped").cast("long")).alias("n_drop"),
+            F.sum(F.col("admitted").cast("long")).alias("n_admit"),
+        )
+        .first()
+    )
+    assert tiers["n_drop"] > 0, "fixture must exercise the drop"
+
+    stream = streaming_latedrop_counts(
+        read_events_stream(spark, src, max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("latedrop_pin")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    assert len(progress) >= 3
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        if p["stateOperators"]
+    )
+    assert dropped == tiers["n_drop"], (dropped, tiers["n_drop"])

@@ -500,7 +500,38 @@ def semdedup(
     posture: pair stage linear by the cell bound, training capped at
     O(n_iter·sample·k·d), final assignment O(n·(√k + nprobe·k/√k)·d).
     Changing train_sample changes the trained centroids — never flip it
-    under pinned outputs."""
+    under pinned outputs.
+
+    WHICH POSTURE AT WHICH n (round-10 decision table; floors pinned by
+    test_semdedup_coarse_posture_agreement_floor and
+    test_semdedup_train_sample_survivor_stability, measured two decades
+    out in SCALE.md / BENCH_r9_probes.json):
+
+      n ≲ 10⁵ (k ≲ 200)      — defaults. Exact assignment is cheap,
+                               full training converges fast; the coarse
+                               level's √k would be single digits.
+      10⁵ ≲ n ≲ 10⁷          — + train_sample=max(256·k_auto, 10⁵).
+                               Lloyd's passes stop scaling with the
+                               corpus; survivor decisions agree ≥90%
+                               with full training on clustered data and
+                               the kept fraction moves ≤5% (pinned).
+      n ≳ 10⁷ (k ≳ 2·10⁴)    — + assign="coarse" (nprobe 8). The final
+                               assignment drops from O(n·k·d) to
+                               O(n·(√k + nprobe·k/√k)·d); cell
+                               agreement ≥95% on clustered corpora
+                               (pinned; observed 0.98-1.0), and a
+                               boundary point merely pairs within a
+                               neighboring block — the same trade the
+                               paper's own k-means already makes.
+      n ≳ 10⁹                — also raise target_cell_size (auto_k's
+                               docstring: k=2M means a ~1 GB centroid
+                               matrix as driver/broadcast state even
+                               with the columnar round-10 plumbing).
+
+    The composed posture (auto-k + train_sample + coarse) measured 2.5×
+    faster than the default at sf3 (13.7 s vs 34.8 s) with the floors
+    above — safe to recommend wherever exact-pinned outputs are not
+    required."""
     from dmshadoop_spark.dedup.components import connected_components
     from dmshadoop_spark.similarity.assign import (
         with_nearest_cell,

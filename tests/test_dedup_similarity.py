@@ -3061,3 +3061,78 @@ def test_substring_dedup_two_disjoint_spans_and_full_removal(spark):
     assert out[1]["n_spans"] == 2 and out[1]["removed_tokens"] == 20
     assert out[4]["clean_text"] == "" and out[4]["kept_tokens"] == 0
     assert out[4]["n_spans"] == 1
+
+
+def _clustered_corpus(spark, n=600, n_clusters=24, dim=16, jitter=0.35):
+    """Clustered-with-noise fixture: tight axis clusters plus enough
+    deterministic jitter that cluster boundaries are fuzzy — the regime
+    where coarse assignment is ALLOWED to disagree with exact at the
+    margins (unlike the orthogonal-separated fixture, where agreement
+    must be exact)."""
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        v = [0.0] * dim
+        v[c % dim] = 10.0
+        v[(c + 3) % dim] = 4.0 + 0.1 * (c // dim)
+        # deterministic jitter on two rotating axes
+        v[(i * 5 + 1) % dim] += jitter * (((i * 2654435761) % 1000) / 1000.0)
+        v[(i * 7 + 2) % dim] += jitter * (((i * 40503) % 997) / 997.0)
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_coarse_posture_agreement_floor(spark):
+    """Round-9 verdict task 6: pin the agreement floor the SCALE.md
+    recommendation relies on — semdedup(assign='coarse') on a clustered
+    corpus must (a) assign ≥95% of rows to their exact nearest cell
+    (observed 0.98-1.0 across the r9 probes) and (b) make keep/drop
+    decisions that agree with the exact posture on ≥95% of docs."""
+    from dmshadoop_spark.dedup import semdedup
+
+    df = _clustered_corpus(spark)
+    exact = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semdedup(df, k=24, eps=0.2, assign="exact").collect()
+    }
+    coarse = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semdedup(df, k=24, eps=0.2, assign="coarse").collect()
+    }
+    assert exact.keys() == coarse.keys()
+    n = len(exact)
+    cell_agree = sum(exact[i][0] == coarse[i][0] for i in exact) / n
+    keep_agree = sum(exact[i][1] == coarse[i][1] for i in exact) / n
+    assert cell_agree >= 0.95, cell_agree
+    assert keep_agree >= 0.95, keep_agree
+
+
+def test_semdedup_train_sample_survivor_stability(spark):
+    """Round-9 verdict task 6's second floor: the train_sample posture
+    must be (a) DETERMINISTIC — identical survivor set on any input
+    partitioning — and (b) FAITHFUL on clustered data: keep/drop
+    decisions agree with full-corpus training on ≥90% of docs (bounded
+    training moves centroids slightly; it must not reshuffle the
+    survivor structure)."""
+    from dmshadoop_spark.dedup import semdedup
+
+    df = _clustered_corpus(spark)
+    kw = dict(k=24, eps=0.2, train_sample=256)
+    s1 = {
+        r["vec_id"]: r["keep"] for r in semdedup(df, **kw).collect()
+    }
+    s2 = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup(df.repartition(7), **kw).collect()
+    }
+    assert s1 == s2  # determinism across partitionings
+    full = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup(df, k=24, eps=0.2).collect()
+    }
+    agree = sum(s1[i] == full[i] for i in full) / len(full)
+    assert agree >= 0.90, agree
+    # both postures keep a comparable corpus fraction (no silent
+    # over-dedup from the bounded training)
+    kept_s, kept_f = sum(s1.values()), sum(full.values())
+    assert abs(kept_s - kept_f) / kept_f <= 0.05, (kept_s, kept_f)

@@ -57,33 +57,28 @@ def load_all() -> None:
 # canaries. Everything not listed follows in registration order, so the
 # window rotates across rounds until every query has a confirmed row.
 #
-# ROUND-9 DECISION: CORRECTNESS_r08 ran 50/50 clean; cumulative coverage
-# stands at 224/224 of the round-8 registry (tools/rotation.py,
-# re-verified at round-9 start: zero unconfirmed, zero stranded). This
-# window, regenerated from live state: 3 canaries + the round-9
-# registration (x35b_semdedup_autok — SemDeDup under the new
-# bounded-cell-size k="auto" default, rows-only) + 4 changed-this-round
-# re-confirms (x36_quality_classifier — eval confusion row added →
-# new digest; x5_knn_jl_sq8 — candidate budget switched to the measured
-# constant-fraction auto-expand law → new candidate sets;
-# x2_cap_accounting — two sums coalesced to match the oracle on
-# degenerate corpora, values unchanged at real SFs; x38_bigram_lm_score
-# — model table now routed through the stabilize() checkpoint switch,
-# values proven unchanged by the path-equivalence test) + the 42 OLDEST
-# cumulative-green rows (tools/rotation.py oldest-first: x9_decontaminate,
-# the one remaining r3-vintage row, then the entire 41-row round-4
-# vintage — approx sketches a7/a7b/a10b, a16, f14, j11/j12, the
-# s15/s16/s18/s19/s20 format/evolution sinks, s4, st11-st14 real-stream
-# rows, t8/t10/t11, u5, w10/w11, x16/x17, x18, x20-x23, x25/x26,
-# x2_minhash_lsh, x5_knn_lsh/ivf/ivf_trained, x6 codec rows
-# avi/g711/mp3/mp4/png). The remaining r5 vintage rotates next round.
-# x2c_dedup_components and x13_pagerank also changed paths this round
-# (stabilize()) but were re-validated in r8 and their path equivalence
-# is pytest-pinned; they rotate with the r5 tail. Late-round-9 additions:
-# x35c_semdedup_coarse (the coarse-to-fine final-assignment tier) and
-# x35d_semdedup_ingest (at-ingest semantic dedup) take the window slots
-# x6_png_roundtrip and x6_mp4_frames held — both cumulative-green (r4)
-# and rotating with the r5 tail next round.
+# ROUND-10 DECISION: CORRECTNESS_r09 ran 50/50 clean; cumulative
+# coverage at round-10 start was 227/227 of the round-9 registry
+# (tools/rotation.py: zero unconfirmed, zero stranded). This window,
+# regenerated from live state: 3 canaries + the 3 round-10
+# registrations (x39_substring_dedup — exact-substring span excision
+# under a full value oracle; x5_knn_jl_sq8_prod — the production
+# search path split out of the recall audit, vectorized index build;
+# st15_stream_watermark_latedrop — a REAL watermark drop in update
+# mode, hash-matched to batch SQL) + 8 changed-path re-confirms
+# (x35/x35b/x35c/x35d — centroids now columnar end-to-end: Arrow Lloyd
+# updates, pyarrow centroid frame, chunked coarse quantizer, plus the
+# ingest cell-contract fix; x2c/x2d — components' driver union-find
+# now collects through Arrow; x5_knn_ivf_trained — kmeans collect
+# path; x5_knn_jl_sq8 — jl.py gained the vectorized-index flag, audit
+# keeps the fold) + the OLDEST cumulative-green rows: both r4-vintage
+# rows (x6_png_roundtrip, x6_mp4_frames) and 34 of the 41 remaining
+# r5-vintage rows (the full multimodal/ingest/ANN tail the r9 verdict
+# named — s21, x27-x31, x5_knn_multiprobe, x6 codec rows, plus the
+# aggregate/set/function r5 rows). Seven trivial r5 scan/project rows
+# (o1, o2, p1, p2, p4, p5, s1) are deferred to the r11 window — they
+# are single-operator plans pinned by the local oracle gate every
+# round; the r11 window takes them with the r6 vintage.
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
 # before this window was handed to the driver.
 PRIORITY: list[str] = [
@@ -91,56 +86,56 @@ PRIORITY: list[str] = [
     "a6_q1_pricing_summary",
     "w1_latest_per_group",
     "x2_ngram_jaccard",
-    # round-9 registrations
+    # round-10 registrations
+    "x39_substring_dedup",
+    "x5_knn_jl_sq8_prod",
+    "st15_stream_watermark_latedrop",
+    # changed this round -> re-confirm
+    "x35_semdedup",
     "x35b_semdedup_autok",
     "x35c_semdedup_coarse",
     "x35d_semdedup_ingest",
-    # changed this round → re-confirm
-    "x36_quality_classifier",
-    "x5_knn_jl_sq8",
-    "x2_cap_accounting",
-    "x38_bigram_lm_score",
-    # oldest-green re-validation: the r3 orphan + the full round-4 tail
-    "x9_decontaminate",
-    "a10b_approx_percentile",
-    "a16_stat_moments",
-    "a7_approx_count_distinct",
-    "a7b_hll_sketch_union",
-    "f14_parse_url",
-    "j11_asof_forward",
-    "j12_interval_overlap_join",
-    "s15_orc_roundtrip",
-    "s16_csv_roundtrip",
-    "s18_schema_evolution",
-    "s19_nested_types",
-    "s20_compaction",
-    "s4_binary_ingest",
-    "st11_stream_stream_join",
-    "st12_stream_tumbling",
-    "st13_stream_sliding",
-    "st14_stream_session",
-    "t10_fuzzy_term",
-    "t11_field_scoped_search",
-    "t8_stemmed_lookup",
-    "u5_bag_set_ops",
-    "w10_gap_fill",
-    "w11_window_fn_suite",
-    "x16_pii_redact",
-    "x17_rare_token_filter",
-    "x18_triangle_count",
-    "x20_rag_chunking",
-    "x21_dedup_incremental",
-    "x22_ingest_decontam",
-    "x23_winnowing_fingerprint",
-    "x25_sequence_packing",
-    "x26_weighted_sample",
-    "x2_minhash_lsh",
-    "x5_knn_ivf",
+    "x2c_dedup_components",
+    "x2d_dedup_survivors",
     "x5_knn_ivf_trained",
-    "x5_knn_lsh",
-    "x6_avi_frames",
-    "x6_g711_roundtrip",
-    "x6_mp3_meta",
+    "x5_knn_jl_sq8",
+    # oldest-green re-validation: the r4 pair + the r5 vintage
+    "x6_png_roundtrip",
+    "x6_mp4_frames",
+    "a1_max_per_group",
+    "a3_count",
+    "a4_distinct",
+    "a5_numeric_rollups",
+    "a7_count_distinct",
+    "a8_rollup",
+    "a9_map_key_count",
+    "f1_concat_key",
+    "f2_split",
+    "f3_regexp_extract",
+    "f4_replace_trim",
+    "f5_cast",
+    "o3_topk",
+    "o4_sort_within_partitions",
+    "s21_merge_into",
+    "s2_regex_scan",
+    "s3_point_lookup",
+    "s5_blob_point_read",
+    "s9_json_source",
+    "u1_union_by_name",
+    "u2_except",
+    "u2_intersect",
+    "u3_union_distinct",
+    "x27_bpe_tokenize",
+    "x28_image_neardup",
+    "x29_webdataset_ingest",
+    "x2_simhash",
+    "x30_warc_ingest",
+    "x31_zip_ingest",
+    "x5_knn_multiprobe",
+    "x6_adpcm_roundtrip",
+    "x6_audio_features",
+    "x6_bilinear_resize",
+    "x6_jpeg_roundtrip",
 ]
 
 

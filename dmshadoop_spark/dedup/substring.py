@@ -135,14 +135,32 @@ def substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 50,
+    keep: str = "all",
 ) -> DataFrame:
-    """Excise every cross-document duplicated token span of ≥ ``min_len``
+    """Excise cross-document duplicated token spans of ≥ ``min_len``
     tokens; one output row per input doc:
     (id, clean_text, orig_tokens, kept_tokens, removed_tokens, n_spans).
-    See the module docstring for the algorithm and scale audit."""
+
+    ``keep`` picks the paper variant:
+      * "all" (default) — every occurrence of a duplicated span is
+        excised; the shared content disappears from the corpus.
+      * "first" — the paper's all-but-one rule at window granularity:
+        each duplicated window names the lexicographically smallest
+        (doc, pos) occurrence its CANONICAL copy, and a token position
+        is excised only when no window covering it is canonical right
+        there — so the min-id document keeps the shared span and every
+        other occurrence loses it. Deterministic (no RNG, total order
+        on (doc, pos)); requires integral doc ids like the rest of the
+        hashed path.
+
+    See the module docstring for the algorithm and scale audit; "first"
+    adds one explode of the MARKED minority to token granularity
+    (duplicated-window count × L rows — never corpus-sized)."""
     L = int(min_len)
     if L < 2:
         raise ValueError("min_len must be ≥ 2")
+    if keep not in ("all", "first"):
+        raise ValueError(f"keep must be 'all' or 'first', got {keep!r}")
     toks = docs.select(
         F.col(id_col).alias("_id"),
         # null text ≡ empty text: one "" token, passes through untouched
@@ -186,35 +204,69 @@ def substring_dedup(
     )
     dup = (
         occ.groupBy("h1", "h2")
-        .agg(F.min("_id").alias("_a"), F.max("_id").alias("_b"))
-        .where(F.col("_a") != F.col("_b"))
-        .select("h1", "h2")
-    )
-    marked = occ.join(dup, ["h1", "h2"], "left_semi").select(
-        "_id", "pos", (F.col("pos") + F.lit(L - 1)).alias("end")
-    )
-    w_prev = (
-        Window.partitionBy("_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = (
-        marked.withColumn(
-            "brk",
-            (
-                F.col("pos")
-                > F.coalesce(F.max("end").over(w_prev), F.lit(-2)) + 1
-            ).cast("int"),
+        .agg(
+            F.min("_id").alias("_a"),
+            F.max("_id").alias("_b"),
+            F.min(F.struct("_id", "pos")).alias("_canon"),
         )
-        .withColumn("g", F.sum("brk").over(w_run))
-        .groupBy("_id", "g")
-        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+        .where(F.col("_a") != F.col("_b"))
     )
+    if keep == "all":
+        marked = occ.join(
+            dup.select("h1", "h2"), ["h1", "h2"], "left_semi"
+        ).select("_id", "pos", (F.col("pos") + F.lit(L - 1)).alias("end"))
+        w_prev = (
+            Window.partitionBy("_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_run = (
+            Window.partitionBy("_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        islands = (
+            marked.withColumn(
+                "brk",
+                (
+                    F.col("pos")
+                    > F.coalesce(F.max("end").over(w_prev), F.lit(-2)) + 1
+                ).cast("int"),
+            )
+            .withColumn("g", F.sum("brk").over(w_run))
+            .groupBy("_id", "g")
+            .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+        )
+    else:  # keep == "first" — the paper's all-but-one semantic
+        # every marked occurrence explodes to the L token positions it
+        # covers (volume = duplicated windows × L only — the marked
+        # minority, never the corpus); a position survives excision iff
+        # SOME covering window's canonical occurrence is right here.
+        marked = occ.join(
+            dup.select("h1", "h2", "_canon"), ["h1", "h2"]
+        ).select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))
+            ).alias("p"),
+            (
+                (F.col("_canon._id") == F.col("_id"))
+                & (F.col("_canon.pos") == F.col("pos"))
+            ).alias("is_canon"),
+        )
+        exc = (
+            marked.groupBy("_id", "p")
+            .agg(F.max("is_canon").alias("canon_cov"))
+            .where(~F.col("canon_cov"))
+        )
+        # consecutive excised positions → maximal spans (p − row_number
+        # is constant within a run)
+        w_rn = Window.partitionBy("_id").orderBy("p")
+        islands = (
+            exc.withColumn("g", F.col("p") - F.row_number().over(w_rn))
+            .groupBy("_id", "g")
+            .agg(F.min("p").alias("s"), F.max("p").alias("e"))
+        )
     ivals = islands.groupBy("_id").agg(
         F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivals"),
         F.count(F.lit(1)).alias("n_spans"),

@@ -6016,3 +6016,77 @@ def x5_knn_jl_sq8_prod(spark, sf_dir):
         F.round("cosine", 6).alias("cosine"),
     )
     return with_sorted_digest(out, "query_id", "rank", "neighbor_id", "cosine")
+
+
+@query(
+    "x39b_substring_dedup_keep_one",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok,
+                   generate_subscripts(t, 1) - 1 AS pos
+            FROM toks),
+    sh AS (SELECT doc_id, pos,
+                  string_agg(tok, ' ') OVER w AS s,
+                  count(*) OVER w AS c
+           FROM tok
+           WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)),
+    occ AS (SELECT doc_id, pos, s FROM sh WHERE c = 10),
+    -- canonical occurrence per duplicated window: lexicographic min
+    -- (doc, pos), encoded as doc*2^20+pos (pos < 2^20 for any doc the
+    -- tokenizer can produce here)
+    dup AS (SELECT s, min(doc_id * 1048576 + pos) AS canon
+            FROM occ GROUP BY s
+            HAVING min(doc_id) <> max(doc_id)),
+    cov AS (SELECT o.doc_id, gs.p,
+                   max(CASE WHEN o.doc_id * 1048576 + o.pos = d.canon
+                            THEN 1 ELSE 0 END) AS canon_cov
+            FROM occ o JOIN dup d USING (s),
+                 unnest(generate_series(o.pos, o.pos + 9)) AS gs(p)
+            GROUP BY 1, 2),
+    exc AS (SELECT doc_id, p FROM cov WHERE canon_cov = 0),
+    isl AS (SELECT doc_id, p,
+                   p - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY p) AS g
+            FROM exc),
+    spans AS (SELECT doc_id, g, min(p) AS s, max(p) AS e
+              FROM isl GROUP BY doc_id, g),
+    iv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(e - s + 1) AS BIGINT) AS removed
+           FROM spans GROUP BY doc_id),
+    kept AS (SELECT t.doc_id, t.pos, t.tok
+             FROM tok t LEFT JOIN exc c
+               ON t.doc_id = c.doc_id AND t.pos = c.p
+             WHERE c.p IS NULL),
+    cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(cl.clean_text, '') AS clean_text,
+           CAST(len(t.t) AS BIGINT) AS orig_tokens,
+           CAST(len(t.t) AS BIGINT) - coalesce(iv.removed, 0)
+               AS kept_tokens,
+           coalesce(iv.removed, 0) AS removed_tokens,
+           coalesce(iv.n_spans, 0) AS n_spans
+    FROM documents d
+    JOIN toks t USING (doc_id)
+    LEFT JOIN cl USING (doc_id)
+    LEFT JOIN iv USING (doc_id)
+    """,
+)
+def x39b_substring_dedup_keep_one(spark, sf_dir):
+    """Exact-substring dedup, ALL-BUT-ONE variant — the rule Lee et al.
+    2022 actually apply ("we remove all but one occurrence"): each
+    duplicated window's lexicographically-first (doc, pos) occurrence is
+    canonical, the min-id document keeps the shared span, every other
+    occurrence is excised. x39 is the remove-everywhere variant; this
+    one preserves exactly one copy of the shared content in the corpus
+    (the conservative choice when the span might be the only source of
+    that text). Same engine (dedup/substring.py, keep="first"), same
+    accounting columns, FULL value oracle — DuckDB names the same
+    canonical occurrence via a composite (doc·2^20+pos) min and replays
+    the position-level excision."""
+    from dmshadoop_spark.dedup.substring import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, "doc_id", "text", min_len=10, keep="first")

@@ -3136,3 +3136,46 @@ def test_semdedup_train_sample_survivor_stability(spark):
     # over-dedup from the bounded training)
     kept_s, kept_f = sum(s1.values()), sum(full.values())
     assert abs(kept_s - kept_f) / kept_f <= 0.05, (kept_s, kept_f)
+
+
+def test_substring_dedup_keep_first_preserves_one_copy(spark):
+    """keep='first' (the paper's all-but-one rule): the lexicographically
+    smallest (doc, pos) occurrence keeps the shared span, every other
+    occurrence is excised; docs untouched by duplication pass through;
+    keep='all' on the same fixture removes both copies."""
+    from dmshadoop_spark.dedup.substring import substring_dedup
+
+    span = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (5, f"head5 {span} tail5"),
+            (2, f"head2 {span} tail2"),   # min doc id → canonical copy
+            (9, f"solo text with nothing shared here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    first = {
+        r["doc_id"]: r
+        for r in substring_dedup(
+            docs, "doc_id", "text", min_len=10, keep="first"
+        ).collect()
+    }
+    assert first[2]["clean_text"] == f"head2 {span} tail2"  # kept intact
+    assert first[2]["removed_tokens"] == 0
+    assert first[5]["clean_text"] == "head5 tail5"
+    assert first[5]["removed_tokens"] == 12 and first[5]["n_spans"] == 1
+    assert first[9]["removed_tokens"] == 0
+
+    both = {
+        r["doc_id"]: r
+        for r in substring_dedup(
+            docs, "doc_id", "text", min_len=10, keep="all"
+        ).collect()
+    }
+    assert both[2]["clean_text"] == "head2 tail2"
+    assert both[5]["clean_text"] == "head5 tail5"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="keep must be"):
+        substring_dedup(docs, "doc_id", "text", min_len=10, keep="one")

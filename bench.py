@@ -80,6 +80,11 @@ HEADLINE = [
     # r9) had it existed earlier — that is exactly why it exists now.
     # In `later_added`; the 19-query comparable subtotal is untouched.
     "x35b_semdedup_autok",     # SemDeDup production default, end-to-end
+    # Round-10 addition: the exact-substring span-excision tier (Lee et
+    # al. 2022) — one Arrow hashing pass + hash-keyed detection + island
+    # merge + excision join; sub-second at sf0.1, watched for the step
+    # change an extra corpus scan or a lost stabilize() would cause.
+    "x39_substring_dedup",     # ExactSubstr span excision
 ]
 
 
@@ -155,7 +160,7 @@ def main() -> None:
         "x32_audio_neardup", "x33_video_neardup",
         "x5_knn_sq8",
         "x36_quality_classifier", "x38_bigram_lm_score", "x5_knn_jl_sq8_prod",
-        "x35b_semdedup_autok",
+        "x35b_semdedup_autok", "x39_substring_dedup",
     }
     shared = round(
         sum(t for n, t in timings.items() if n not in later_added), 4

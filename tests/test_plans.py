@@ -612,3 +612,22 @@ def test_stabilize_strips_compounding_statistics(spark):
     assert max(digit_counts) <= 25, digit_counts
     assert digit_counts[-1] <= digit_counts[0] + 1, digit_counts
     assert labels.count() == 50
+
+
+def test_x39_single_corpus_scan_per_plan(spark, sf_dir):
+    """x39's hashed occurrence table is stabilized so detection and the
+    mark semi-join share one materialization — without it each consumer
+    re-runs the scan + tokenize + Arrow hashing subtree (measured: 3
+    documents scans in the plan at round-10 development time). The
+    compiled plan may scan documents ONCE (the excision join's token
+    re-read); the occ subtree must live behind the checkpoint."""
+    import re
+
+    df = registry.QUERIES["x39_substring_dedup"](spark, sf_dir)
+    p = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scans = re.findall(r"file:[^\]]*?/(\w+)\.parquet", p)
+    assert scans.count("documents") == 1, (
+        f"documents scanned {scans.count('documents')}× in x39 plan"
+    )

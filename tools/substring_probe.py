@@ -1,14 +1,18 @@
 """x39 exact-substring dedup scale probe.
 
 Measures substring_dedup (both keep variants) across the gen_scale.py
-fixtures. The replicated fixtures are the operator's WORST case: every
-replica shares its full text with its siblings, so ~100% of positions
-are marked — detection volume, the island windows, and the excision
-join all run at their maximum density for the corpus size. The
-interesting number is the wall exponent under that density: the
-pipeline has no pair stage (detection is one map-side-combinable agg on
-window hashes), so it should stay near-linear even here, unlike the
-pre-round-9 Jaccard pair stage.
+fixtures. Default gen_scale replicas SHUFFLE each doc's words per
+replica, so 10-token windows never survive across replicas: the
+duplicated-span set stays the BASE corpus's (constant removed_tokens /
+docs_touched at every factor — the probe output shows it), and what
+scales with the factor is the corpus-sized work: the hash scan, the
+detection aggregate over all window hashes, and the excision re-read.
+That isolates exactly the terms that must stay linear; the marked-
+minority stages are held constant by construction. The pipeline has no
+pair stage (detection is one map-side-combinable agg on window
+hashes), so the exponent should stay ≈1 even when duplication DOES
+scale — duplicated-window frequency is absorbed by partial aggregation
+before the exchange, unlike the pre-round-9 Jaccard pair emitters.
 
 PROTOCOL: run ONE dir per process (fresh session per point). x39
 checkpoints its occurrence table once per execution; repeated

@@ -171,7 +171,15 @@ def substring_dedup(
 
     See the module docstring for the algorithm and scale audit; "first"
     adds one explode of the MARKED minority to token granularity
-    (duplicated-window count × L rows — never corpus-sized)."""
+    (duplicated-window count × L rows — never corpus-sized).
+
+    SINGLE-PASS semantics (same as the paper's tooling): excising a
+    middle span joins its flanks, and the joined text can form a NEW
+    ≥L-token window that duplicates another document — such
+    juncture-created duplicates are not re-detected within one pass.
+    Pipelines wanting a fixpoint re-run the operator on its own output
+    until removed_tokens is zero; duplicates present in the INPUT are
+    always removed in one pass."""
     L = int(min_len)
     if L < 2:
         raise ValueError("min_len must be ≥ 2")

@@ -3179,3 +3179,72 @@ def test_substring_dedup_keep_first_preserves_one_copy(spark):
 
     with pytest.raises(ValueError, match="keep must be"):
         substring_dedup(docs, "doc_id", "text", min_len=10, keep="one")
+
+
+def _ref_substring_dedup(docs, L, keep):
+    """Pure-Python reference for substring_dedup's semantics."""
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    occ = {}
+    for d, ts in sorted(toks.items()):
+        for p in range(len(ts) - L + 1):
+            occ.setdefault(tuple(ts[p : p + L]), []).append((d, p))
+    covered = {d: set() for d in toks}
+    canon_cov = {d: set() for d in toks}
+    for s, os_ in occ.items():
+        if len({d for d, _ in os_}) < 2:
+            continue
+        canon = min(os_)
+        for d, p in os_:
+            covered[d].update(range(p, p + L))
+            if keep == "first" and (d, p) == canon:
+                canon_cov[d].update(range(p, p + L))
+    out = {}
+    for d, ts in toks.items():
+        exc = covered[d] - (canon_cov[d] if keep == "first" else set())
+        kept = [t for i, t in enumerate(ts) if i not in exc]
+        runs = 0
+        prev = None
+        for i in sorted(exc):
+            if prev is None or i > prev + 1:
+                runs += 1
+            prev = i
+        out[d] = (" ".join(kept), len(ts), len(ts) - len(exc), len(exc), runs)
+    return out
+
+
+def test_substring_dedup_matches_reference_on_random_corpora(spark):
+    """Property: both keep variants agree with a pure-Python reference
+    on randomized small-vocab corpora (small vocab forces heavy
+    cross-doc duplication, overlapping and nested spans, whole-doc
+    wipeouts — the shapes hand fixtures miss)."""
+    import random
+
+    from dmshadoop_spark.dedup.substring import substring_dedup
+
+    vocab = ["aa", "bb", "cc", "dd"]
+    for seed in range(6):
+        rng = random.Random(seed)
+        docs = {
+            d: " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 24))
+            )
+            for d in range(rng.randint(2, 5))
+        }
+        sdf = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        for keep in ("all", "first"):
+            ref = _ref_substring_dedup(docs, 4, keep)
+            got = {
+                r["doc_id"]: (
+                    r["clean_text"],
+                    r["orig_tokens"],
+                    r["kept_tokens"],
+                    r["removed_tokens"],
+                    r["n_spans"],
+                )
+                for r in substring_dedup(
+                    sdf, "doc_id", "text", min_len=4, keep=keep
+                ).collect()
+            }
+            assert got == ref, (seed, keep, got, ref)

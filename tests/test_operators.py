@@ -1247,3 +1247,37 @@ def test_bigram_lm_join_path_matches_literal(spark, sf_dir, monkeypatch):
             assert joined == lit
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_logreg_loop_conf_invariant(spark):
+    """train_logreg's loop runs under a scoped (1 shuffle partition,
+    AQE off) override — pure scheduling, never values: weights must be
+    bit-identical to a run under the session defaults, and the session
+    confs must be restored afterwards."""
+    from pyspark.sql import functions as F
+
+    from dmshadoop_spark.functions.checkpoint import stabilize
+    from dmshadoop_spark.operators.logreg import (
+        _train_logreg_loop,
+        train_logreg,
+    )
+
+    feat = stabilize(
+        spark.range(400).select(
+            (F.col("id") % 2 == 0).cast("int").alias("y"),
+            F.expr(
+                "transform(sequence(1, 8), j -> cast((id * j) % 5 as double))"
+            ).alias("x"),
+        )
+    )
+    before = (
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    )
+    tuned = train_logreg(feat, dim=8, n_iter=4)
+    assert (
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    ) == before, "session confs not restored"
+    plain = _train_logreg_loop(feat, "y", "x", 8, 4, 4.0)
+    assert tuned == plain

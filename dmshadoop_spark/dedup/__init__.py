@@ -30,7 +30,7 @@ from dmshadoop_spark.dedup.minhash import (
     minhash_signature,
 )
 from dmshadoop_spark.dedup.simhash import simhash, simhash_candidate_pairs, simhash_df, token_hashes
-from dmshadoop_spark.dedup.substring import substring_dedup
+from dmshadoop_spark.dedup.substring import substring_decontaminate, substring_dedup
 
 __all__ = [
     "ahash_int",
@@ -39,6 +39,7 @@ __all__ = [
     "audio_neardup_pairs",
     "blocked_cosine_pairs",
     "connected_components",
+    "substring_decontaminate",
     "substring_dedup",
     "dhash_int",
     "hamming_candidate_pairs",

@@ -146,6 +146,107 @@ def _window_hashes(tokens, L: int, cache=None):
     return out[0], out[1]
 
 
+def _token_table(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, t) — the repo tokenizer over ``text_col``; null text ≡ empty
+    text (one "" token, passes through excision untouched)."""
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("t"),
+    )
+
+
+def _occurrence_table(toks: DataFrame, L: int) -> DataFrame:
+    """(_id, pos, h1, h2) — one row per L-token window, hashed in one
+    Arrow pass (module docstring stage 2). NOT stabilized; callers that
+    consume it more than once checkpoint it themselves."""
+
+    def emit(batches):
+        import pandas as pd
+
+        cache: dict = {}  # per-task token-hash cache, shared across docs
+        for pdf in batches:
+            ids, poss, h1s, h2s = [], [], [], []
+            for did, t in zip(pdf["_id"], pdf["t"]):
+                h1, h2 = _window_hashes(list(t), L, cache)
+                m = len(h1)
+                if m:
+                    ids.append(np.full(m, did, dtype=np.int64))
+                    poss.append(np.arange(m, dtype=np.int64))
+                    h1s.append(h1)
+                    h2s.append(h2)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "_id": np.concatenate(ids),
+                        "pos": np.concatenate(poss),
+                        # reinterpret as signed for Spark's long
+                        "h1": np.concatenate(h1s).view(np.int64),
+                        "h2": np.concatenate(h2s).view(np.int64),
+                    }
+                )
+
+    return toks.mapInPandas(emit, "_id long, pos long, h1 long, h2 long")
+
+
+def _merge_marked_islands(marked: DataFrame) -> DataFrame:
+    """Gaps-and-islands over (_id, pos, end) marked windows →
+    (_id, s, e) maximal merged spans."""
+    w_prev = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        marked.withColumn(
+            "brk",
+            (
+                F.col("pos")
+                > F.coalesce(F.max("end").over(w_prev), F.lit(-2)) + 1
+            ).cast("int"),
+        )
+        .withColumn("g", F.sum("brk").over(w_run))
+        .groupBy("_id", "g")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+    )
+
+
+def _excise(toks: DataFrame, islands: DataFrame, id_col: str) -> DataFrame:
+    """Shared assembly (module docstring stage 5): merged spans collapse
+    to one interval-array row per affected doc, join the token-array
+    corpus, and tokens drop through an index-aware filter; untouched
+    docs pass through as a left-join miss."""
+    ivals = islands.groupBy("_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivals"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("removed"),
+    )
+    out = toks.join(ivals, "_id", "left")
+    kept_t = F.when(
+        F.col("ivals").isNull(), F.col("t")
+    ).otherwise(
+        F.expr(
+            "filter(t, (x, i) -> not exists(ivals, v -> i >= v.s and i <= v.e))"
+        )
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws(" ", kept_t).alias("clean_text"),
+        F.size("t").cast("long").alias("orig_tokens"),
+        (F.size("t") - F.coalesce(F.col("removed"), F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.coalesce(F.col("removed"), F.lit(0))
+        .cast("long")
+        .alias("removed_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+    )
+
+
 def substring_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -185,36 +286,7 @@ def substring_dedup(
         raise ValueError("min_len must be ≥ 2")
     if keep not in ("all", "first"):
         raise ValueError(f"keep must be 'all' or 'first', got {keep!r}")
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        # null text ≡ empty text: one "" token, passes through untouched
-        tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("t"),
-    )
-
-    def emit(batches):
-        import pandas as pd
-
-        cache: dict = {}  # per-task token-hash cache, shared across docs
-        for pdf in batches:
-            ids, poss, h1s, h2s = [], [], [], []
-            for did, t in zip(pdf["_id"], pdf["t"]):
-                h1, h2 = _window_hashes(list(t), L, cache)
-                m = len(h1)
-                if m:
-                    ids.append(np.full(m, did, dtype=np.int64))
-                    poss.append(np.arange(m, dtype=np.int64))
-                    h1s.append(h1)
-                    h2s.append(h2)
-            if ids:
-                yield pd.DataFrame(
-                    {
-                        "_id": np.concatenate(ids),
-                        "pos": np.concatenate(poss),
-                        # reinterpret as signed for Spark's long
-                        "h1": np.concatenate(h1s).view(np.int64),
-                        "h2": np.concatenate(h2s).view(np.int64),
-                    }
-                )
+    toks = _token_table(docs, id_col, text_col)
 
     # occ feeds BOTH the detection agg and the mark semi-join; without
     # materialization each consumer re-runs the scan + tokenize + Arrow
@@ -224,9 +296,7 @@ def substring_dedup(
     # final excision join below re-scans documents for the token
     # arrays instead of persisting them — 2 pruned column scans total,
     # cheaper at 100 TB than storing a tokenized copy of the corpus.
-    occ = stabilize(
-        toks.mapInPandas(emit, "_id long, pos long, h1 long, h2 long")
-    )
+    occ = stabilize(_occurrence_table(toks, L))
     dup = (
         occ.groupBy("h1", "h2")
         .agg(
@@ -240,28 +310,7 @@ def substring_dedup(
         marked = occ.join(
             dup.select("h1", "h2"), ["h1", "h2"], "left_semi"
         ).select("_id", "pos", (F.col("pos") + F.lit(L - 1)).alias("end"))
-        w_prev = (
-            Window.partitionBy("_id")
-            .orderBy("pos")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        w_run = (
-            Window.partitionBy("_id")
-            .orderBy("pos")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        islands = (
-            marked.withColumn(
-                "brk",
-                (
-                    F.col("pos")
-                    > F.coalesce(F.max("end").over(w_prev), F.lit(-2)) + 1
-                ).cast("int"),
-            )
-            .withColumn("g", F.sum("brk").over(w_run))
-            .groupBy("_id", "g")
-            .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
-        )
+        islands = _merge_marked_islands(marked)
     else:  # keep == "first" — the paper's all-but-one semantic
         # every marked occurrence explodes to the L token positions it
         # covers (volume = duplicated windows × L only — the marked
@@ -292,24 +341,48 @@ def substring_dedup(
             .groupBy("_id", "g")
             .agg(F.min("p").alias("s"), F.max("p").alias("e"))
         )
-    ivals = islands.groupBy("_id").agg(
-        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivals"),
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).alias("removed"),
+    return _excise(toks, islands, id_col)
+
+
+def substring_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    min_len: int = 50,
+) -> DataFrame:
+    """Substring-level eval decontamination: excise from every TRAIN
+    document each token span of ≥ ``min_len`` tokens that also appears
+    ANYWHERE in the ``benchmark`` corpus — the eval-set counterpart of
+    exact-substring dedup (the GPT-3 appendix / Lee et al. 2022
+    decontamination discipline; x9/x22 do this at whole-shingle
+    membership granularity, this operator removes the overlapping SPAN
+    itself and keeps the document's unique remainder). One output row
+    per train doc, same accounting contract as ``substring_dedup``.
+
+    Shape: the benchmark side reduces to its DISTINCT window-hash set
+    (16 bytes per distinct window — eval sets are tiny next to training
+    corpora, so the semi join's build side is naturally small and AQE
+    broadcasts it); the train side is one hash scan + the shared
+    gaps-and-islands excision. Within-train duplication is NOT touched
+    here — compose with ``substring_dedup`` for that. Single-pass
+    juncture semantics as in ``substring_dedup``: spans present in the
+    input are always removed; a juncture-created overlap needs a
+    re-run."""
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be ≥ 2")
+    toks = _token_table(train, id_col, text_col)
+    occ = _occurrence_table(toks, L)
+    bench_toks = _token_table(
+        benchmark, id_col, bench_text_col or text_col
     )
-    out = toks.join(ivals, "_id", "left")
-    kept_t = F.when(
-        F.col("ivals").isNull(), F.col("t")
-    ).otherwise(
-        F.expr("filter(t, (x, i) -> not exists(ivals, v -> i >= v.s and i <= v.e))")
+    bench_windows = (
+        _occurrence_table(bench_toks, L).select("h1", "h2").distinct()
     )
-    return out.select(
-        F.col("_id").alias(id_col),
-        F.concat_ws(" ", kept_t).alias("clean_text"),
-        F.size("t").cast("long").alias("orig_tokens"),
-        (F.size("t") - F.coalesce(F.col("removed"), F.lit(0)))
-        .cast("long")
-        .alias("kept_tokens"),
-        F.coalesce(F.col("removed"), F.lit(0)).cast("long").alias("removed_tokens"),
-        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+    marked = occ.join(bench_windows, ["h1", "h2"], "left_semi").select(
+        "_id", "pos", (F.col("pos") + F.lit(L - 1)).alias("end")
     )
+    islands = _merge_marked_islands(marked)
+    return _excise(toks, islands, id_col)

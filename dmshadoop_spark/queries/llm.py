@@ -6090,3 +6090,79 @@ def x39b_substring_dedup_keep_one(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return substring_dedup(docs, "doc_id", "text", min_len=10, keep="first")
+
+
+@query(
+    "x40_substring_decontam",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok,
+                   generate_subscripts(t, 1) - 1 AS pos
+            FROM toks),
+    sh AS (SELECT doc_id, pos,
+                  string_agg(tok, ' ') OVER w AS s,
+                  count(*) OVER w AS c
+           FROM tok
+           WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)),
+    occ AS (SELECT doc_id, pos, s FROM sh WHERE c = 10),
+    bench AS (SELECT DISTINCT s FROM occ WHERE doc_id % 10 = 7),
+    marked AS (SELECT o.doc_id, o.pos, o.pos + 9 AS e
+               FROM occ o JOIN bench USING (s)
+               WHERE o.doc_id % 10 <> 7),
+    isl AS (SELECT doc_id, pos, e,
+                   CASE WHEN pos > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -2) + 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM marked),
+    isl2 AS (SELECT doc_id, pos, e,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS g
+             FROM isl),
+    spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+              FROM isl2 GROUP BY doc_id, g),
+    iv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(e - s + 1) AS BIGINT) AS removed
+           FROM spans GROUP BY doc_id),
+    cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS idx
+            FROM spans),
+    kept AS (SELECT t.doc_id, t.pos, t.tok
+             FROM tok t LEFT JOIN cov c
+               ON t.doc_id = c.doc_id AND t.pos = c.idx
+             WHERE c.idx IS NULL AND t.doc_id % 10 <> 7),
+    cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(cl.clean_text, '') AS clean_text,
+           CAST(len(t.t) AS BIGINT) AS orig_tokens,
+           CAST(len(t.t) AS BIGINT) - coalesce(iv.removed, 0)
+               AS kept_tokens,
+           coalesce(iv.removed, 0) AS removed_tokens,
+           coalesce(iv.n_spans, 0) AS n_spans
+    FROM documents d
+    JOIN toks t USING (doc_id)
+    LEFT JOIN cl USING (doc_id)
+    LEFT JOIN iv USING (doc_id)
+    WHERE d.doc_id % 10 <> 7
+    """,
+)
+def x40_substring_decontam(spark, sf_dir):
+    """Substring-level eval decontamination (the GPT-3-appendix / Lee
+    et al. 2022 discipline): every ≥10-token span of a TRAIN document
+    that also appears anywhere in the benchmark split (doc_id % 10 = 7
+    here) is excised; the train doc keeps its unique remainder, with
+    the standard accounting columns. x9/x22 decide contamination at
+    whole-shingle membership granularity; this removes the overlapping
+    span itself. The benchmark side reduces to its distinct window-hash
+    set before the semi join (16 bytes per distinct window — naturally
+    broadcastable). FULL value oracle over shingle strings."""
+    from dmshadoop_spark.dedup.substring import substring_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    bench = docs.where(F.col("doc_id") % 10 == 7)
+    return substring_decontaminate(train, bench, "doc_id", "text", min_len=10)

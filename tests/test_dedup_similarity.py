@@ -3248,3 +3248,37 @@ def test_substring_dedup_matches_reference_on_random_corpora(spark):
                 ).collect()
             }
             assert got == ref, (seed, keep, got, ref)
+
+
+def test_substring_decontaminate_planted(spark):
+    """Eval spans are excised from train docs (and only from train
+    docs); within-train duplication is untouched; train docs with no
+    benchmark overlap pass through byte-identical."""
+    from dmshadoop_spark.dedup.substring import substring_decontaminate
+
+    leak = " ".join(f"q{i}" for i in range(10))  # benchmark passage
+    traindup = " ".join(f"d{i}" for i in range(10))
+    bench = spark.createDataFrame(
+        [(100, f"intro {leak} outro")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"pre {leak} post"),            # contaminated
+            (2, f"a {traindup} b"),             # train-internal dup only
+            (3, f"c {traindup} dd"),            # train-internal dup only
+            (4, "completely clean document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_decontaminate(
+            train, bench, "doc_id", "text", min_len=10
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # benchmark docs never emitted
+    assert out[1]["clean_text"] == "pre post"
+    assert out[1]["removed_tokens"] == 10 and out[1]["n_spans"] == 1
+    # within-train duplication is NOT this operator's job
+    assert out[2]["removed_tokens"] == 0 and out[3]["removed_tokens"] == 0
+    assert out[4]["clean_text"] == "completely clean document"

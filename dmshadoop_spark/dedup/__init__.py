@@ -30,7 +30,11 @@ from dmshadoop_spark.dedup.minhash import (
     minhash_signature,
 )
 from dmshadoop_spark.dedup.simhash import simhash, simhash_candidate_pairs, simhash_df, token_hashes
-from dmshadoop_spark.dedup.substring import substring_decontaminate, substring_dedup
+from dmshadoop_spark.dedup.substring import (
+    substring_decontaminate,
+    substring_dedup,
+    substring_dedup_fixpoint,
+)
 
 __all__ = [
     "ahash_int",
@@ -41,6 +45,7 @@ __all__ = [
     "connected_components",
     "substring_decontaminate",
     "substring_dedup",
+    "substring_dedup_fixpoint",
     "dhash_int",
     "hamming_candidate_pairs",
     "image_hash_df",

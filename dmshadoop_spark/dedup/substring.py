@@ -69,11 +69,14 @@ Semantics (deterministic, order-free):
   * A window is DUPLICATED iff it occurs in ≥ 2 distinct documents;
     repeats within a single document do not mark (the paper's
     cross-document criterion).
-  * Every occurrence of a duplicated window is excised — both copies
-    lose the span (the fixture-pinned contract: two docs sharing one
-    long span both keep exactly their unique tails). Keeping one
-    canonical copy is the paper's alternative; it needs a global
-    occurrence order and is noted, not implemented.
+  * keep="all": every occurrence of a duplicated window is excised —
+    both copies lose the span (the fixture-pinned contract: two docs
+    sharing one long span both keep exactly their unique tails).
+    keep="first": the paper's all-but-one rule — the lexicographically
+    smallest (doc, pos) occurrence stays (substring_dedup docstring).
+    substring_dedup_fixpoint iterates either rule until no duplicated
+    span remains; substring_decontaminate excises spans shared with a
+    separate benchmark corpus instead of within-corpus duplicates.
   * Output accounting per doc: orig/kept/removed token counts and the
     merged-span count — removal is never silent.
 
@@ -386,3 +389,82 @@ def substring_decontaminate(
     )
     islands = _merge_marked_islands(marked)
     return _excise(toks, islands, id_col)
+
+
+def substring_dedup_fixpoint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    keep: str = "all",
+    max_passes: int = 5,
+) -> DataFrame:
+    """Iterate ``substring_dedup`` until no duplicated span remains (or
+    ``max_passes``) — closing the single-pass juncture gap the one-pass
+    docstring documents: excising a middle span joins its flanks, and
+    the joined text can itself duplicate another document; each pass
+    re-detects over the previous pass's output.
+
+    Returns one row per doc: (id, clean_text, orig_tokens, kept_tokens,
+    removed_tokens, n_passes) — orig from the ORIGINAL input,
+    kept/removed against it, and n_passes the number of passes that
+    actually removed something (identical for every row: it is a
+    corpus-level property). Convergence is certain: every productive
+    pass strictly shrinks total corpus tokens, and a pass that removes
+    nothing is the fixpoint (the loop re-checks nothing after it).
+
+    Scale posture: each pass is the full one-pass pipeline (linear,
+    measured — SCALE.md round 10) plus one bounded driver scalar (the
+    removed-token sum); inter-pass frames are stabilize()d so pass k+1
+    scans materialized text, not a k-deep lineage. Real corpora
+    converge in 1-2 passes — junctures need the excised span's exact
+    flanks to reproduce elsewhere."""
+    cur = docs.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+    )
+    orig = None
+    acc = None  # per-doc removed-token accumulator across passes
+    passes = 0
+    for _ in range(max_passes):
+        out = substring_dedup(cur, "_id", "_text", min_len, keep)
+        if orig is None:
+            orig = stabilize(out.select("_id", "orig_tokens"))
+        step = stabilize(
+            out.select("_id", "clean_text", "removed_tokens")
+        )
+        removed = step.agg(F.sum("removed_tokens")).first()[0] or 0
+        if removed == 0:
+            break
+        passes += 1
+        acc = (
+            step.select("_id", F.col("removed_tokens").alias("_r"))
+            if acc is None
+            else acc.join(
+                step.select("_id", F.col("removed_tokens").alias("_r2")),
+                "_id",
+            ).select(
+                "_id", (F.col("_r") + F.col("_r2")).alias("_r")
+            )
+        )
+        cur = step.select("_id", F.col("clean_text").alias("_text"))
+    # cur holds the fixpoint text; accounting accumulates each pass's
+    # exact removed counts (recounting tokens of "" would miscount the
+    # empty-text convention where "" tokenizes to one empty token)
+    out = cur.select("_id", F.col("_text").alias("clean_text")).join(
+        orig, "_id"
+    )
+    if acc is not None:
+        out = out.join(acc, "_id", "left")
+    else:
+        out = out.withColumn("_r", F.lit(0))
+    return out.select(
+        F.col("_id").alias(id_col),
+        "clean_text",
+        "orig_tokens",
+        (F.col("orig_tokens") - F.coalesce(F.col("_r"), F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.coalesce(F.col("_r"), F.lit(0)).cast("long").alias("removed_tokens"),
+        F.lit(passes).cast("long").alias("n_passes"),
+    )

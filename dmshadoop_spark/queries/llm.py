@@ -6166,3 +6166,26 @@ def x40_substring_decontam(spark, sf_dir):
     train = docs.where(F.col("doc_id") % 10 != 7)
     bench = docs.where(F.col("doc_id") % 10 == 7)
     return substring_decontaminate(train, bench, "doc_id", "text", min_len=10)
+
+
+@query("x41_substring_dedup_fixpoint")  # iterative — rows-only + digest
+def x41_substring_dedup_fixpoint(spark, sf_dir):
+    """Exact-substring dedup iterated to its FIXPOINT: excising a span
+    joins its flanks, and the joined text can duplicate another
+    document — a duplicate no single pass can see (pinned by
+    test_substring_dedup_fixpoint_catches_junctures on a planted
+    juncture). Each pass is the full x39 pipeline over the previous
+    pass's output; the loop stops when a pass removes nothing (certain:
+    every productive pass strictly shrinks the corpus). Rows-only per
+    the driver contract for iterative operators (the pass count is
+    data-dependent); digest-pinned. n_passes is a corpus-level column —
+    identical on every row by construction."""
+    from dmshadoop_spark.dedup.substring import substring_dedup_fixpoint
+    from dmshadoop_spark.functions.digest import with_sorted_digest
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = substring_dedup_fixpoint(docs, "doc_id", "text", min_len=10)
+    return with_sorted_digest(
+        out, "doc_id", "orig_tokens", "kept_tokens", "removed_tokens",
+        "n_passes",
+    )

@@ -75,8 +75,8 @@ def load_all() -> None:
 # rows (x6_png_roundtrip, x6_mp4_frames) and 34 of the 41 remaining
 # r5-vintage rows (the full multimodal/ingest/ANN tail the r9 verdict
 # named — s21, x27-x31, x5_knn_multiprobe, x6 codec rows, plus the
-# aggregate/set/function r5 rows). Nine trivial r5 scan/agg rows
-# (a3, a4, o1, o2, p1, p2, p4, p5, s1) are deferred to the r11 window — they
+# aggregate/set/function r5 rows). Ten trivial r5 scan/agg/function rows
+# (a3, a4, f1, o1, o2, p1, p2, p4, p5, s1) are deferred to the r11 window — they
 # are single-operator plans pinned by the local oracle gate every
 # round; the r11 window takes them with the r6 vintage.
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
@@ -90,6 +90,7 @@ PRIORITY: list[str] = [
     "x39_substring_dedup",
     "x39b_substring_dedup_keep_one",
     "x40_substring_decontam",
+    "x41_substring_dedup_fixpoint",
     "x5_knn_jl_sq8_prod",
     "st15_stream_watermark_latedrop",
     # changed this round -> re-confirm
@@ -109,7 +110,6 @@ PRIORITY: list[str] = [
     "a7_count_distinct",
     "a8_rollup",
     "a9_map_key_count",
-    "f1_concat_key",
     "f2_split",
     "f3_regexp_extract",
     "f4_replace_trim",

@@ -3282,3 +3282,50 @@ def test_substring_decontaminate_planted(spark):
     # within-train duplication is NOT this operator's job
     assert out[2]["removed_tokens"] == 0 and out[3]["removed_tokens"] == 0
     assert out[4]["clean_text"] == "completely clean document"
+
+
+def test_substring_dedup_fixpoint_catches_junctures(spark):
+    """Excising doc A's middle span joins its flanks into exactly doc
+    C's text — a juncture-created duplicate one pass cannot see. The
+    fixpoint must remove it on pass 2, with accounting against the
+    ORIGINAL input and a corpus-level pass count."""
+    from dmshadoop_spark.dedup.substring import (
+        substring_dedup,
+        substring_dedup_fixpoint,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b m1 m2 m3 m4 c d"),  # flanks join to "a b c d"
+            (2, "zz m1 m2 m3 m4 ww"),
+            (3, "a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    one = {
+        r["doc_id"]: r["clean_text"]
+        for r in substring_dedup(docs, min_len=4).collect()
+    }
+    assert one[1] == "a b c d" and one[3] == "a b c d"  # juncture missed
+    fx = {
+        r["doc_id"]: r
+        for r in substring_dedup_fixpoint(docs, min_len=4).collect()
+    }
+    assert fx[1]["clean_text"] == "" and fx[3]["clean_text"] == ""
+    assert fx[2]["clean_text"] == "zz ww"
+    assert all(r["n_passes"] == 2 for r in fx.values())
+    assert (fx[1]["orig_tokens"], fx[1]["kept_tokens"],
+            fx[1]["removed_tokens"]) == (8, 0, 8)
+    assert (fx[3]["orig_tokens"], fx[3]["kept_tokens"],
+            fx[3]["removed_tokens"]) == (4, 0, 4)
+    assert (fx[2]["orig_tokens"], fx[2]["kept_tokens"],
+            fx[2]["removed_tokens"]) == (6, 2, 4)
+    # dup-free corpus: zero passes, untouched rows
+    clean = spark.createDataFrame(
+        [(1, "p q r s"), (2, "t u v w")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           substring_dedup_fixpoint(clean, min_len=4).collect()}
+    assert out[1]["clean_text"] == "p q r s"
+    assert all(r["n_passes"] == 0 and r["removed_tokens"] == 0
+               for r in out.values())

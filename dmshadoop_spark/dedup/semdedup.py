@@ -42,7 +42,11 @@ from pyspark.sql.functions import broadcast
 from dmshadoop_spark.functions.vectors import as_double, dot, norm_sq
 
 
-def centroid_frame(spark: SparkSession, cents: np.ndarray) -> DataFrame:
+def centroid_frame(
+    spark: SparkSession,
+    cents: np.ndarray,
+    _max_list_elems: int = 2**31 - 1,
+) -> DataFrame:
     """(cell, cent array<double>, ncent) frame from a centroid matrix —
     through Arrow, never a Python list-of-lists (round-10, the r9
     verdict's task 4: the old ``[(i+1, [float(x) for x in c], ...)]``
@@ -58,13 +62,38 @@ def centroid_frame(spark: SparkSession, cents: np.ndarray) -> DataFrame:
 
     cents64 = np.ascontiguousarray(cents, dtype=np.float64)
     k, dim = cents64.shape
-    offsets = pa.array(np.arange(0, (k + 1) * dim, dim, dtype=np.int32))
+    # pa.ListArray carries int32 offsets, so one array caps at 2^31-1
+    # child elements; the advertised large-k path (k=2M, dim≳1100)
+    # exceeds that and int32 arange would wrap NEGATIVE silently
+    # (round-10 ADVICE). Chunk the list column so every chunk's offset
+    # vector stays in int32 range — pa.table accepts a ChunkedArray
+    # alongside plain arrays, and Spark's Arrow ingest concatenates
+    # chunks; value-identical below the limit (one chunk, same bytes).
+    rows_per_chunk = max(1, _max_list_elems // max(dim, 1))
+    chunks = []
+    for start in range(0, k, rows_per_chunk):
+        sub = cents64[start : start + rows_per_chunk]
+        offsets = pa.array(
+            np.arange(0, (len(sub) + 1) * dim, dim, dtype=np.int64).astype(
+                np.int32
+            )
+        )
+        chunks.append(
+            pa.ListArray.from_arrays(
+                offsets, pa.array(sub.ravel(), type=pa.float64())
+            )
+        )
+    if not chunks:  # k == 0: keep the schema, emit zero rows
+        chunks.append(
+            pa.ListArray.from_arrays(
+                pa.array([0], type=pa.int32()),
+                pa.array([], type=pa.float64()),
+            )
+        )
     tbl = pa.table(
         {
             "cell": pa.array(np.arange(1, k + 1, dtype=np.int64)),
-            "cent": pa.ListArray.from_arrays(
-                offsets, pa.array(cents64.ravel(), type=pa.float64())
-            ),
+            "cent": pa.chunked_array(chunks),
             "ncent": pa.array(np.sqrt((cents64 * cents64).sum(axis=1))),
         }
     )

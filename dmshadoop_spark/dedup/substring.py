@@ -149,9 +149,36 @@ def _window_hashes(tokens, L: int, cache=None):
     return out[0], out[1]
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_id(docs: DataFrame, id_col: str) -> None:
+    """Every substring-dedup path packs doc ids into int64 numpy blocks
+    (``_occurrence_table``'s ``np.full(..., dtype=np.int64)`` and the
+    ``'_id long'`` mapInPandas schema), so a string/decimal id fails
+    deep inside a Python worker with an opaque cast error (round-10
+    ADVICE). Validate up front with a clear message — the same contract
+    ``blocked_cosine_pairs(vectorized=True)`` enforces
+    (semdedup.py)."""
+    id_t = dict(docs.dtypes).get(id_col)
+    if id_t not in _INTEGRAL_TYPES:
+        raise ValueError(
+            f"substring dedup requires an integral id column (doc ids "
+            f"travel through int64 numpy blocks in the occurrence "
+            f"table); {id_col!r} is {id_t}. Derive one first, e.g. "
+            f"xxhash64(id) or monotonically_increasing_id(), and join "
+            f"back after excision."
+        )
+
+
 def _token_table(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(_id, t) — the repo tokenizer over ``text_col``; null text ≡ empty
-    text (one "" token, passes through excision untouched)."""
+    text (one "" token, passes through excision untouched). Raises
+    ValueError on non-integral ``id_col`` — see
+    ``_require_integral_id``; the restriction applies to EVERY path
+    (both keep variants, decontaminate, fixpoint), not only
+    keep='first'."""
+    _require_integral_id(docs, id_col)
     return docs.select(
         F.col(id_col).alias("_id"),
         tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("t"),

@@ -10,13 +10,26 @@ source of truth (SURVEY.md §1.3).
 Storage layout: MVCC generation snapshots. ``base/gen=N/`` holds the table
 at generation N and is IMMUTABLE once marked. Inserts build generation N+1
 by hardlinking gen=N's part-files plus the new ones (no data rewrite — see
-``_append_commit``); deletes/updates write generation N+1 excluding/
-replacing the affected keys. Either way the ``_SUCCESS`` marker
-materializes last and ``_generations()`` only admits marked directories,
-so every commit is all-or-nothing and readers always see a complete
-snapshot. This is the job-level-commit answer to the reference's
-non-atomic two-store write (bug B5) — on a production cluster the same
-API binds to Delta/Iceberg and deletes become MERGE/DELETE.
+``_append_commit``); updates write generation N+1 replacing the affected
+keys. Either way the ``_SUCCESS`` marker materializes last and
+``_generations()`` only admits marked directories, so every commit is
+all-or-nothing and readers always see a complete snapshot. This is the
+job-level-commit answer to the reference's non-atomic two-store write
+(bug B5) — on a production cluster the same API binds to Delta/Iceberg
+and deletes become MERGE/DELETE.
+
+Deletes are MERGE-ON-READ deletion vectors (round-10 verdict task 1 —
+the rewrite-excluding-predicate delete was the last full-rewrite path on
+this surface; at 100 TB a single-document delete rewriting a partition
+is unusable). ``delete``/``delete_all_version`` commit generation N+1 as
+gen=N's data files HARDLINKED UNCHANGED plus a tiny (name, version)
+tombstone parquet under ``gen=N+1/_tombstones/`` — an ``_``-prefixed
+child, so Spark's hidden-file filter keeps it out of the data scan.
+Reads anti-join the broadcast tombstone set (tombstones are O(deletes),
+never O(data)); ``compact()`` folds them back into a clean rewrite (the
+copy-on-write step, now explicitly scheduled instead of paid per
+delete). This is exactly Delta's deletion-vector / Iceberg's
+merge-on-read delete-file design, rebuilt on the generation machinery.
 
 Fixed reference bugs (SURVEY.md §2 notes):
   B1 — latest version is numeric max(version), not a string sort

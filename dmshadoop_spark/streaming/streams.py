@@ -367,7 +367,7 @@ def write_two_phase_source(
     in batch 1 is filtered against the initial zero watermark and
     admitted wholesale (observed: numRowsDroppedByWatermark=0, counts
     incremented); the same file in batch 2 is dropped correctly. The
-    empty batch advances the filter watermark to max(A)−10min without
+    empty batch advances the filter watermark to max(A)−24h without
     adding data or moving the max. Arrival order is pinned by file
     modification times (the file source processes oldest-mtime first)."""
     import glob

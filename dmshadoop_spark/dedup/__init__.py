@@ -31,9 +31,11 @@ from dmshadoop_spark.dedup.minhash import (
 )
 from dmshadoop_spark.dedup.simhash import simhash, simhash_candidate_pairs, simhash_df, token_hashes
 from dmshadoop_spark.dedup.substring import (
+    build_occurrence_index,
     substring_decontaminate,
     substring_dedup,
     substring_dedup_fixpoint,
+    substring_ingest,
 )
 
 __all__ = [
@@ -43,9 +45,11 @@ __all__ = [
     "audio_neardup_pairs",
     "blocked_cosine_pairs",
     "connected_components",
+    "build_occurrence_index",
     "substring_decontaminate",
     "substring_dedup",
     "substring_dedup_fixpoint",
+    "substring_ingest",
     "dhash_int",
     "hamming_candidate_pairs",
     "image_hash_df",

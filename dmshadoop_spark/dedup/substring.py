@@ -277,12 +277,66 @@ def _excise(toks: DataFrame, islands: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+_OCC_SCHEMA = "_id long, pos long, h1 long, h2 long"
+
+
+def _index_committed(path: str | None) -> bool:
+    import os
+
+    return path is not None and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    )
+
+
+def _occ_via_index(spark, toks: DataFrame, L: int, index_table: str | None):
+    """The occurrence table, materialized: from the committed
+    ``index_table`` when present (hash scan skipped), persisted TO it
+    when given-but-empty, else localCheckpoint via ``stabilize``."""
+    if _index_committed(index_table):
+        return spark.read.schema(_OCC_SCHEMA).parquet(index_table)
+    occ = _occurrence_table(toks, L)
+    if index_table is not None:
+        occ.write.mode("overwrite").parquet(index_table)
+        return spark.read.schema(_OCC_SCHEMA).parquet(index_table)
+    return stabilize(occ)
+
+
+def build_occurrence_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize the corpus's window-hash occurrence table
+    (_id, pos, h1, h2) as a REAL parquet table and return a reader over
+    it (round-10 verdict tasks 2 + 7). Two uses:
+
+      * ``substring_dedup(..., index_table=path)`` reuses it instead of
+        re-hashing the corpus — and a real table also replaces the
+        same-session localCheckpoint whose executor-storage
+        accumulation SCALE.md's x39 note flags (blocks pinned until
+        eviction storms; a parquet table is bounded, shareable across
+        sessions, and vacuumable).
+      * ``substring_ingest`` probes it per batch and appends accepted
+        remainders, keeping it ≡ the occurrence table of
+        corpus ∪ accepted batches.
+
+    The table is bound to (corpus, tokenizer, min_len) — callers own
+    that contract, exactly like any materialized index."""
+    occ = _occurrence_table(_token_table(docs, id_col, text_col), int(min_len))
+    occ.write.mode(mode).parquet(path)
+    return docs.sparkSession.read.schema(_OCC_SCHEMA).parquet(path)
+
+
 def substring_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 50,
     keep: str = "all",
+    index_table: str | None = None,
 ) -> DataFrame:
     """Excise cross-document duplicated token spans of ≥ ``min_len``
     tokens; one output row per input doc:
@@ -310,7 +364,16 @@ def substring_dedup(
     juncture-created duplicates are not re-detected within one pass.
     Pipelines wanting a fixpoint re-run the operator on its own output
     until removed_tokens is zero; duplicates present in the INPUT are
-    always removed in one pass."""
+    always removed in one pass.
+
+    ``index_table`` (round-10 verdict task 7): a path. When it holds a
+    committed occurrence table (``build_occurrence_index``), the hash
+    scan is SKIPPED and detection reads the table — re-running the
+    operator against an unchanged corpus costs zero tokenize/hash work.
+    When the path is empty, the freshly computed occurrence table is
+    persisted there (becoming the materialization point — no
+    checkpoint) before detection proceeds. The table must match
+    (docs, min_len); that binding is the caller's contract."""
     L = int(min_len)
     if L < 2:
         raise ValueError("min_len must be ≥ 2")
@@ -321,12 +384,13 @@ def substring_dedup(
     # occ feeds BOTH the detection agg and the mark semi-join; without
     # materialization each consumer re-runs the scan + tokenize + Arrow
     # hashing subtree (the round-3 repeated-fact-scan audit class —
-    # SCALE.md #5). Stabilized, the corpus is hashed exactly once; the
-    # materialized (id, pos, h1, h2) table is ~32 bytes/token. The
-    # final excision join below re-scans documents for the token
-    # arrays instead of persisting them — 2 pruned column scans total,
-    # cheaper at 100 TB than storing a tokenized copy of the corpus.
-    occ = stabilize(_occurrence_table(toks, L))
+    # SCALE.md #5). Stabilized (or persisted as the index_table), the
+    # corpus is hashed exactly once; the materialized (id, pos, h1, h2)
+    # table is ~32 bytes/token. The final excision join below re-scans
+    # documents for the token arrays instead of persisting them — 2
+    # pruned column scans total, cheaper at 100 TB than storing a
+    # tokenized copy of the corpus.
+    occ = _occ_via_index(docs.sparkSession, toks, L, index_table)
     dup = (
         occ.groupBy("h1", "h2")
         .agg(
@@ -495,3 +559,132 @@ def substring_dedup_fixpoint(
         F.coalesce(F.col("_r"), F.lit(0)).cast("long").alias("removed_tokens"),
         F.lit(passes).cast("long").alias("n_passes"),
     )
+
+
+def substring_ingest(
+    batch: DataFrame,
+    index_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    keep: str = "all",
+) -> DataFrame:
+    """O(batch) at-ingest twin of ``substring_dedup`` (round-10 verdict
+    task 2 — every other dedup tier has one: x21 minhash, x22 decontam,
+    x35d semantic). Excises from each INCOMING document every token
+    span of ≥ ``min_len`` tokens that (a) already appears in the
+    indexed corpus or (b) appears in more than one batch document, then
+    appends the accepted remainders' window hashes to the index. The
+    corpus is never rewritten; returns the ``substring_dedup``-shaped
+    accounting frame for the batch.
+
+    ``keep``: "all" excises every occurrence (corpus content wins
+    everywhere; batch-internal duplicated spans vanish from the batch);
+    "first" applies the paper's all-but-one rule WITHIN the batch — a
+    batch-duplicated window's lexicographically smallest (doc, pos)
+    occurrence survives, but corpus-matched windows are always excised
+    (the corpus already holds a canonical copy).
+
+    Scale shape (the O(batch) contract): the batch tokenizes and hashes
+    once; the index is probed with ONE scan carrying the batch's
+    distinct window hashes as a BROADCAST left-semi build side — the
+    index never shuffles and never sorts, per-batch index cost is one
+    sequential two-column parquet read (the x21 banded-probe posture).
+    Batch-internal detection and excision run entirely on batch-sized
+    frames. The append recomputes hashes over the CLEAN text, so after
+    every ingest the index is exactly the occurrence table of
+    corpus ∪ accepted batches — the fold-equivalence x21 pins for
+    minhash, pinned here by test_substring_ingest_fold_equivalence.
+    Re-ingesting an already-accepted batch is idempotent: every
+    remainder window is in the index, so docs with ≥ min_len remaining
+    tokens are fully excised and NOTHING new is appended (fragments
+    shorter than min_len carry no windows — below the operator's
+    granularity, as in the one-shot form).
+
+    A missing/empty ``index_table`` is an empty corpus: the first batch
+    self-dedups (cross-doc within the batch) and founds the index."""
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be ≥ 2")
+    if keep not in ("all", "first"):
+        raise ValueError(f"keep must be 'all' or 'first', got {keep!r}")
+    spark = batch.sparkSession
+    toks = _token_table(batch, id_col, text_col)
+    # one hash pass over the batch; feeds the index probe, batch-dup
+    # detection, the mark join, and (via excision) the index append
+    occ = stabilize(_occurrence_table(toks, L))
+    if _index_committed(index_table):
+        idx = (
+            spark.read.schema(_OCC_SCHEMA)
+            .parquet(index_table)
+            .select("h1", "h2")
+        )
+        # broadcast the BATCH side so the corpus-sized index is scanned
+        # once and never shuffled; output ≤ batch's distinct windows
+        corpus_hits = idx.join(
+            F.broadcast(occ.select("h1", "h2").distinct()),
+            ["h1", "h2"],
+            "left_semi",
+        ).distinct()
+    else:
+        corpus_hits = spark.createDataFrame([], "h1 long, h2 long")
+    dup = (
+        occ.groupBy("h1", "h2")
+        .agg(
+            F.min("_id").alias("_a"),
+            F.max("_id").alias("_b"),
+            F.min(F.struct("_id", "pos")).alias("_canon"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .select("h1", "h2", "_canon")
+    )
+    if keep == "all":
+        hits = (
+            corpus_hits.unionByName(dup.select("h1", "h2")).distinct()
+        )
+        marked = occ.join(hits, ["h1", "h2"], "left_semi").select(
+            "_id", "pos", (F.col("pos") + F.lit(L - 1)).alias("end")
+        )
+        islands = _merge_marked_islands(marked)
+    else:  # keep == "first": all-but-one within the batch, corpus wins
+        flags = dup.join(
+            corpus_hits.withColumn("_corpus", F.lit(True)),
+            ["h1", "h2"],
+            "full_outer",
+        ).select(
+            "h1",
+            "h2",
+            "_canon",
+            F.coalesce(F.col("_corpus"), F.lit(False)).alias("_corpus"),
+        )
+        marked = occ.join(flags, ["h1", "h2"]).select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))
+            ).alias("p"),
+            (
+                (~F.col("_corpus"))
+                & F.col("_canon").isNotNull()
+                & (F.col("_canon._id") == F.col("_id"))
+                & (F.col("_canon.pos") == F.col("pos"))
+            ).alias("is_canon"),
+        )
+        exc = (
+            marked.groupBy("_id", "p")
+            .agg(F.max("is_canon").alias("canon_cov"))
+            .where(~F.col("canon_cov"))
+        )
+        w_rn = Window.partitionBy("_id").orderBy("p")
+        islands = (
+            exc.withColumn("g", F.col("p") - F.row_number().over(w_rn))
+            .groupBy("_id", "g")
+            .agg(F.min("p").alias("s"), F.max("p").alias("e"))
+        )
+    out = stabilize(_excise(toks, islands, id_col))
+    # fold step: the accepted remainders' windows join the index so the
+    # next batch sees corpus ∪ everything accepted so far
+    clean_occ = _occurrence_table(
+        _token_table(out, id_col, "clean_text"), L
+    )
+    clean_occ.write.mode("append").parquet(index_table)
+    return out

@@ -76,7 +76,36 @@ DOCUMENT_SCHEMA = StructType(
     ]
 )
 
+TOMBSTONE_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("version", IntegerType()),
+    ]
+)
+
 _GEN_RE = re.compile(r"^gen=(\d+)$")
+
+_TOMBSTONE_DIR = "_tombstones"
+
+
+def _link_visible(src_dir: str, dst_dir: str) -> None:
+    """Hardlink every visible data file from ``src_dir`` into ``dst_dir``
+    (copy on cross-device); markers and hidden files are skipped. Names
+    are kept — Spark part files carry a fresh job UUID, so files from
+    different commits can't collide."""
+    import shutil
+
+    for fn in os.listdir(src_dir):
+        if fn.startswith(("_", ".")):
+            continue
+        src = os.path.join(src_dir, fn)
+        if not os.path.isfile(src):
+            continue
+        dst = os.path.join(dst_dir, fn)
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device fallback
+            shutil.copy2(src, dst)
 
 
 class DocumentStore:
@@ -106,18 +135,48 @@ class DocumentStore:
     def _gen_path(self, gen: int) -> str:
         return os.path.join(self.base_dir, f"gen={gen}")
 
+    def _tombstone_dir(self, gen: int) -> str:
+        return os.path.join(self._gen_path(gen), _TOMBSTONE_DIR)
+
+    def _tombstones(self, gen: int) -> DataFrame | None:
+        """The generation's deletion-vector frame (name, version), or
+        None when the snapshot carries no tombstones. Lives under an
+        ``_``-prefixed child of the generation dir, which Spark's
+        hidden-file filter excludes from the data scan but reads fine
+        when addressed explicitly (the ``_delta_log`` trick)."""
+        tdir = self._tombstone_dir(gen)
+        if not os.path.isdir(tdir) or not any(
+            not fn.startswith(("_", ".")) for fn in os.listdir(tdir)
+        ):
+            return None
+        return self.spark.read.schema(TOMBSTONE_SCHEMA).parquet(tdir)
+
     def df(self, generation: int | None = None) -> DataFrame:
         """A table snapshot (empty, schema-stable, if no data).
 
         ``generation`` time-travels to an older committed snapshot —
         generations are immutable once marked, so historical reads are
-        exact and stable (the Delta/Iceberg ``VERSION AS OF`` analogue)."""
+        exact and stable (the Delta/Iceberg ``VERSION AS OF`` analogue).
+
+        Merge-on-read: when the generation carries deletion vectors, the
+        scan anti-joins the broadcast tombstone key set. Tombstones are
+        O(deletes committed since the last compaction) — a broadcast of
+        a few thousand (name, version) pairs against a 100 TB scan, not
+        a second data pass; ``compact()`` folds them away."""
         gen = self._current_gen() if generation is None else generation
         if gen is None:
             return self.spark.createDataFrame([], DOCUMENT_SCHEMA)
         if generation is not None and generation not in self._generations():
             raise ValueError(f"no committed generation {generation}")
-        return self.spark.read.schema(DOCUMENT_SCHEMA).parquet(self._gen_path(gen))
+        data = self.spark.read.schema(DOCUMENT_SCHEMA).parquet(
+            self._gen_path(gen)
+        )
+        tombs = self._tombstones(gen)
+        if tombs is not None:
+            data = data.join(
+                F.broadcast(tombs), ["name", "version"], "left_anti"
+            )
+        return data
 
     def history(self) -> list[int]:
         """All committed generation numbers, oldest first."""
@@ -163,8 +222,13 @@ class DocumentStore:
         a NEW generation — the OPTIMIZE analogue. Hardlink-append commits
         accumulate one part-file per insert; compaction restores scan
         efficiency (fewer, larger row groups) without changing a single
-        row (``diff`` old→new is empty, pinned by test). Old generations
-        stay time-travelable. Returns the new generation number."""
+        row (``diff`` old→new is empty, pinned by test). It is also the
+        copy-on-write half of the merge-on-read delete design: ``df()``
+        already excludes tombstoned keys, so the rewritten generation
+        physically drops the deleted rows and carries NO tombstone
+        sidecar — reads after compaction are a pure scan again. Old
+        generations stay time-travelable. Returns the new generation
+        number."""
         if self._current_gen() is None:
             return None
         self._write_snapshot(self.df().repartition(target_files))
@@ -215,27 +279,103 @@ class DocumentStore:
         if os.path.exists(target):  # crashed earlier commit: no _SUCCESS
             shutil.rmtree(target)
         os.makedirs(target)
-
-        def link_parts(src_dir: str) -> None:
-            # Every visible data file; names are kept (Spark part files
-            # carry a fresh job UUID, so base and staged names can't
-            # collide) and markers/hidden files are skipped.
-            for fn in os.listdir(src_dir):
-                if fn.startswith(("_", ".")):
-                    continue
-                src = os.path.join(src_dir, fn)
-                dst = os.path.join(target, fn)
-                try:
-                    os.link(src, dst)
-                except OSError:  # cross-device fallback
-                    shutil.copy2(src, dst)
-
         if gen is not None:
-            link_parts(self._gen_path(gen))
-        link_parts(staging)
+            _link_visible(self._gen_path(gen), target)
+            self._carry_tombstones(gen, target)
+        _link_visible(staging, target)
         shutil.rmtree(staging)
         with open(os.path.join(target, "_SUCCESS"), "w"):
             pass
+
+    def _carry_tombstones(self, gen: int, target: str) -> None:
+        """Hardlink gen's deletion-vector files into the new generation —
+        an insert must not resurrect previously deleted keys."""
+        src = self._tombstone_dir(gen)
+        if os.path.isdir(src):
+            dst = os.path.join(target, _TOMBSTONE_DIR)
+            os.makedirs(dst, exist_ok=True)
+            _link_visible(src, dst)
+
+    def _delete_keys(self, keys: DataFrame) -> None:
+        """Merge-on-read delete commit: generation N+1 is gen=N's data
+        files hardlinked UNCHANGED (zero data read or rewritten — the
+        100-TB requirement) plus the prior tombstones plus one new tiny
+        (name, version) tombstone parquet under ``_tombstones/``. Same
+        all-or-nothing discipline as ``_append_commit``: stage, link,
+        ``_SUCCESS`` last. The rewrite that physically drops the rows is
+        ``compact()`` — scheduled maintenance, not per-delete cost."""
+        import shutil
+        import uuid
+
+        gen = self._current_gen()
+        new_gen = 0 if gen is None else gen + 1
+        staging = os.path.join(self.base_dir, f".staging-{uuid.uuid4().hex}")
+        # Tombstone sets are O(deleted keys): one part file keeps the
+        # sidecar's file count equal to the number of delete commits.
+        keys.coalesce(1).write.mode("overwrite").parquet(staging)
+        target = self._gen_path(new_gen)
+        if os.path.exists(target):  # crashed earlier commit: no _SUCCESS
+            shutil.rmtree(target)
+        os.makedirs(target)
+        if gen is not None:
+            _link_visible(self._gen_path(gen), target)
+            self._carry_tombstones(gen, target)
+        tdst = os.path.join(target, _TOMBSTONE_DIR)
+        os.makedirs(tdst, exist_ok=True)
+        _link_visible(staging, tdst)
+        shutil.rmtree(staging)
+        with open(os.path.join(target, "_SUCCESS"), "w"):
+            pass
+
+    def layout(self, generation: int | None = None) -> dict[str, int]:
+        """Physical-layout facts for one committed generation: data file
+        count, tombstone file/row counts, and how many data files are
+        inode-shared with the PREVIOUS generation (the merge-on-read
+        pin: a delete commit shares every data file; a rewrite shares
+        none). Metadata-only except the tombstone row count (a scan of
+        the tiny sidecar)."""
+        gen = self._current_gen() if generation is None else generation
+        if gen is None:
+            return {
+                "data_files": 0,
+                "tombstone_files": 0,
+                "tombstone_rows": 0,
+                "data_files_shared_with_prev": 0,
+            }
+        gdir = self._gen_path(gen)
+        data_files = [
+            fn
+            for fn in os.listdir(gdir)
+            if not fn.startswith(("_", "."))
+            and os.path.isfile(os.path.join(gdir, fn))
+        ]
+        tdir = self._tombstone_dir(gen)
+        tomb_files = (
+            [fn for fn in os.listdir(tdir) if not fn.startswith(("_", "."))]
+            if os.path.isdir(tdir)
+            else []
+        )
+        tombs = self._tombstones(gen)
+        prev_inodes: set[int] = set()
+        if gen - 1 in self._generations():
+            pdir = self._gen_path(gen - 1)
+            prev_inodes = {
+                os.stat(os.path.join(pdir, fn)).st_ino
+                for fn in os.listdir(pdir)
+                if not fn.startswith(("_", "."))
+                and os.path.isfile(os.path.join(pdir, fn))
+            }
+        shared = sum(
+            1
+            for fn in data_files
+            if os.stat(os.path.join(gdir, fn)).st_ino in prev_inodes
+        )
+        return {
+            "data_files": len(data_files),
+            "tombstone_files": len(tomb_files),
+            "tombstone_rows": 0 if tombs is None else tombs.count(),
+            "data_files_shared_with_prev": shared,
+        }
 
     # -- write path --------------------------------------------------------
 
@@ -271,11 +411,30 @@ class DocumentStore:
         aggregate — replaces the reference's O(versions)-scans probe loop,
         src/DMS.py:113-117) and ONE parquet append (vs N+2 sequential HTTP
         inserts, src/DMS.py:125-165)."""
-        latest = self.get_lastest_version(name)
-        version = (latest or 0) + 1
+        version = self._max_version_any(name) + 1
         row_df = self._make_row_df(name, version, content, extra_meta)
         self._append_commit(row_df)
         return version
+
+    def _max_version_any(self, name: str) -> int:
+        """Max version over LIVE rows ∪ TOMBSTONED keys. Version numbers
+        are never reused once tombstoned: a re-uploaded (name, version)
+        pair matching an old deletion vector would be masked on read,
+        and reuse would also break snapshot identity for ``diff``/time
+        travel (same key, different content across generations)."""
+        live = self.get_lastest_version(name) or 0
+        gen = self._current_gen()
+        tomb_max = 0
+        if gen is not None:
+            t = self._tombstones(gen)
+            if t is not None:
+                row = (
+                    t.filter(F.col("name") == name)
+                    .agg(F.max("version"))
+                    .head(1)
+                )
+                tomb_max = row[0][0] or 0 if row else 0
+        return max(live, tomb_max)
 
     def bulk_ingest(self, files: DataFrame) -> int:
         """Distributed ingest of many documents in ONE job — the scale path
@@ -292,7 +451,13 @@ class DocumentStore:
 
         from dmshadoop_spark.dms.extract import with_extracted_meta
 
-        latest = self.df().groupBy("name").agg(
+        keys = self.df().select("name", "version")
+        cur = self._current_gen()
+        tombs = self._tombstones(cur) if cur is not None else None
+        if tombs is not None:
+            # never reuse tombstoned versions — see _max_version_any
+            keys = keys.unionByName(tombs)
+        latest = keys.groupBy("name").agg(
             F.max("version").alias("_base_version")
         )
         w = Window.partitionBy("name").orderBy(F.length("content"), "content")
@@ -356,23 +521,35 @@ class DocumentStore:
         return True
 
     def delete(self, name: str, version: int | None = None) -> bool:
-        """Delete one version (default: latest) — rewrite-excluding-predicate
-        (plain Parquet has no row deletes; Delta/Iceberg DELETE in prod)."""
+        """Delete one version (default: latest) — merge-on-read deletion
+        vector: one tiny tombstone commit, ZERO data files read or
+        rewritten (the reference's delete, src/DMS.py:279-311, deleted
+        row+blob per document; the pre-round-11 implementation here
+        rewrote the whole snapshot per delete — full-partition rewrites
+        don't survive 100 TB). ``compact()`` is the scheduled rewrite
+        that folds tombstones into the data."""
         version = version or self.get_lastest_version(name)
         if version is None or not self._exists(name, version):
             return False
-        self._write_snapshot(
-            self.df().filter(
-                ~((F.col("name") == name) & (F.col("version") == version))
+        self._delete_keys(
+            self.spark.createDataFrame(
+                [(name, int(version))], TOMBSTONE_SCHEMA
             )
         )
         return True
 
     def delete_all_version(self, name: str) -> bool:
-        """Drop every version of a name (anti-join delete, src/DMS.py:394)."""
-        if not self.get_file_version(name):
+        """Drop every version of a name (src/DMS.py:394) — one tombstone
+        commit enumerating the name's versions (read from the
+        column-pruned version listing, never the content column)."""
+        versions = self.get_file_version(name)
+        if not versions:
             return False
-        self._write_snapshot(self.df().filter(F.col("name") != name))
+        self._delete_keys(
+            self.spark.createDataFrame(
+                [(name, int(v)) for v in versions], TOMBSTONE_SCHEMA
+            )
+        )
         return True
 
     def delete_all(self) -> None:

@@ -10,6 +10,7 @@ against a broadcast query set.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -6166,6 +6167,104 @@ def x40_substring_decontam(spark, sf_dir):
     train = docs.where(F.col("doc_id") % 10 != 7)
     bench = docs.where(F.col("doc_id") % 10 == 7)
     return substring_decontaminate(train, bench, "doc_id", "text", min_len=10)
+
+
+@query(
+    "x42_substring_ingest",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    batchd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM batchd),
+    btok AS (SELECT doc_id, unnest(t) AS tok,
+                    generate_subscripts(t, 1) - 1 AS pos
+             FROM btoks),
+    bsh AS (SELECT doc_id, pos,
+                   string_agg(tok, ' ') OVER w AS s,
+                   count(*) OVER w AS c
+            FROM btok
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)),
+    bocc AS (SELECT doc_id, pos, s FROM bsh WHERE c = 10),
+    ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    ctok AS (SELECT doc_id, unnest(t) AS tok,
+                    generate_subscripts(t, 1) - 1 AS pos
+             FROM ctoks),
+    csh AS (SELECT string_agg(tok, ' ') OVER w AS s,
+                   count(*) OVER w AS c
+            FROM ctok
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)),
+    hit AS (SELECT DISTINCT s FROM csh WHERE c = 10
+            UNION
+            SELECT s FROM bocc GROUP BY s
+            HAVING min(doc_id) <> max(doc_id)),
+    marked AS (SELECT o.doc_id, o.pos, o.pos + 9 AS e
+               FROM bocc o JOIN hit USING (s)),
+    isl AS (SELECT doc_id, pos, e,
+                   CASE WHEN pos > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -2) + 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM marked),
+    isl2 AS (SELECT doc_id, pos, e,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS g
+             FROM isl),
+    spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+              FROM isl2 GROUP BY doc_id, g),
+    iv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(e - s + 1) AS BIGINT) AS removed
+           FROM spans GROUP BY doc_id),
+    cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS idx
+            FROM spans),
+    kept AS (SELECT t.doc_id, t.pos, t.tok
+             FROM btok t LEFT JOIN cov c
+               ON t.doc_id = c.doc_id AND t.pos = c.idx
+             WHERE c.idx IS NULL),
+    cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(cl.clean_text, '') AS clean_text,
+           CAST(len(t.t) AS BIGINT) AS orig_tokens,
+           CAST(len(t.t) AS BIGINT) - coalesce(iv.removed, 0)
+               AS kept_tokens,
+           coalesce(iv.removed, 0) AS removed_tokens,
+           coalesce(iv.n_spans, 0) AS n_spans
+    FROM batchd d
+    JOIN btoks t USING (doc_id)
+    LEFT JOIN cl USING (doc_id)
+    LEFT JOIN iv USING (doc_id)
+    """,
+)
+def x42_substring_ingest(spark, sf_dir):
+    """Substring dedup AT INGEST (round-10 verdict task 2 — the last
+    dedup tier without an O(batch) ingest twin): the corpus (docs with
+    doc_id % 3 ≠ 0) is frozen into a materialized window-hash
+    occurrence index (build_occurrence_index — also the round-10 task-7
+    persistence knob); the incoming batch (doc_id % 3 = 0) hashes once,
+    probes the index with ONE broadcast-semi scan (the index never
+    shuffles), self-dedups cross-doc within the batch, excises, and
+    appends its accepted remainders' hashes back to the index. FULL
+    value oracle: DuckDB replays detection over literal shingle strings
+    — batch windows hitting the corpus window set OR duplicated across
+    batch docs — and the excision accounting, per batch doc. The
+    fold-equivalence (index ≡ occurrence table of corpus ∪ accepted
+    batch) and idempotent re-ingest are pinned by pytest
+    (tests/test_dedup_similarity.py)."""
+    from dmshadoop_spark.dedup.substring import (
+        build_occurrence_index,
+        substring_ingest,
+    )
+    from dmshadoop_spark.workdirs import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    idx = os.path.join(scratch_dir("x42_occidx"), "idx")
+    build_occurrence_index(corpus, idx, min_len=10)
+    return substring_ingest(batch, idx, min_len=10, keep="all")
 
 
 @query("x41_substring_dedup_fixpoint")  # iterative — rows-only + digest

@@ -140,6 +140,58 @@ def s10_catalog_ddl(spark, sf_dir):
 
 
 @query(
+    "s22_deletion_vector",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(3 AS BIGINT) AS tombstone_rows,
+           CAST(0 AS BIGINT) AS unshared_data_files
+    FROM documents WHERE doc_id NOT IN (1, 2, 3)
+    """,
+)
+def s22_deletion_vector(spark, sf_dir):
+    """Merge-on-read delete (round-10 verdict task 1): ingest the
+    documents table into a DocumentStore, delete three documents through
+    the deletion-vector path, and read back through the tombstone
+    anti-join. The oracle replays the deletes as NOT IN over the source
+    table AND pins the physical layout facts as constants:
+    ``tombstone_rows = 3`` (one (name, version) key per deleted doc —
+    O(deletes), never O(data)) and ``unshared_data_files = 0`` (every
+    data file of the delete commit is inode-shared with the previous
+    generation — ZERO data rewritten, vs the reference's per-document
+    row+blob delete, src/DMS.py:279-311, and vs the pre-round-11
+    rewrite-excluding-predicate). Value check: surviving row count and
+    total content bytes round-trip exactly."""
+    from dmshadoop_spark.dms.store import DocumentStore
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("name"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    store = DocumentStore(spark, os.path.join(_scratch("dv"), "store"))
+    store.bulk_ingest(docs)
+    for i in (1, 2, 3):
+        assert store.delete(f"doc-{i}")
+    lay = store.layout()
+    return (
+        store.df()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("length").cast("long").alias("total_bytes"),
+        )
+        .withColumn(
+            "tombstone_rows", F.lit(lay["tombstone_rows"]).cast("long")
+        )
+        .withColumn(
+            "unshared_data_files",
+            F.lit(
+                lay["data_files"] - lay["data_files_shared_with_prev"]
+            ).cast("long"),
+        )
+    )
+
+
+@query(
     "p3_regex_predicate",
     oracle="""
     SELECT doc_id, lang FROM documents

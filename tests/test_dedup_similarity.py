@@ -3430,3 +3430,169 @@ def test_centroid_frame_chunked_offsets_identical(spark):
     )
     for ra, rb in zip(a, b):
         assert ra["cent"] == rb["cent"] and ra["ncent"] == rb["ncent"]
+
+
+# --------------------------------------------------------------------------
+# substring dedup at ingest + persisted occurrence index (round-10 tasks 2/7)
+# --------------------------------------------------------------------------
+
+_ING_SHARED = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+
+
+def _ing_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (10, f"alpha beta {_ING_SHARED} gamma delta"),
+            (11, "corpus only text nobody repeats anywhere at all here"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _ing_batch(spark):
+    catspan = _ING_SHARED.replace("fox", "cat")
+    return spark.createDataFrame(
+        [
+            (1, f"intro {_ING_SHARED} outro"),  # hits the corpus
+            (2, "fresh unique content nothing matches here ok yes sure"
+                " thing maybe fine"),  # genuinely new, ≥10 tokens
+            (3, f"one two {catspan} three"),  # batch-internal dup w/ 4
+            (4, f"xx {catspan} yy"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_substring_ingest_planted_semantics(spark, tmp_path):
+    """keep='all': corpus-matching spans excised from the batch,
+    batch-internal cross-doc spans excised from BOTH carriers, clean
+    docs pass through byte-identical; the corpus is never rewritten."""
+    from dmshadoop_spark.dedup import build_occurrence_index, substring_ingest
+
+    idx = str(tmp_path / "idx")
+    build_occurrence_index(_ing_corpus(spark), idx, min_len=10)
+    out = {
+        r["doc_id"]: r
+        for r in substring_ingest(
+            _ing_batch(spark), idx, min_len=10, keep="all"
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "intro outro"
+    assert out[1]["removed_tokens"] == 10 and out[1]["n_spans"] == 1
+    assert out[2]["removed_tokens"] == 0
+    assert out[2]["clean_text"].startswith("fresh unique content")
+    assert out[3]["clean_text"] == "one two three"
+    assert out[4]["clean_text"] == "xx yy"
+
+
+def test_substring_ingest_keep_first_batch_canonical(spark, tmp_path):
+    """keep='first': the batch-duplicated span survives in its smallest
+    (doc, pos) carrier only; corpus-matched spans are always excised
+    (the corpus already holds the canonical copy)."""
+    from dmshadoop_spark.dedup import build_occurrence_index, substring_ingest
+
+    idx = str(tmp_path / "idx")
+    build_occurrence_index(_ing_corpus(spark), idx, min_len=10)
+    out = {
+        r["doc_id"]: r
+        for r in substring_ingest(
+            _ing_batch(spark), idx, min_len=10, keep="first"
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "intro outro"  # corpus wins
+    catspan = _ING_SHARED.replace("fox", "cat")
+    assert out[3]["clean_text"] == f"one two {catspan} three"  # canonical
+    assert out[4]["clean_text"] == "xx yy"
+
+
+def test_substring_ingest_fold_equivalence(spark, tmp_path):
+    """After ingest the index must equal the occurrence table of
+    corpus ∪ accepted remainders — the x21 delta-fold ≡ full-rebuild
+    invariance, at window-hash granularity."""
+    from dmshadoop_spark.dedup import build_occurrence_index, substring_ingest
+    from dmshadoop_spark.dedup.substring import (
+        _OCC_SCHEMA,
+        _occurrence_table,
+        _token_table,
+    )
+
+    idx = str(tmp_path / "idx")
+    corpus = _ing_corpus(spark)
+    build_occurrence_index(corpus, idx, min_len=10)
+    out = substring_ingest(_ing_batch(spark), idx, min_len=10, keep="all")
+    clean = out.select("doc_id", F.col("clean_text").alias("text"))
+    expect = sorted(
+        map(
+            tuple,
+            _occurrence_table(
+                _token_table(corpus.unionByName(clean), "doc_id", "text"), 10
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, spark.read.schema(_OCC_SCHEMA).parquet(idx).collect())
+    )
+    assert expect == got
+
+
+def test_substring_ingest_idempotent_and_founds_index(spark, tmp_path):
+    """Re-ingesting an accepted batch appends NOTHING (every remainder
+    window already indexed) and fully excises remainders of ≥ min_len
+    tokens; sub-window fragments pass through (below the operator's
+    granularity). A missing index is an empty corpus: the first batch
+    self-dedups and founds it."""
+    from dmshadoop_spark.dedup import substring_ingest
+    from dmshadoop_spark.dedup.substring import _OCC_SCHEMA
+
+    idx = str(tmp_path / "idx")  # never created: founding ingest
+    batch = _ing_batch(spark)
+    out1 = {
+        r["doc_id"]: r
+        for r in substring_ingest(batch, idx, min_len=10, keep="all").collect()
+    }
+    # no corpus: only the batch-internal dup (docs 3/4) is excised
+    assert out1[1]["removed_tokens"] == 0
+    assert out1[3]["clean_text"] == "one two three"
+    n1 = spark.read.schema(_OCC_SCHEMA).parquet(idx).count()
+    out2 = {
+        r["doc_id"]: r
+        for r in substring_ingest(batch, idx, min_len=10, keep="all").collect()
+    }
+    n2 = spark.read.schema(_OCC_SCHEMA).parquet(idx).count()
+    assert n1 == n2  # idempotent: nothing new indexed
+    # doc 1 (12 tokens, now fully indexed) is excised wholesale;
+    # doc 3's 3-token remainder has no window and passes through
+    assert out2[1]["clean_text"] == ""
+    assert out2[3]["clean_text"] == "one two three"
+
+
+def test_substring_dedup_index_table_skips_hash_scan(spark, tmp_path):
+    """Task 7 pin: with a committed index_table, substring_dedup's plan
+    reads the parquet index and contains NO Arrow hashing stage
+    (MapInPandas); without one, the hashing stage is present. Results
+    are identical either way."""
+    from dmshadoop_spark.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {_ING_SHARED} gamma"),
+            (2, f"epsilon {_ING_SHARED} zeta"),
+            (3, "totally unique text with no duplicated span at all"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "occ")
+    first = substring_dedup(docs, min_len=10, index_table=idx)
+    base = {r["doc_id"]: r["clean_text"] for r in first.collect()}
+    # second run: index committed -> no hash scan in the plan
+    again = substring_dedup(docs, min_len=10, index_table=idx)
+    plan = again._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        again._jdf.queryExecution(), "formatted"
+    )
+    assert "occ" in fmt  # detection scans the persisted index
+    assert {r["doc_id"]: r["clean_text"] for r in again.collect()} == base
+    # control: the default path hashes in-plan
+    fresh = substring_dedup(docs, min_len=10)
+    assert {r["doc_id"]: r["clean_text"] for r in fresh.collect()} == base

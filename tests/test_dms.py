@@ -501,3 +501,138 @@ def test_pdf_metadata_extraction():
     meta = extract_metadata(pdf)
     assert meta["content_type"] == "application/pdf"
     assert meta["page_count"] == "3" and meta["pdf_title"] == "Quarterly Report"
+
+
+# --------------------------------------------------------------------------
+# merge-on-read deletion vectors (round-10 verdict task 1)
+# --------------------------------------------------------------------------
+
+
+def _names(store):
+    return sorted(r["name"] for r in store.df().select("name").collect())
+
+
+def test_delete_is_tombstone_commit_not_rewrite(store):
+    """delete() must commit a deletion vector: every data file of the new
+    generation inode-shared with the previous generation (zero data
+    rewritten), one tombstone file, one tombstone row — and reads
+    exclude the key."""
+    for i in range(4):
+        store.upload(f"d{i}.txt", f"body {i}".encode())
+    assert store.delete("d1.txt")
+    lay = store.layout()
+    assert lay["tombstone_rows"] == 1
+    assert lay["tombstone_files"] == 1
+    assert lay["data_files"] == lay["data_files_shared_with_prev"] > 0
+    assert _names(store) == ["d0.txt", "d2.txt", "d3.txt"]
+    # deleted key reports absent through every read-path method
+    assert store.download("d1.txt") is None
+    assert store.get_file_version("d1.txt") == []
+    assert store.get_lastest_version("d1.txt") is None
+
+
+def test_delete_missing_returns_false_without_commit(store):
+    store.upload("a.txt", b"x")
+    gens = store.history()
+    assert not store.delete("nope.txt")
+    assert not store.delete("a.txt", version=9)
+    assert store.history() == gens  # no commit happened
+
+
+def test_insert_after_delete_does_not_resurrect(store):
+    """_append_commit must carry the tombstone sidecar forward: an insert
+    after a delete keeps the deleted key invisible."""
+    store.upload("a.txt", b"one")
+    store.upload("b.txt", b"two")
+    assert store.delete("a.txt")
+    store.upload("c.txt", b"three")
+    assert _names(store) == ["b.txt", "c.txt"]
+    lay = store.layout()
+    assert lay["tombstone_rows"] == 1
+
+
+def test_delete_version_scoped_and_reupload_never_reuses_version(store):
+    """Tombstones are (name, version) keyed: deleting the latest version
+    exposes the previous one. A re-upload after deletes must NOT reuse a
+    tombstoned version number — a reused key would be masked on read by
+    the old deletion vector (the bug this test originally caught) and
+    would break snapshot identity for diff/time travel."""
+    v1 = store.upload("a.txt", b"v1")
+    v2 = store.upload("a.txt", b"v2")
+    assert (v1, v2) == (1, 2)
+    assert store.delete("a.txt")  # latest = v2
+    assert store.get_file_version("a.txt") == [1]
+    assert store.download("a.txt") == b"v1"
+    assert store.delete_all_version("a.txt")
+    assert store.get_file_version("a.txt") == []
+    # next upload continues PAST the tombstoned versions
+    assert store.upload("a.txt", b"v3") == 3
+    assert store.download("a.txt") == b"v3"
+    # bulk_ingest takes the same tombstone-aware base version
+    batch = store.spark.createDataFrame(
+        [("a.txt", bytearray(b"v4"))], "name string, content binary"
+    )
+    assert store.bulk_ingest(batch) == 1
+    assert store.get_file_version("a.txt") == [3, 4]
+    assert store.download("a.txt") == b"v4"
+
+
+def test_compact_folds_tombstones(store):
+    """compact() is the copy-on-write half: the rewritten generation
+    physically drops tombstoned rows and carries no sidecar."""
+    for i in range(3):
+        store.upload(f"d{i}.txt", f"b{i}".encode())
+    store.delete("d0.txt")
+    before = _names(store)
+    store.compact()
+    lay = store.layout()
+    assert lay["tombstone_rows"] == lay["tombstone_files"] == 0
+    assert _names(store) == before == ["d1.txt", "d2.txt"]
+
+
+def test_time_travel_and_diff_across_tombstone_commits(store):
+    """Each delete commit is a normal immutable generation: time travel
+    to the pre-delete snapshot still sees the row; diff reports the
+    delete."""
+    store.upload("a.txt", b"one")
+    store.upload("b.txt", b"two")
+    g_before = store.history()[-1]
+    store.delete("a.txt")
+    g_after = store.history()[-1]
+    assert sorted(
+        r["name"] for r in store.df(g_before).select("name").collect()
+    ) == ["a.txt", "b.txt"]
+    changes = sorted(
+        (r["change_type"], r["name"])
+        for r in store.diff(g_before, g_after).collect()
+    )
+    assert changes == [("delete", "a.txt")]
+
+
+def test_tombstone_read_plan_broadcasts_and_scans_data_once(store):
+    """The merge-on-read scan must be: ONE scan of the generation's data
+    files, anti-joined against a BROADCAST tombstone set — no shuffle of
+    the data side, no second data pass, and the tombstone sidecar never
+    appears in the data scan's file listing."""
+    for i in range(3):
+        store.upload(f"d{i}.txt", f"b{i}".encode())
+    store.delete("d0.txt")
+    df = store.df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    spark = store.spark
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    locs = re.findall(r"Location:.*?\[(.*?)\]", fmt)
+    assert len(locs) == 2  # one data scan + one tombstone scan, no more
+    gen = store.history()[-1]
+    tomb_locs = [p for p in locs if "_tombstones" in p]
+    data_locs = [p for p in locs if "_tombstones" not in p]
+    assert len(tomb_locs) == len(data_locs) == 1
+    # the data scan reads the CURRENT generation and the hidden-file
+    # filter keeps the sidecar out of it
+    assert f"gen={gen}" in data_locs[0]

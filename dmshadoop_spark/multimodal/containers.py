@@ -131,23 +131,121 @@ def mp3_frames(data: bytes) -> list[dict]:
     return out
 
 
+def _xing_offset(data: bytes, i: int) -> int:
+    """Offset of the Xing/Info tag WITHIN the frame at ``i``: 4 header
+    bytes + the Layer III side-info block, whose size depends on MPEG
+    version and channel mode (MPEG-1: 17 mono / 32 otherwise; MPEG-2/
+    2.5: 9 / 17)."""
+    ver_bits = (data[i + 1] >> 3) & 3
+    mono = ((data[i + 3] >> 6) & 3) == 3
+    if ver_bits == 3:  # MPEG-1
+        return i + 4 + (17 if mono else 32)
+    return i + 4 + (9 if mono else 17)
+
+
+def parse_vbr_header(data: bytes) -> dict | None:
+    """Xing/Info/VBRI VBR header from the stream's FIRST frame, or None.
+
+    Crawled audio is mostly VBR (round-10 verdict task 8): for those
+    files the first frame is a metadata frame carrying the TRUE total
+    frame/byte counts, and a walk over a truncated or partially
+    fetched file under-reports duration without it. Layouts parsed:
+
+      * Xing/LAME (and the CBR twin tagged ``Info``): tag at
+        4 + side-info bytes into the first frame, 4 flag bytes, then
+        the flag-gated fields in order — frames(4), bytes(4),
+        TOC(100), quality(4) — followed by the encoder string
+        (LAME's 9-byte version field sits right after quality).
+      * Fraunhofer VBRI: tag at a fixed 36 bytes into the first frame;
+        version(2), delay(2), quality(2), bytes(4), frames(4).
+
+    Returns {tag, frames, bytes, quality, encoder} with None for
+    fields the header does not declare. The stated ``frames`` count
+    covers the AUDIO frames (the metadata frame itself is excluded —
+    the ``encode_mp3_vbr`` muxer contract, matching how players derive
+    duration). Returns None when the first frame carries no
+    recognized header; raises ValueError only if no frame exists."""
+    data = bytes(data)
+    walk = mp3_frames(data)
+    i = walk[0]["offset"]
+    end = i + walk[0]["length"]
+    p = _xing_offset(data, i)
+    if p + 8 <= min(len(data), end) and data[p : p + 4] in (b"Xing", b"Info"):
+        tag = data[p : p + 4].decode("ascii")
+        flags = int.from_bytes(data[p + 4 : p + 8], "big")
+        q = p + 8
+        frames = nbytes = quality = None
+        if flags & 0x1 and q + 4 <= len(data):
+            frames = int.from_bytes(data[q : q + 4], "big")
+            q += 4
+        if flags & 0x2 and q + 4 <= len(data):
+            nbytes = int.from_bytes(data[q : q + 4], "big")
+            q += 4
+        if flags & 0x4:
+            q += 100  # TOC
+        if flags & 0x8 and q + 4 <= len(data):
+            quality = int.from_bytes(data[q : q + 4], "big")
+            q += 4
+        encoder = None
+        enc = data[q : q + 9]
+        if len(enc) == 9 and all(0x20 <= c < 0x7F for c in enc):
+            encoder = enc.decode("ascii").rstrip()
+        return {
+            "tag": tag,
+            "frames": frames,
+            "bytes": nbytes,
+            "quality": quality,
+            "encoder": encoder,
+        }
+    v = i + 36
+    if v + 26 <= min(len(data), end) and data[v : v + 4] == b"VBRI":
+        return {
+            "tag": "VBRI",
+            "frames": int.from_bytes(data[v + 14 : v + 18], "big"),
+            "bytes": int.from_bytes(data[v + 10 : v + 14], "big"),
+            "quality": int.from_bytes(data[v + 8 : v + 10], "big"),
+            "encoder": None,
+        }
+    return None
+
+
 def parse_mp3(data: bytes) -> dict:
     """Stream-level MPEG audio metadata: {n_frames, total_samples,
     duration, sample_rate, bitrate (duration-weighted average, bps)}.
     A pure aggregation over ``mp3_frames`` — frame-walk policy lives in
     exactly one place. Raises ValueError if no coherent frame sequence
-    exists."""
+    exists.
+
+    VBR extension (round-10 verdict task 8): when the first frame
+    carries a Xing/Info/VBRI header (``parse_vbr_header``), the dict
+    additionally reports the STATED stream facts — {vbr_tag, encoder,
+    vbr_frames, vbr_bytes, total_samples_vbr, duration_vbr} — which
+    are authoritative for duration on VBR and truncated files (the
+    walk only sees fetched bytes; the header states the whole file).
+    Walk-derived fields keep their exact pre-round-11 values: the
+    metadata frame, a spec-valid frame, stays counted in n_frames."""
     walk = mp3_frames(data)
     total_samples = sum(f["samples"] for f in walk)
     total_bits = sum(f["bitrate"] * f["samples"] for f in walk)
     sample_rate = walk[0]["sample_rate"]
-    return {
+    out = {
         "n_frames": len(walk),
         "total_samples": total_samples,  # exact int — float-free oracles
         "duration": total_samples / sample_rate,
         "sample_rate": sample_rate,
         "bitrate": int(round(total_bits / total_samples)),
     }
+    vbr = parse_vbr_header(data)
+    if vbr is not None:
+        out["vbr_tag"] = vbr["tag"]
+        out["encoder"] = vbr["encoder"]
+        out["vbr_frames"] = vbr["frames"]
+        out["vbr_bytes"] = vbr["bytes"]
+        if vbr["frames"] is not None:
+            spf = walk[0]["samples"]
+            out["total_samples_vbr"] = vbr["frames"] * spf
+            out["duration_vbr"] = vbr["frames"] * spf / sample_rate
+    return out
 
 
 def encode_mp3(
@@ -170,6 +268,44 @@ def encode_mp3(
     frame_len = 1152 // 8 * bitrate_kbps * 1000 // sample_rate
     frame = header + b"\x00" * (frame_len - 4)
     return frame * n_frames
+
+
+def _mp3_frame_shell(bitrate_kbps: int, sample_rate: int) -> bytearray:
+    """One spec-valid zero-payload MPEG-1 Layer III stereo frame."""
+    br_idx = _BITRATES[(1, 3)].index(bitrate_kbps) + 1
+    sr_idx = _SAMPLE_RATES[3].index(sample_rate)
+    frame_len = 1152 // 8 * bitrate_kbps * 1000 // sample_rate
+    out = bytearray(frame_len)
+    out[0], out[1] = 0xFF, 0xFB
+    out[2] = (br_idx << 4) | (sr_idx << 2)
+    return out
+
+
+def encode_mp3_vbr(
+    frame_bitrates: list[int],
+    sample_rate: int = 44100,
+    encoder: str = "LAME3.100",
+    tag: str = "Xing",
+) -> bytes:
+    """Deterministic VBR MPEG-1 Layer III stream: a leading 128 kbps
+    metadata frame carrying a Xing (or Info) header — frames flag +
+    bytes flag + encoder string, LAME-style layout — followed by one
+    zero-payload frame per entry of ``frame_bitrates``. The stated
+    frame count covers the AUDIO frames (excludes the metadata frame);
+    the stated byte count covers the WHOLE stream including it. The
+    fixture generator for parse_vbr_header round-trips, mirroring
+    encode_mp3."""
+    frames = [_mp3_frame_shell(b, sample_rate) for b in frame_bitrates]
+    head = _mp3_frame_shell(128, sample_rate)
+    total = len(head) + sum(len(f) for f in frames)
+    p = _xing_offset(bytes(head), 0)
+    head[p : p + 4] = tag.encode("ascii")
+    head[p + 4 : p + 8] = (0x3).to_bytes(4, "big")  # frames + bytes
+    head[p + 8 : p + 12] = len(frames).to_bytes(4, "big")
+    head[p + 12 : p + 16] = total.to_bytes(4, "big")
+    enc = encoder.encode("ascii")[:9].ljust(9, b" ")
+    head[p + 16 : p + 25] = enc
+    return bytes(head) + b"".join(bytes(f) for f in frames)
 
 
 # ---------------------------------------------------------------------------

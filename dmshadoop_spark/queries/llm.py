@@ -1368,7 +1368,16 @@ def x6_jpeg_roundtrip(spark, sf_dir):
            CAST(30 + doc_id % 20 AS BIGINT) AS frame_count,
            CAST((30 + doc_id % 20) * 1152 AS BIGINT) AS total_samples,
            CAST(44100 AS BIGINT) AS sample_rate,
-           CAST(128000 AS BIGINT) AS bitrate
+           CAST(128000 AS BIGINT) AS bitrate,
+           'Xing' AS vbr_tag,
+           'LAME3.100' AS encoder,
+           CAST(20 + doc_id % 15 AS BIGINT) AS vbr_frames,
+           CAST(417 + (20 + doc_id % 15) *
+                (CASE doc_id % 4 WHEN 0 THEN 313 WHEN 1 THEN 417
+                                 WHEN 2 THEN 522 ELSE 626 END)
+                AS BIGINT) AS vbr_bytes,
+           CAST(((20 + doc_id % 15) * 1152 * 1000) // 44100
+                AS BIGINT) AS vbr_duration_ms
     FROM documents WHERE doc_id < 300
     """,
 )
@@ -1381,40 +1390,89 @@ def x6_mp3_meta(spark, sf_dir):
     recomputes every column from the generator formula, so a match proves
     the parser recovers precisely what the muxer wrote — the hachoir
     metadata surface of the reference (src/DMS.py:70-91), rebuilt. All
-    integer outputs (no float duration) so the comparison is bit-exact."""
+    integer outputs (no float duration) so the comparison is bit-exact.
+
+    Round 11 (verdict task 8) adds the VBR surface: a SECOND per-doc
+    stream muxed with a Xing/LAME header (encode_mp3_vbr — frame count,
+    byte count, encoder string; bitrate varies across docs), parsed by
+    parse_vbr_header. The oracle recomputes the STATED frame count, the
+    exact byte count (417-byte metadata frame + n × the bitrate's
+    frame length at 44.1 kHz) and the header-derived duration in ms —
+    the column that is authoritative for crawled/truncated VBR audio
+    where the frame walk under-reports."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from dmshadoop_spark.multimodal import encode_mp3, parse_mp3
+    from dmshadoop_spark.multimodal import (
+        encode_mp3,
+        encode_mp3_vbr,
+        parse_mp3,
+    )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
 
+    _VBR_RATES = [96, 128, 160, 192]
+
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            paths, fc, ts, sr, br = [], [], [], [], []
+            rows = []
             for d in pdf["doc_id"]:
                 d = int(d)
                 m = parse_mp3(encode_mp3(30 + d % 20, 128, 44100))
-                paths.append(f"mp3://{d}")
-                fc.append(m["n_frames"])
-                ts.append(m["total_samples"])
-                sr.append(m["sample_rate"])
-                br.append(m["bitrate"])
+                n_vbr = 20 + d % 15
+                mv = parse_mp3(
+                    encode_mp3_vbr([_VBR_RATES[d % 4]] * n_vbr, 44100)
+                )
+                rows.append(
+                    (
+                        f"mp3://{d}",
+                        m["n_frames"],
+                        m["total_samples"],
+                        m["sample_rate"],
+                        m["bitrate"],
+                        mv["vbr_tag"],
+                        mv["encoder"],
+                        mv["vbr_frames"],
+                        mv["vbr_bytes"],
+                        mv["total_samples_vbr"] * 1000 // 44100,
+                    )
+                )
             yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "frame_count",
+                    "total_samples",
+                    "sample_rate",
+                    "bitrate",
+                    "vbr_tag",
+                    "encoder",
+                    "vbr_frames",
+                    "vbr_bytes",
+                    "vbr_duration_ms",
+                ],
+            ).astype(
                 {
-                    "path": paths,
-                    "frame_count": pd.Series(fc, dtype="int64"),
-                    "total_samples": pd.Series(ts, dtype="int64"),
-                    "sample_rate": pd.Series(sr, dtype="int64"),
-                    "bitrate": pd.Series(br, dtype="int64"),
+                    c: "int64"
+                    for c in (
+                        "frame_count",
+                        "total_samples",
+                        "sample_rate",
+                        "bitrate",
+                        "vbr_frames",
+                        "vbr_bytes",
+                        "vbr_duration_ms",
+                    )
                 }
             )
 
     return docs.select("doc_id").mapInPandas(
         work,
         schema="path string, frame_count long, total_samples long,"
-        " sample_rate long, bitrate long",
+        " sample_rate long, bitrate long, vbr_tag string,"
+        " encoder string, vbr_frames long, vbr_bytes long,"
+        " vbr_duration_ms long",
     )
 
 

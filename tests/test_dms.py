@@ -636,3 +636,95 @@ def test_tombstone_read_plan_broadcasts_and_scans_data_once(store):
     # the data scan reads the CURRENT generation and the hidden-file
     # filter keeps the sidecar out of it
     assert f"gen={gen}" in data_locs[0]
+
+
+# --------------------------------------------------------------------------
+# MP3 Xing/LAME/VBRI VBR headers (round-10 verdict task 8)
+# --------------------------------------------------------------------------
+
+
+def test_mp3_vbr_xing_roundtrip():
+    """encode_mp3_vbr → parse_vbr_header recovers the stated frame
+    count, exact byte count, and encoder; parse_mp3 derives the
+    header-based duration fields; walk-derived fields keep counting the
+    metadata frame (it is a spec-valid frame)."""
+    from dmshadoop_spark.multimodal import (
+        encode_mp3_vbr,
+        parse_mp3,
+        parse_vbr_header,
+    )
+
+    data = encode_mp3_vbr([96, 128, 160, 192, 96, 128], 44100)
+    v = parse_vbr_header(data)
+    assert v["tag"] == "Xing" and v["frames"] == 6
+    assert v["bytes"] == len(data)
+    assert v["encoder"] == "LAME3.100"
+    m = parse_mp3(data)
+    assert m["n_frames"] == 7  # walk includes the metadata frame
+    assert m["vbr_frames"] == 6
+    assert m["total_samples_vbr"] == 6 * 1152
+    assert abs(m["duration_vbr"] - 6 * 1152 / 44100) < 1e-12
+
+
+def test_mp3_vbr_truncated_fetch_reports_stated_duration():
+    """The crawled-audio case the round-10 verdict flagged: a partially
+    fetched VBR file's walk under-reports, the Xing header still states
+    the full stream."""
+    from dmshadoop_spark.multimodal import encode_mp3_vbr, parse_mp3
+
+    data = encode_mp3_vbr([96, 128, 160, 192] * 5, 44100)  # 20 frames
+    cut = parse_mp3(data[: len(data) // 3])
+    assert cut["n_frames"] < 21  # walk sees only the fetched prefix
+    assert cut["vbr_frames"] == 20  # header states the whole file
+    assert cut["total_samples_vbr"] == 20 * 1152
+
+
+def test_mp3_info_tag_and_cbr_without_header():
+    from dmshadoop_spark.multimodal import (
+        encode_mp3,
+        encode_mp3_vbr,
+        parse_mp3,
+        parse_vbr_header,
+    )
+
+    assert parse_vbr_header(encode_mp3_vbr([128] * 4, tag="Info"))["tag"] == "Info"
+    plain = encode_mp3(5)
+    assert parse_vbr_header(plain) is None
+    assert "vbr_tag" not in parse_mp3(plain)  # dict shape unchanged
+
+
+def test_mp3_vbri_header():
+    """Fraunhofer VBRI: fixed 36-byte offset, its own field layout."""
+    from dmshadoop_spark.multimodal import encode_mp3, parse_vbr_header
+
+    f = bytearray(encode_mp3(1))
+    f[36:40] = b"VBRI"
+    f[40:42] = (1).to_bytes(2, "big")   # version
+    f[44:46] = (80).to_bytes(2, "big")  # quality
+    f[46:50] = (9999).to_bytes(4, "big")  # bytes
+    f[50:54] = (42).to_bytes(4, "big")  # frames
+    v = parse_vbr_header(bytes(f) + encode_mp3(3))
+    assert v == {
+        "tag": "VBRI",
+        "frames": 42,
+        "bytes": 9999,
+        "quality": 80,
+        "encoder": None,
+    }
+
+
+def test_mp3_vbr_parser_never_misfires_on_payload_junk():
+    """Zeroed / arbitrary payload bytes in the first frame must not be
+    read as a VBR header, and flag-gated fields absent from a short
+    frame return None instead of raising."""
+    from dmshadoop_spark.multimodal import encode_mp3, parse_vbr_header
+
+    assert parse_vbr_header(encode_mp3(3, 128, 44100)) is None
+    # a Xing tag with ALL flag bits set but a frame too short to carry
+    # the fields: parser must not raise
+    f = bytearray(encode_mp3(1, 32, 44100))  # short 104-byte frame
+    p = 4 + 32
+    f[p : p + 4] = b"Xing"
+    f[p + 4 : p + 8] = (0xF).to_bytes(4, "big")
+    v = parse_vbr_header(bytes(f))
+    assert v is not None and v["tag"] == "Xing"

@@ -57,28 +57,26 @@ def load_all() -> None:
 # canaries. Everything not listed follows in registration order, so the
 # window rotates across rounds until every query has a confirmed row.
 #
-# ROUND-10 DECISION: CORRECTNESS_r09 ran 50/50 clean; cumulative
-# coverage at round-10 start was 227/227 of the round-9 registry
+# ROUND-11 DECISION: CORRECTNESS_r10 ran 50/50 clean; cumulative
+# coverage at round-11 start was 233/233 of the round-10 registry
 # (tools/rotation.py: zero unconfirmed, zero stranded). This window,
-# regenerated from live state: 3 canaries + the 3 round-10
-# registrations (x39_substring_dedup — exact-substring span excision
-# under a full value oracle; x5_knn_jl_sq8_prod — the production
-# search path split out of the recall audit, vectorized index build;
-# st15_stream_watermark_latedrop — a REAL watermark drop in update
-# mode, hash-matched to batch SQL) + 8 changed-path re-confirms
-# (x35/x35b/x35c/x35d — centroids now columnar end-to-end: Arrow Lloyd
-# updates, pyarrow centroid frame, chunked coarse quantizer, plus the
-# ingest cell-contract fix; x2c/x2d — components' driver union-find
-# now collects through Arrow; x5_knn_ivf_trained — kmeans collect
-# path; x5_knn_jl_sq8 — jl.py gained the vectorized-index flag, audit
-# keeps the fold) + the OLDEST cumulative-green rows: both r4-vintage
-# rows (x6_png_roundtrip, x6_mp4_frames) and 34 of the 41 remaining
-# r5-vintage rows (the full multimodal/ingest/ANN tail the r9 verdict
-# named — s21, x27-x31, x5_knn_multiprobe, x6 codec rows, plus the
-# aggregate/set/function r5 rows). Ten trivial r5 scan/agg/function rows
-# (a3, a4, f1, o1, o2, p1, p2, p4, p5, s1) are deferred to the r11 window — they
-# are single-operator plans pinned by the local oracle gate every
-# round; the r11 window takes them with the r6 vintage.
+# regenerated from live state: 3 canaries + the 2 round-11
+# registrations (s22_deletion_vector — merge-on-read deletion vectors
+# for DocumentStore under a full oracle that also pins the layout
+# facts; x42_substring_ingest — the substring tier's O(batch) ingest
+# twin over a persisted occurrence index, full shingle-string oracle)
+# + 8 changed-path re-confirms (x6_mp3_meta — five new oracle-backed
+# Xing/LAME VBR columns; x39/x39b/x40/x41 — substring.py gained the
+# integral-id guard and the index_table materialization path;
+# x35/x35b — centroid_frame now chunks its Arrow list offsets;
+# x35d — stabilize(hint_small) switched to the measured-bytes
+# estimator and _parse_bytes was fixed) + the OLDEST cumulative-green
+# rows: all 10 remaining r5-vintage rows (the trivial scan/agg/function
+# rows deferred by the r10 window) and 27 of the 46 r6-vintage rows
+# (salted ops, the t1-t5/t4b text family, the st1-st7 streaming
+# family, the x32/x33/x34 multimodal dedup tier, the x5 PQ lanes, and
+# the x6 feature/frame rows). The remaining 19 r6 rows (f6-f12,
+# j1-j7, q-family) roll to the r12 window.
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
 # before this window was handed to the driver.
 PRIORITY: list[str] = [
@@ -86,56 +84,56 @@ PRIORITY: list[str] = [
     "a6_q1_pricing_summary",
     "w1_latest_per_group",
     "x2_ngram_jaccard",
-    # round-10 registrations
+    # round-11 registrations
+    "s22_deletion_vector",
+    "x42_substring_ingest",
+    # changed this round -> re-confirm
+    "x6_mp3_meta",
     "x39_substring_dedup",
     "x39b_substring_dedup_keep_one",
     "x40_substring_decontam",
     "x41_substring_dedup_fixpoint",
-    "x5_knn_jl_sq8_prod",
-    "st15_stream_watermark_latedrop",
-    # changed this round -> re-confirm
     "x35_semdedup",
     "x35b_semdedup_autok",
-    "x35c_semdedup_coarse",
     "x35d_semdedup_ingest",
-    "x2c_dedup_components",
-    "x2d_dedup_survivors",
-    "x5_knn_ivf_trained",
-    "x5_knn_jl_sq8",
-    # oldest-green re-validation: the r4 pair + the r5 vintage
-    "x6_png_roundtrip",
-    "x6_mp4_frames",
-    "a1_max_per_group",
-    "a5_numeric_rollups",
-    "a7_count_distinct",
-    "a8_rollup",
-    "a9_map_key_count",
-    "f2_split",
-    "f3_regexp_extract",
-    "f4_replace_trim",
-    "f5_cast",
-    "o3_topk",
-    "o4_sort_within_partitions",
-    "s21_merge_into",
-    "s2_regex_scan",
-    "s3_point_lookup",
-    "s5_blob_point_read",
-    "s9_json_source",
-    "u1_union_by_name",
-    "u2_except",
-    "u2_intersect",
-    "u3_union_distinct",
-    "x27_bpe_tokenize",
-    "x28_image_neardup",
-    "x29_webdataset_ingest",
-    "x2_simhash",
-    "x30_warc_ingest",
-    "x31_zip_ingest",
-    "x5_knn_multiprobe",
-    "x6_adpcm_roundtrip",
-    "x6_audio_features",
-    "x6_bilinear_resize",
-    "x6_jpeg_roundtrip",
+    # oldest-green re-validation: the final r5 rows + 27 of the r6 rows
+    "a3_count",
+    "a4_distinct",
+    "f1_concat_key",
+    "o1_sort_limit",
+    "o2_top1",
+    "p1_project",
+    "p2_eq_predicate",
+    "p4_null_check",
+    "p5_nonempty_guard",
+    "s1_full_scan",
+    "a2_collect_list",
+    "a17_salted_agg",
+    "j13_salted_join",
+    "t1_tokenize",
+    "t2_inverted_index",
+    "t3_term_lookup",
+    "t4_tfidf_topk",
+    "t4b_index_search",
+    "t5_search_numfound",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st3_session_window",
+    "st4_watermark_filter",
+    "st5_stateful_dedup",
+    "st6_stream_static_join",
+    "st7_stateful_user_totals",
+    "x32_audio_neardup",
+    "x33_video_neardup",
+    "x34_multimodal_pipeline",
+    "x5_knn_ivfpq",
+    "x5_knn_pq",
+    "x6_feature_extract",
+    "x6_frame_sample",
+    "x6_image_features",
+    "x6_mkv_pcm",
+    "x6_resize_thumbnails",
+    "x6_video_features",
 ]
 
 

@@ -85,6 +85,12 @@ HEADLINE = [
     # merge + excision join; sub-second at sf0.1, watched for the step
     # change an extra corpus scan or a lost stabilize() would cause.
     "x39_substring_dedup",     # ExactSubstr span excision
+    # Round-11 addition: the substring tier's at-ingest lane — index
+    # build over the corpus partition + one broadcast-semi index probe
+    # per batch + excision + index append. Watched for the step change
+    # a shuffled index scan or a lost batch stabilize() would cause.
+    # In `later_added`; the comparable subtotal is untouched.
+    "x42_substring_ingest",    # substring dedup at ingest (index probe)
 ]
 
 
@@ -161,6 +167,7 @@ def main() -> None:
         "x5_knn_sq8",
         "x36_quality_classifier", "x38_bigram_lm_score", "x5_knn_jl_sq8_prod",
         "x35b_semdedup_autok", "x39_substring_dedup",
+        "x42_substring_ingest",
     }
     shared = round(
         sum(t for n, t in timings.items() if n not in later_added), 4

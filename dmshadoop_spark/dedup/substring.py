@@ -506,49 +506,51 @@ def substring_dedup_fixpoint(
 
     Scale posture: each pass is the full one-pass pipeline (linear,
     measured — SCALE.md round 10) plus one bounded driver scalar (the
-    removed-token sum); inter-pass frames are stabilize()d so pass k+1
-    scans materialized text, not a k-deep lineage. Real corpora
-    converge in 1-2 passes — junctures need the excised span's exact
-    flanks to reproduce elsewhere."""
+    cumulative removed-token sum); inter-pass frames are stabilize()d so
+    pass k+1 scans materialized text, not a k-deep lineage. The per-doc
+    removed-token accumulator rides INSIDE the stabilized step frame
+    (column ``_r``) — the round-10 audit flagged the previous
+    chain-of-joins accumulator, whose lineage grew linearly in passes;
+    folded, every pass carries exactly one materialized frame. Real
+    corpora converge in 1-2 passes — junctures need the excised span's
+    exact flanks to reproduce elsewhere."""
     cur = docs.select(
         F.col(id_col).alias("_id"),
         F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+        F.lit(0).cast("long").alias("_r"),
     )
     orig = None
-    acc = None  # per-doc removed-token accumulator across passes
+    prev_total = 0
     passes = 0
     for _ in range(max_passes):
         out = substring_dedup(cur, "_id", "_text", min_len, keep)
         if orig is None:
             orig = stabilize(out.select("_id", "orig_tokens"))
         step = stabilize(
-            out.select("_id", "clean_text", "removed_tokens")
-        )
-        removed = step.agg(F.sum("removed_tokens")).first()[0] or 0
-        if removed == 0:
-            break
-        passes += 1
-        acc = (
-            step.select("_id", F.col("removed_tokens").alias("_r"))
-            if acc is None
-            else acc.join(
-                step.select("_id", F.col("removed_tokens").alias("_r2")),
+            out.select(
                 "_id",
-            ).select(
-                "_id", (F.col("_r") + F.col("_r2")).alias("_r")
+                F.col("clean_text").alias("_text"),
+                "removed_tokens",
+            )
+            .join(cur.select("_id", "_r"), "_id")
+            .select(
+                "_id",
+                "_text",
+                (F.col("_r") + F.col("removed_tokens")).alias("_r"),
             )
         )
-        cur = step.select("_id", F.col("clean_text").alias("_text"))
-    # cur holds the fixpoint text; accounting accumulates each pass's
-    # exact removed counts (recounting tokens of "" would miscount the
-    # empty-text convention where "" tokenizes to one empty token)
-    out = cur.select("_id", F.col("_text").alias("clean_text")).join(
-        orig, "_id"
-    )
-    if acc is not None:
-        out = out.join(acc, "_id", "left")
-    else:
-        out = out.withColumn("_r", F.lit(0))
+        total = step.agg(F.sum("_r")).first()[0] or 0
+        cur = step
+        if total == prev_total:  # this pass removed nothing: fixpoint
+            break
+        prev_total = total
+        passes += 1
+    # cur holds the fixpoint text + the exact per-doc removed accumulator
+    # (recounting tokens of "" would miscount the empty-text convention
+    # where "" tokenizes to one empty token)
+    out = cur.select(
+        "_id", F.col("_text").alias("clean_text"), "_r"
+    ).join(orig, "_id")
     return out.select(
         F.col("_id").alias(id_col),
         "clean_text",

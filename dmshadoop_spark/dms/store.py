@@ -217,7 +217,11 @@ class DocumentStore:
             "version",
         ).filter(F.col("change_type").isNotNull())
 
-    def compact(self, target_files: int = 1) -> int | None:
+    def compact(
+        self,
+        target_files: int = 1,
+        cluster_by: list[str] | None = None,
+    ) -> int | None:
         """Rewrite the current snapshot into ``target_files`` part-files as
         a NEW generation — the OPTIMIZE analogue. Hardlink-append commits
         accumulate one part-file per insert; compaction restores scan
@@ -228,10 +232,27 @@ class DocumentStore:
         physically drops the deleted rows and carries NO tombstone
         sidecar — reads after compaction are a pure scan again. Old
         generations stay time-travelable. Returns the new generation
-        number."""
+        number.
+
+        ``cluster_by`` (round 11): range-partition + sort the rewrite on
+        the given columns (``["name"]`` is the natural choice) so every
+        part file covers a DISJOINT key range — parquet footer min/max
+        stats then let the delete/download point probes skip every
+        non-matching file (the probe is the data-dependent part of a
+        deletion-vector delete; clustered, it reads ~one file instead
+        of scanning the generation). Same rows either way; only the
+        physical layout differs (disjoint ranges pinned by test)."""
         if self._current_gen() is None:
             return None
-        self._write_snapshot(self.df().repartition(target_files))
+        if cluster_by:
+            snap = (
+                self.df()
+                .repartitionByRange(target_files, *cluster_by)
+                .sortWithinPartitions(*cluster_by)
+            )
+        else:
+            snap = self.df().repartition(target_files)
+        self._write_snapshot(snap)
         return self._current_gen()
 
     def vacuum(self, keep_last: int = 1) -> list[int]:

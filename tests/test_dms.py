@@ -728,3 +728,65 @@ def test_mp3_vbr_parser_never_misfires_on_payload_junk():
     f[p + 4 : p + 8] = (0xF).to_bytes(4, "big")
     v = parse_vbr_header(bytes(f))
     assert v is not None and v["tag"] == "Xing"
+
+
+def test_delete_commit_is_crash_atomic(store):
+    """Deletion-vector commits follow the same all-or-nothing discipline
+    as inserts: a torn delete generation (no _SUCCESS) is invisible —
+    the key still reads back — and the next commit sweeps the debris."""
+    import os
+
+    store.upload("a.txt", b"v1")
+    store.upload("b.txt", b"v2")
+    base = store.base_dir
+    # simulate a crash mid-delete-commit: gen=2 dir without _SUCCESS
+    torn = os.path.join(base, "gen=2")
+    os.makedirs(os.path.join(torn, "_tombstones"))
+    with open(os.path.join(torn, "_tombstones", "part-torn.parquet"), "wb") as f:
+        f.write(b"\x00garbage")
+    assert store.history() == [0, 1]
+    assert store.download("a.txt") == b"v1"  # torn tombstone invisible
+    # the next real delete sweeps the debris and commits cleanly
+    assert store.delete("a.txt")
+    assert store.history() == [0, 1, 2]
+    assert os.path.exists(os.path.join(base, "gen=2", "_SUCCESS"))
+    assert not os.path.exists(
+        os.path.join(base, "gen=2", "_tombstones", "part-torn.parquet")
+    )
+    assert store.download("a.txt") is None
+    assert store.download("b.txt") == b"v2"
+
+
+def test_compact_cluster_by_gives_disjoint_file_ranges(store):
+    """compact(cluster_by=['name']) must produce part files with
+    DISJOINT name ranges (parquet footer min/max), so point probes —
+    the data-dependent half of a deletion-vector delete — skip every
+    non-matching file. Rows are unchanged."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    for i in range(40):
+        store.upload(f"doc-{i:03d}.txt", f"body {i}".encode())
+    before = _names(store)
+    store.compact(4, cluster_by=["name"])
+    assert _names(store) == before
+    gdir = store._gen_path(store.history()[-1])
+    ranges = []
+    for fn in sorted(os.listdir(gdir)):
+        if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(gdir, fn)).metadata
+        col = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }["name"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # range partitioning actually split
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary equality allowed)

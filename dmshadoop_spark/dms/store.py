@@ -370,6 +370,47 @@ class DocumentStore:
         with open(os.path.join(target, "_SUCCESS"), "w"):
             pass
 
+    def delete_where(self, predicate) -> int:
+        """Bulk merge-on-read delete: tombstone every (name, version)
+        row matching ``predicate`` (a Column or SQL string over the
+        document schema) in ONE commit, returning the number of keys
+        tombstoned. The predicate scan is the only data-dependent work
+        (column-pruned — the content column is never read unless the
+        predicate names it); data files are hardlinked unchanged, same
+        as ``delete``. The key set is written DISTRIBUTED (one staged
+        part file) rather than collected, so a predicate matching
+        millions of keys never lands on the driver — the
+        predicate-shaped path ``_delete_keys``'s docstring reserves."""
+        import shutil
+        import uuid
+
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        keys = self.df().filter(cond).select("name", "version")
+        gen = self._current_gen()
+        if gen is None:
+            return 0
+        staging = os.path.join(self.base_dir, f".staging-{uuid.uuid4().hex}")
+        keys.repartition(1).write.mode("overwrite").parquet(staging)
+        n = (
+            self.spark.read.schema(TOMBSTONE_SCHEMA).parquet(staging).count()
+        )
+        if n == 0:
+            shutil.rmtree(staging)
+            return 0
+        target = self._gen_path(gen + 1)
+        if os.path.exists(target):  # crashed earlier commit: no _SUCCESS
+            shutil.rmtree(target)
+        os.makedirs(target)
+        _link_visible(self._gen_path(gen), target)
+        self._carry_tombstones(gen, target)
+        tdst = os.path.join(target, _TOMBSTONE_DIR)
+        os.makedirs(tdst, exist_ok=True)
+        _link_visible(staging, tdst)
+        shutil.rmtree(staging)
+        with open(os.path.join(target, "_SUCCESS"), "w"):
+            pass
+        return n
+
     def layout(self, generation: int | None = None) -> dict[str, int]:
         """Physical-layout facts for one committed generation: data file
         count, tombstone file/row counts, and how many data files are

@@ -790,3 +790,29 @@ def test_compact_cluster_by_gives_disjoint_file_ranges(store):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint (boundary equality allowed)
+
+
+def test_delete_where_bulk_tombstone_commit(store):
+    """Predicate-shaped bulk delete: one tombstone commit covering every
+    matching key, data files inode-shared, column-pruned scan; zero
+    matches commits nothing."""
+    for i in range(6):
+        store.upload(f"d{i}.txt", (b"x" * (10 + i)))
+    n = store.delete_where(F_len_ge_13())
+    assert n == 3  # lengths 13, 14, 15
+    assert _names(store) == ["d0.txt", "d1.txt", "d2.txt"]
+    lay = store.layout()
+    assert lay["tombstone_rows"] == 3
+    assert lay["data_files"] == lay["data_files_shared_with_prev"] > 0
+    gens = store.history()
+    assert store.delete_where("length > 999") == 0
+    assert store.history() == gens  # no commit on zero matches
+    # SQL-string predicates work too
+    assert store.delete_where("name = 'd0.txt'") == 1
+    assert _names(store) == ["d1.txt", "d2.txt"]
+
+
+def F_len_ge_13():
+    from pyspark.sql import functions as F
+
+    return F.col("length") >= 13

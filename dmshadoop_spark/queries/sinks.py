@@ -192,6 +192,57 @@ def s22_deletion_vector(spark, sf_dir):
 
 
 @query(
+    "s23_delete_where",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST((SELECT count(*) FROM documents WHERE lang = 'de')
+                AS BIGINT) AS n_deleted,
+           CAST(0 AS BIGINT) AS unshared_data_files
+    FROM documents WHERE lang <> 'de'
+    """,
+)
+def s23_delete_where(spark, sf_dir):
+    """Predicate-shaped bulk merge-on-read delete (round 11): ingest the
+    documents table into a DocumentStore with the language as the name
+    prefix (the document key carries routing facts, as real stores
+    do), tombstone every German document in ONE delete_where commit —
+    the key set is computed BY the predicate scan and written
+    distributed, never collected to the driver — and read back through
+    the tombstone anti-join. The oracle replays the predicate as SQL
+    and pins: surviving rows + exact byte total, the tombstoned-key
+    count returned by the API, and zero data files rewritten (every
+    data file of the delete commit inode-shared with the previous
+    generation)."""
+    from dmshadoop_spark.dms.store import DocumentStore
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.col("lang"), F.lit("/doc-"), F.col("doc_id")).alias(
+            "name"
+        ),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    store = DocumentStore(spark, os.path.join(_scratch("dvw"), "store"))
+    store.bulk_ingest(docs)
+    n_deleted = store.delete_where(F.col("name").startswith("de/"))
+    lay = store.layout()
+    return (
+        store.df()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("length").cast("long").alias("total_bytes"),
+        )
+        .withColumn("n_deleted", F.lit(n_deleted).cast("long"))
+        .withColumn(
+            "unshared_data_files",
+            F.lit(
+                lay["data_files"] - lay["data_files_shared_with_prev"]
+            ).cast("long"),
+        )
+    )
+
+
+@query(
     "p3_regex_predicate",
     oracle="""
     SELECT doc_id, lang FROM documents

@@ -208,10 +208,17 @@ def stabilize(
         except ValueError:
             thr = 10 * 1024**2
         if thr > 0:
-            row = out.agg(
-                F.sum(_row_bytes_expr(out.schema)).alias("b")
-            ).collect()[0]
-            est = int(row["b"] or 0)
+            try:
+                row = out.agg(
+                    F.sum(_row_bytes_expr(out.schema)).alias("b")
+                ).collect()[0]
+                est = int(row["b"] or 0)
+            except Exception:
+                # a column type the estimator can't size (e.g. a nested
+                # type to_json rejects): NOT hinting is the safe
+                # direction — AQE still recovers the broadcast at
+                # runtime from actual sizes
+                est = thr + 1
             if est <= thr:
                 out = broadcast(out)
     return out

@@ -3596,3 +3596,60 @@ def test_substring_dedup_index_table_skips_hash_scan(spark, tmp_path):
     # control: the default path hashes in-plan
     fresh = substring_dedup(docs, min_len=10)
     assert {r["doc_id"]: r["clean_text"] for r in fresh.collect()} == base
+
+
+def test_hint_small_unsizable_type_degrades_to_no_hint(spark):
+    """A column type the size estimator can't express (binary nested in
+    an array — to_json rejects it) must degrade to NOT hinting (AQE
+    recovers broadcasts at runtime), never raise out of stabilize."""
+    from dmshadoop_spark.functions.checkpoint import stabilize
+
+    df = spark.range(5).select(
+        "id", F.array(F.col("id").cast("string").cast("binary")).alias("b")
+    )
+    out = stabilize(df, hint_small=True)  # must not raise
+    assert out.count() == 5
+
+
+def test_substring_ingest_two_batch_sequence_fold_equivalence(spark, tmp_path):
+    """The plural claim: after TWO sequential batches the index equals
+    the occurrence table of corpus ∪ both accepted remainders, and a
+    span accepted in batch 1 is excised from batch 2."""
+    from dmshadoop_spark.dedup import build_occurrence_index, substring_ingest
+    from dmshadoop_spark.dedup.substring import (
+        _OCC_SCHEMA,
+        _occurrence_table,
+        _token_table,
+    )
+
+    idx = str(tmp_path / "idx")
+    corpus = _ing_corpus(spark)
+    build_occurrence_index(corpus, idx, min_len=10)
+    novel = "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    b1 = spark.createDataFrame(
+        [(1, f"first {novel} tail")], "doc_id long, text string"
+    )
+    out1 = substring_ingest(b1, idx, min_len=10, keep="all")
+    assert out1.collect()[0]["removed_tokens"] == 0  # novel: accepted
+    b2 = spark.createDataFrame(
+        [(2, f"second {novel} coda")], "doc_id long, text string"
+    )
+    out2 = substring_ingest(b2, idx, min_len=10, keep="all")
+    r2 = out2.collect()[0]
+    assert r2["removed_tokens"] == 12  # batch-1 acceptance now indexed
+    assert r2["clean_text"] == "second coda"
+    full = corpus.unionByName(
+        out1.select("doc_id", F.col("clean_text").alias("text"))
+    ).unionByName(out2.select("doc_id", F.col("clean_text").alias("text")))
+    expect = sorted(
+        map(
+            tuple,
+            _occurrence_table(
+                _token_table(full, "doc_id", "text"), 10
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, spark.read.schema(_OCC_SCHEMA).parquet(idx).collect())
+    )
+    assert expect == got

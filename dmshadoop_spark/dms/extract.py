@@ -80,6 +80,20 @@ def _sniff(content: bytes) -> str:
         return "application/gzip"
     if content[:3] == b"ID3":
         return "audio/mpeg"
+    if len(content) >= 7 and content[0] == 0xFF and (content[1] & 0xF6) == 0xF0:
+        # AAC ADTS: sync 0xFFF with layer bits 00 (disjoint from MPEG
+        # audio, whose walk rejects layer 00 as reserved). Same
+        # two-consecutive-frames discipline as the audio/mpeg branch.
+        from dmshadoop_spark.multimodal.containers import _adts_frame_at
+
+        first = _adts_frame_at(content, 0)
+        if first is not None:
+            frame_len = first[0]
+            if frame_len <= len(content) and (
+                frame_len == len(content)
+                or _adts_frame_at(content, frame_len) is not None
+            ):
+                return "audio/aac"
     if len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0:
         # 2-byte sync alone over-matches (UTF-16-LE BOM is FF FE, and many
         # binary blobs start FF Ex); even a full 4-byte header can occur by
@@ -316,6 +330,18 @@ def extract_metadata(content: bytes) -> dict[str, str]:
             meta["frame_count"] = str(m["n_frames"])
             meta["sample_rate"] = str(m["sample_rate"])
             meta["bitrate"] = str(m["bitrate"])
+            meta["duration_ms"] = str(int(m["duration"] * 1000))
+        except (ValueError, struct.error):
+            pass
+    elif ctype == "audio/aac":
+        try:
+            from dmshadoop_spark.multimodal.containers import parse_adts
+
+            m = parse_adts(content)
+            meta["frame_count"] = str(m["n_frames"])
+            meta["sample_rate"] = str(m["sample_rate"])
+            meta["channels"] = str(m["channels"])
+            meta["profile"] = m["profile"]
             meta["duration_ms"] = str(int(m["duration"] * 1000))
         except (ValueError, struct.error):
             pass

@@ -1272,6 +1272,32 @@ def sample_frames(
                         continue
                     except ValueError:
                         pass  # sync-less/garbled stream → stub path
+                if _sniff_type(raw) == "audio/aac":
+                    # AAC ADTS (round 11): same real-frame emission as
+                    # the MPEG-audio branch — the sniffer's two-frame
+                    # discipline already vetted the stream
+                    from dmshadoop_spark.multimodal.containers import (
+                        adts_frames,
+                    )
+
+                    try:
+                        walk = adts_frames(raw)
+                        n = len(walk)
+                        stride = _sample_stride(
+                            n, walk[-1]["ts_sec"], every_s
+                        )
+                        for i in range(0, n, stride):
+                            fr = walk[i]
+                            emit(
+                                path,
+                                i,
+                                fr["ts_sec"],
+                                raw[fr["offset"] : fr["offset"] + fr["length"]],
+                                True,
+                            )
+                        continue
+                    except ValueError:
+                        pass  # garbled stream → stub path
                 if raw[:4] == b"\x1a\x45\xdf\xa3":
                     from dmshadoop_spark.multimodal.ebml import (
                         mkv_blocks,

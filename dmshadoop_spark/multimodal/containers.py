@@ -309,6 +309,138 @@ def encode_mp3_vbr(
 
 
 # ---------------------------------------------------------------------------
+# AAC (ADTS transport — ISO/IEC 14496-3)
+# ---------------------------------------------------------------------------
+
+# Table 1.18 sampling frequencies by sampling_frequency_index
+_ADTS_RATES = [
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+]
+
+_ADTS_PROFILES = {0: "Main", 1: "LC", 2: "SSR", 3: "LTP"}
+
+
+def _adts_frame_at(data: bytes, i: int):
+    """Parse one ADTS frame header at offset i → (frame_len, samples,
+    sample_rate, channels, profile) or None. Disjoint from MPEG audio
+    by construction: ADTS requires layer bits 00, which ``_mp3_frame_at``
+    rejects as reserved, and vice versa."""
+    if i + 7 > len(data):
+        return None
+    if data[i] != 0xFF or (data[i + 1] & 0xF6) != 0xF0:
+        return None  # sync 0xFFF + layer 00
+    profile = (data[i + 2] >> 6) & 3
+    sf_idx = (data[i + 2] >> 2) & 0xF
+    if sf_idx >= len(_ADTS_RATES):
+        return None
+    channels = ((data[i + 2] & 1) << 2) | ((data[i + 3] >> 6) & 3)
+    frame_len = (
+        ((data[i + 3] & 3) << 11) | (data[i + 4] << 3)
+        | ((data[i + 5] >> 5) & 7)
+    )
+    header_len = 7 if (data[i + 1] & 1) else 9  # CRC adds 2 bytes
+    if frame_len < header_len:
+        return None
+    blocks = (data[i + 6] & 3) + 1
+    return frame_len, blocks * 1024, _ADTS_RATES[sf_idx], channels, profile
+
+
+def adts_frames(data: bytes) -> list[dict]:
+    """Per-frame walk of an AAC ADTS stream — the aac sibling of
+    ``mp3_frames`` (same ID3v2-skip, sync-scan, consistent-prefix walk
+    rules). One dict {offset, length, ts_sec, samples, sample_rate,
+    channels, profile} per frame; each frame carries
+    raw_data_blocks × 1024 samples. Raises ValueError if no coherent
+    frame sequence exists. Raw AAC payload DECODE (Huffman codebooks +
+    filterbank) stays behind the documented codec boundary — frame
+    boundaries, timing, and stream facts are what a crawled-audio
+    pipeline featurizes on, and what the reference's hachoir surface
+    read (src/DMS.py:70-91)."""
+    data = bytes(data)
+    i = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = (
+            (data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7 | (data[9] & 0x7F)
+        )
+        i = 10 + size
+    while i < len(data) - 7 and not _adts_frame_at(data, i):
+        i += 1
+    out: list[dict] = []
+    total_samples = 0
+    sample_rate = None
+    while i + 7 <= len(data):
+        parsed = _adts_frame_at(data, i)
+        if not parsed:
+            break
+        frame_len, samples, sr, channels, profile = parsed
+        if sample_rate is None:
+            sample_rate = sr
+        if sr != sample_rate or frame_len <= 0:
+            break  # stream changed → stop at the consistent prefix
+        out.append(
+            {
+                "offset": i,
+                "length": frame_len,
+                "ts_sec": total_samples / sample_rate,
+                "samples": samples,
+                "sample_rate": sr,
+                "channels": channels,
+                "profile": profile,
+            }
+        )
+        total_samples += samples
+        i += frame_len
+    if not out:
+        raise ValueError("no ADTS frame found")
+    return out
+
+
+def parse_adts(data: bytes) -> dict:
+    """Stream-level AAC ADTS metadata: {n_frames, total_samples,
+    duration, sample_rate, channels, profile} — a pure aggregation over
+    ``adts_frames``, mirroring ``parse_mp3``."""
+    walk = adts_frames(data)
+    total_samples = sum(f["samples"] for f in walk)
+    sample_rate = walk[0]["sample_rate"]
+    return {
+        "n_frames": len(walk),
+        "total_samples": total_samples,  # exact int — float-free oracles
+        "duration": total_samples / sample_rate,
+        "sample_rate": sample_rate,
+        "channels": walk[0]["channels"],
+        "profile": _ADTS_PROFILES[walk[0]["profile"]],
+    }
+
+
+def encode_adts(
+    n_frames: int,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    profile: int = 1,
+    payload_len: int = 20,
+) -> bytes:
+    """Deterministic spec-valid ADTS frame sequence (7-byte headers +
+    zeroed payloads) — the fixture generator for parse_adts
+    round-trips, mirroring encode_mp3."""
+    sf_idx = _ADTS_RATES.index(sample_rate)
+    frame_len = 7 + payload_len
+    header = bytes(
+        [
+            0xFF,
+            0xF1,  # MPEG-4, layer 00, protection_absent=1
+            (profile << 6) | (sf_idx << 2) | ((channels >> 2) & 1),
+            ((channels & 3) << 6) | (frame_len >> 11),
+            (frame_len >> 3) & 0xFF,
+            ((frame_len & 7) << 5) | 0x1F,  # buffer fullness hi (VBR)
+            0xFC,  # fullness lo + 1 raw data block
+        ]
+    )
+    return (header + b"\x00" * payload_len) * n_frames
+
+
+# ---------------------------------------------------------------------------
 # MP4 (ISO base media file format)
 # ---------------------------------------------------------------------------
 

@@ -60,13 +60,15 @@ def load_all() -> None:
 # ROUND-11 DECISION: CORRECTNESS_r10 ran 50/50 clean; cumulative
 # coverage at round-11 start was 233/233 of the round-10 registry
 # (tools/rotation.py: zero unconfirmed, zero stranded). This window,
-# regenerated from live state: 3 canaries + the 3 round-11
+# regenerated from live state: 3 canaries + the 4 round-11
 # registrations (s22_deletion_vector — merge-on-read deletion vectors
 # for DocumentStore under a full oracle that also pins the layout
 # facts; s23_delete_where — predicate-shaped bulk delete, key set
 # computed by the predicate scan and written distributed, full oracle;
 # x42_substring_ingest — the substring tier's O(batch) ingest
-# twin over a persisted occurrence index, full shingle-string oracle)
+# twin over a persisted occurrence index, full shingle-string oracle;
+# x6_aac_meta — AAC ADTS frame-walk metadata incl. header-derived
+# duration, full formula oracle)
 # + 8 changed-path re-confirms (x6_mp3_meta — five new oracle-backed
 # Xing/LAME VBR columns; x39/x39b/x40/x41 — substring.py gained the
 # integral-id guard and the index_table materialization path;
@@ -74,12 +76,13 @@ def load_all() -> None:
 # x35d — stabilize(hint_small) switched to the measured-bytes
 # estimator and _parse_bytes was fixed) + the OLDEST cumulative-green
 # rows: all 10 remaining r5-vintage rows (the trivial scan/agg/function
-# rows deferred by the r10 window) and 26 of the 46 r6-vintage rows
+# rows deferred by the r10 window) and 25 of the 46 r6-vintage rows
 # (salted ops, the t1-t5/t4b text family, the st1-st7 streaming
 # family, the x32/x33/x34 multimodal dedup tier, the x5 PQ lanes, and
-# the x6 feature/frame rows; x6_video_features was swapped out for the
-# late s23 registration). The remaining 20 r6 rows (f6-f12, j1-j7,
-# q-family, x6_video_features) roll to the r12 window.
+# the x6 feature/frame rows; x6_video_features and
+# x6_resize_thumbnails were swapped out for the late s23/x6_aac_meta
+# registrations). The remaining 21 r6 rows (f6-f12, j1-j7, q-family,
+# x6_video_features, x6_resize_thumbnails) roll to the r12 window.
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
 # before this window was handed to the driver.
 PRIORITY: list[str] = [
@@ -91,6 +94,7 @@ PRIORITY: list[str] = [
     "s22_deletion_vector",
     "s23_delete_where",
     "x42_substring_ingest",
+    "x6_aac_meta",
     # changed this round -> re-confirm
     "x6_mp3_meta",
     "x39_substring_dedup",
@@ -100,7 +104,7 @@ PRIORITY: list[str] = [
     "x35_semdedup",
     "x35b_semdedup_autok",
     "x35d_semdedup_ingest",
-    # oldest-green re-validation: the final r5 rows + 27 of the r6 rows
+    # oldest-green re-validation: the final r5 rows + 25 of the r6 rows
     "a3_count",
     "a4_distinct",
     "f1_concat_key",
@@ -136,7 +140,6 @@ PRIORITY: list[str] = [
     "x6_frame_sample",
     "x6_image_features",
     "x6_mkv_pcm",
-    "x6_resize_thumbnails",
 ]
 
 

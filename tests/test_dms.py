@@ -816,3 +816,63 @@ def F_len_ge_13():
     from pyspark.sql import functions as F
 
     return F.col("length") >= 13
+
+
+def test_adts_roundtrip_and_sniff():
+    """encode_adts → parse_adts recovers frame count, sample facts, and
+    profile; the sniffer claims audio/aac only with two consecutive
+    valid frames; MPEG-audio and ADTS headers are mutually rejecting."""
+    from dmshadoop_spark.dms.extract import _sniff, extract_metadata
+    from dmshadoop_spark.multimodal import encode_adts, encode_mp3, parse_adts
+    from dmshadoop_spark.multimodal.containers import (
+        _adts_frame_at,
+        _mp3_frame_at,
+    )
+
+    d = encode_adts(8, 44100, 2, profile=1)
+    m = parse_adts(d)
+    assert m["n_frames"] == 8 and m["total_samples"] == 8 * 1024
+    assert (m["sample_rate"], m["channels"], m["profile"]) == (44100, 2, "LC")
+    assert _sniff(d) == "audio/aac"
+    meta = extract_metadata(d)
+    assert meta["content_type"] == "audio/aac"
+    assert meta["frame_count"] == "8" and meta["profile"] == "LC"
+    assert meta["duration_ms"] == str(8 * 1024 * 1000 // 44100)
+    # disjointness: each walk rejects the other's frames
+    assert _mp3_frame_at(d, 0) is None
+    assert _adts_frame_at(encode_mp3(3), 0) is None
+    assert _sniff(encode_mp3(3)) == "audio/mpeg"
+    # a lone sync-looking pair of bytes must not claim aac
+    assert _sniff(b"\xff\xf1hello world this is text") != "audio/aac"
+
+
+@given(st.binary(max_size=160))
+@settings(max_examples=150, deadline=None)
+def test_adts_parser_never_crashes_on_junk(junk):
+    """adts_frames raises only ValueError on junk; the sniffer never
+    raises (the extraction UDF runs on arbitrary ingested bytes)."""
+    from dmshadoop_spark.dms.extract import _sniff
+    from dmshadoop_spark.multimodal import adts_frames
+
+    _sniff(junk)
+    _sniff(b"\xff\xf1" + junk)
+    try:
+        adts_frames(b"\xff\xf1" + junk)
+    except ValueError:
+        pass
+
+
+def test_sample_frames_routes_adts_real(spark):
+    """sample_frames emits REAL AAC ADTS frame payloads with container
+    timestamps (real=true), like the MPEG-audio branch."""
+    from dmshadoop_spark.multimodal import encode_adts, sample_frames
+
+    aac = encode_adts(10, 48000, 2)
+    df = spark.createDataFrame(
+        [("aac://1", bytearray(aac))], "path string, content binary"
+    )
+    rows = sample_frames(df, every_s=0.0001).orderBy("frame_idx").collect()
+    assert all(r["real"] for r in rows)
+    assert rows[0]["frame_idx"] == 0 and abs(rows[0]["ts_sec"]) < 1e-9
+    assert bytes(rows[0]["frame"]) == aac[:27]
+    assert abs(rows[1]["ts_sec"] - 1024 / 48000) < 1e-9

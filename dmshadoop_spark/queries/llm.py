@@ -3058,7 +3058,7 @@ def x24_extract_dispatch(spark, sf_dir):
     "x24b_extract_dispatch_wide",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 15
+           CASE doc_id % 16
                WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
                WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'audio/mpeg'
                WHEN 4 THEN 'video/mp4' WHEN 5 THEN 'image/gif'
@@ -3067,8 +3067,9 @@ def x24_extract_dispatch(spark, sf_dir):
                WHEN 10 THEN 'audio/flac' WHEN 11 THEN 'video/x-msvideo'
                WHEN 12 THEN 'application/zip'
                WHEN 13 THEN 'application/warc'
-               ELSE 'image/webp' END AS content_type,
-           CASE doc_id % 15
+               WHEN 14 THEN 'image/webp'
+               ELSE 'audio/aac' END AS content_type,
+           CASE doc_id % 16
                WHEN 0 THEN 64 + doc_id % 16
                WHEN 1 THEN 40 + doc_id % 16
                WHEN 4 THEN 320 + (doc_id % 4) * 16
@@ -3076,7 +3077,7 @@ def x24_extract_dispatch(spark, sf_dir):
                WHEN 6 THEN 25 + doc_id % 10
                WHEN 7 THEN 320 + (doc_id % 4) * 8
                WHEN 14 THEN 12 + doc_id % 8 END AS width,
-           CASE doc_id % 15
+           CASE doc_id % 16
                WHEN 0 THEN 48 + doc_id % 12
                WHEN 1 THEN 32 + doc_id % 8
                WHEN 4 THEN 240
@@ -3084,7 +3085,7 @@ def x24_extract_dispatch(spark, sf_dir):
                WHEN 6 THEN 15 + doc_id % 5
                WHEN 7 THEN 200
                WHEN 14 THEN 10 + doc_id % 6 END AS height,
-           CASE doc_id % 15
+           CASE doc_id % 16
                WHEN 2 THEN 500 + 50 * (doc_id % 7)
                WHEN 3 THEN CAST(FLOOR((5 + doc_id % 9) * 1152.0 * 1000.0
                                       / 44100.0) AS BIGINT)
@@ -3092,28 +3093,33 @@ def x24_extract_dispatch(spark, sf_dir):
                WHEN 7 THEN 1000 + (doc_id % 10) * 500
                WHEN 9 THEN (6 + doc_id % 5) * 24
                WHEN 10 THEN 100 + 50 * (doc_id % 5)
-               WHEN 11 THEN (4 + doc_id % 5) * 200 END AS duration_ms,
-           CASE doc_id % 15
+               WHEN 11 THEN (4 + doc_id % 5) * 200
+               WHEN 15 THEN CAST(FLOOR((7 + doc_id % 6) * 1024.0 * 1000.0
+                                       / 44100.0) AS BIGINT)
+               END AS duration_ms,
+           CASE doc_id % 16
                WHEN 3 THEN 5 + doc_id % 9
                WHEN 4 THEN 3 + doc_id % 6
                WHEN 9 THEN 6 + doc_id % 5
-               WHEN 11 THEN 4 + doc_id % 5 END AS frame_count,
-           CASE doc_id % 15
+               WHEN 11 THEN 4 + doc_id % 5
+               WHEN 15 THEN 7 + doc_id % 6 END AS frame_count,
+           CASE doc_id % 16
                WHEN 8 THEN 1 + doc_id % 4 END AS page_count,
-           CAST(CASE doc_id % 15
+           CAST(CASE doc_id % 16
                WHEN 2 THEN 8000 WHEN 3 THEN 44100 WHEN 9 THEN 48000
-               WHEN 10 THEN 16000 END AS BIGINT) AS sample_rate,
-           CASE doc_id % 15
+               WHEN 10 THEN 16000 WHEN 15 THEN 44100
+               END AS BIGINT) AS sample_rate,
+           CASE doc_id % 16
                WHEN 12 THEN 2
                WHEN 13 THEN 1 + doc_id % 3 END AS member_count,
-           CASE doc_id % 15
+           CASE doc_id % 16
                WHEN 12 THEN 'image/png'
                WHEN 13 THEN 'image/gif' END AS first_member_type
     FROM documents WHERE doc_id < 500
     """,
 )
 def x24b_extract_dispatch_wide(spark, sf_dir):
-    """x24 widened to FIFTEEN formats in one binary column — the four
+    """x24 widened to SIXTEEN formats in one binary column — the five
     surfaces x24 predates: real FLAC frames (not just a STREAMINFO
     skeleton — encode_flac emits Rice-coded subframes and the extractor's
     STREAMINFO bitfield walk reads through them), MJPEG-in-AVI (the
@@ -3124,9 +3130,10 @@ def x24b_extract_dispatch_wide(spark, sf_dir):
     peeks through the gzip head to tell WARC from plain gzip, then
     parse_warc counts records and re-sniffs the first response payload),
     plus lossless WebP (round-7: multimodal/webp.py — dimensions come off
-    the VP8L header the real decoder also consumes).
+    the VP8L header the real decoder also consumes) and AAC ADTS
+    (round 11: containers.adts_frames — frame walk duration/rate).
     Every emitted field is a pure function of doc_id — full value oracle
-    across all 15 dispatch arms. Reference parity: hachoir dispatched on
+    across all 16 dispatch arms. Reference parity: hachoir dispatched on
     upload type the same blind way (src/DMS.py:77-79) but had no archive
     or frame-level audio surface at all.
 
@@ -3139,6 +3146,7 @@ def x24b_extract_dispatch_wide(spark, sf_dir):
 
     from dmshadoop_spark.dms import with_extracted_meta
     from dmshadoop_spark.multimodal import (
+        encode_adts,
         encode_avi,
         encode_exif_jpeg,
         encode_flac,
@@ -3160,7 +3168,7 @@ def x24b_extract_dispatch_wide(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
 
     def make_payload(d: int) -> bytes:
-        fmt = d % 15
+        fmt = d % 16
         if fmt == 0:
             return encode_exif_jpeg(
                 64 + d % 16, 48 + d % 12, make="dmshadoop", model="cam-x",
@@ -3236,10 +3244,13 @@ def x24b_extract_dispatch_wide(spark, sf_dir):
                 gzip_per_record=True,
                 content_type="image/gif",
             )
-        # fmt 14: lossless WebP (VP8L) — webp_dimensions reads the
-        # 14-bit header fields the real decoder also consumes
-        arr = np.full((10 + d % 6, 12 + d % 8, 3), d % 251, np.uint8)
-        return encode_webp_lossless(arr)
+        if fmt == 14:
+            # lossless WebP (VP8L) — webp_dimensions reads the 14-bit
+            # header fields the real decoder also consumes
+            arr = np.full((10 + d % 6, 12 + d % 8, 3), d % 251, np.uint8)
+            return encode_webp_lossless(arr)
+        # fmt 15: AAC ADTS (round 11) — frame-header walk metadata
+        return encode_adts(7 + d % 6, 44100, 1 + d % 2)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

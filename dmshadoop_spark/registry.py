@@ -69,20 +69,22 @@ def load_all() -> None:
 # twin over a persisted occurrence index, full shingle-string oracle;
 # x6_aac_meta — AAC ADTS frame-walk metadata incl. header-derived
 # duration, full formula oracle)
-# + 8 changed-path re-confirms (x6_mp3_meta — five new oracle-backed
+# + 9 changed-path re-confirms (x6_mp3_meta — five new oracle-backed
 # Xing/LAME VBR columns; x39/x39b/x40/x41 — substring.py gained the
 # integral-id guard and the index_table materialization path;
 # x35/x35b — centroid_frame now chunks its Arrow list offsets;
 # x35d — stabilize(hint_small) switched to the measured-bytes
-# estimator and _parse_bytes was fixed) + the OLDEST cumulative-green
+# estimator and _parse_bytes was fixed; x24b — widened to SIXTEEN
+# dispatch arms with the new ADTS format) + the OLDEST cumulative-green
 # rows: all 10 remaining r5-vintage rows (the trivial scan/agg/function
-# rows deferred by the r10 window) and 25 of the 46 r6-vintage rows
+# rows deferred by the r10 window) and 24 of the 46 r6-vintage rows
 # (salted ops, the t1-t5/t4b text family, the st1-st7 streaming
 # family, the x32/x33/x34 multimodal dedup tier, the x5 PQ lanes, and
-# the x6 feature/frame rows; x6_video_features and
-# x6_resize_thumbnails were swapped out for the late s23/x6_aac_meta
-# registrations). The remaining 21 r6 rows (f6-f12, j1-j7, q-family,
-# x6_video_features, x6_resize_thumbnails) roll to the r12 window.
+# the x6 feature/frame rows; x6_video_features, x6_resize_thumbnails
+# and x6_mkv_pcm were swapped out for the late s23/x6_aac_meta/x24b
+# slots). The remaining 22 r6 rows (f6-f12, j1-j7, q-family,
+# x6_video_features, x6_resize_thumbnails, x6_mkv_pcm) roll to the
+# r12 window.
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
 # before this window was handed to the driver.
 PRIORITY: list[str] = [
@@ -104,7 +106,8 @@ PRIORITY: list[str] = [
     "x35_semdedup",
     "x35b_semdedup_autok",
     "x35d_semdedup_ingest",
-    # oldest-green re-validation: the final r5 rows + 25 of the r6 rows
+    "x24b_extract_dispatch_wide",
+    # oldest-green re-validation: the final r5 rows + 24 of the r6 rows
     "a3_count",
     "a4_distinct",
     "f1_concat_key",
@@ -139,7 +142,6 @@ PRIORITY: list[str] = [
     "x6_feature_extract",
     "x6_frame_sample",
     "x6_image_features",
-    "x6_mkv_pcm",
 ]
 
 

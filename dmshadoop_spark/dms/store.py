@@ -255,6 +255,30 @@ class DocumentStore:
         self._write_snapshot(snap)
         return self._current_gen()
 
+    def restore(self, generation: int) -> int:
+        """RESTORE TABLE analogue: commit a NEW generation whose content
+        is exactly the committed ``generation`` — rolling FORWARD to an
+        old state rather than rewinding history (the immutability
+        invariant holds; intermediate generations stay time-travelable
+        until vacuumed). Pure metadata: the target's data files AND its
+        tombstone sidecar are hardlinked, nothing is read or copied.
+        Returns the new generation number."""
+        import shutil
+
+        if generation not in self._generations():
+            raise ValueError(f"no committed generation {generation}")
+        cur = self._current_gen()
+        new_gen = cur + 1
+        target = self._gen_path(new_gen)
+        if os.path.exists(target):  # crashed earlier commit: no _SUCCESS
+            shutil.rmtree(target)
+        os.makedirs(target)
+        _link_visible(self._gen_path(generation), target)
+        self._carry_tombstones(generation, target)
+        with open(os.path.join(target, "_SUCCESS"), "w"):
+            pass
+        return new_gen
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` committed generations —
         the retention/VACUUM analogue. Part-files are hardlinked between

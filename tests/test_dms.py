@@ -876,3 +876,34 @@ def test_sample_frames_routes_adts_real(spark):
     assert rows[0]["frame_idx"] == 0 and abs(rows[0]["ts_sec"]) < 1e-9
     assert bytes(rows[0]["frame"]) == aac[:27]
     assert abs(rows[1]["ts_sec"] - 1024 / 48000) < 1e-9
+
+
+def test_restore_rolls_forward_to_old_snapshot(store):
+    """restore(gen) commits a NEW generation identical to the old one —
+    a deleted key reads back, diff(old, restored) is empty, history
+    keeps every intermediate state, and no data was copied (inode
+    sharing with the restored generation)."""
+    import os
+
+    store.upload("a.txt", b"v1")
+    store.upload("b.txt", b"v2")
+    g_before = store.history()[-1]
+    assert store.delete("a.txt")
+    assert store.download("a.txt") is None
+    g_new = store.restore(g_before)
+    assert store.history()[-1] == g_new
+    assert store.download("a.txt") == b"v1"
+    assert store.diff(g_before, g_new).count() == 0
+    # pure metadata: every data file inode-shared with the restored gen
+    src = store._gen_path(g_before)
+    dst = store._gen_path(g_new)
+    src_inodes = {
+        os.stat(os.path.join(src, f)).st_ino
+        for f in os.listdir(src)
+        if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(src, f))
+    }
+    for f in os.listdir(dst):
+        if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(dst, f)):
+            assert os.stat(os.path.join(dst, f)).st_ino in src_inodes
+    with pytest.raises(ValueError):
+        store.restore(99)

@@ -79,6 +79,33 @@ def _sniff(content: bytes) -> str:
             return "application/warc"
         return "application/gzip"
     if content[:3] == b"ID3":
+        # ID3v2-tagged stream: the tag prefixes BOTH MPEG audio and AAC
+        # ADTS in crawled audio. Peek past the syncsafe tag size (the
+        # same skip adts_frames/mp3_frames implement) and apply the
+        # ADTS-vs-MPEG sync discrimination there; a tag whose audio
+        # lies beyond the fetched bytes stays audio/mpeg (the common
+        # case, and the pre-round-12 behavior).
+        if len(content) >= 10:
+            tag_end = 10 + (
+                (content[6] & 0x7F) << 21 | (content[7] & 0x7F) << 14
+                | (content[8] & 0x7F) << 7 | (content[9] & 0x7F)
+            )
+            if (
+                len(content) >= tag_end + 2
+                and content[tag_end] == 0xFF
+                and (content[tag_end + 1] & 0xF6) == 0xF0
+            ):
+                from dmshadoop_spark.multimodal.containers import _adts_frame_at
+
+                first = _adts_frame_at(content, tag_end)
+                if first is not None:
+                    frame_len = first[0]
+                    end = tag_end + frame_len
+                    if end <= len(content) and (
+                        end == len(content)
+                        or _adts_frame_at(content, end) is not None
+                    ):
+                        return "audio/aac"
         return "audio/mpeg"
     if len(content) >= 7 and content[0] == 0xFF and (content[1] & 0xF6) == 0xF0:
         # AAC ADTS: sync 0xFFF with layer bits 00 (disjoint from MPEG
@@ -335,8 +362,12 @@ def extract_metadata(content: bytes) -> dict[str, str]:
             pass
     elif ctype == "audio/aac":
         try:
-            from dmshadoop_spark.multimodal.containers import parse_adts
+            from dmshadoop_spark.multimodal.containers import (
+                parse_adts,
+                parse_id3v2,
+            )
 
+            meta.update(parse_id3v2(content))
             m = parse_adts(content)
             meta["frame_count"] = str(m["n_frames"])
             meta["sample_rate"] = str(m["sample_rate"])

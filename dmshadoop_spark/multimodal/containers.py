@@ -169,25 +169,26 @@ def parse_vbr_header(data: bytes) -> dict | None:
     walk = mp3_frames(data)
     i = walk[0]["offset"]
     end = i + walk[0]["length"]
+    bound = min(len(data), end)  # never read past the metadata frame
     p = _xing_offset(data, i)
-    if p + 8 <= min(len(data), end) and data[p : p + 4] in (b"Xing", b"Info"):
+    if p + 8 <= bound and data[p : p + 4] in (b"Xing", b"Info"):
         tag = data[p : p + 4].decode("ascii")
         flags = int.from_bytes(data[p + 4 : p + 8], "big")
         q = p + 8
         frames = nbytes = quality = None
-        if flags & 0x1 and q + 4 <= len(data):
+        if flags & 0x1 and q + 4 <= bound:
             frames = int.from_bytes(data[q : q + 4], "big")
             q += 4
-        if flags & 0x2 and q + 4 <= len(data):
+        if flags & 0x2 and q + 4 <= bound:
             nbytes = int.from_bytes(data[q : q + 4], "big")
             q += 4
         if flags & 0x4:
             q += 100  # TOC
-        if flags & 0x8 and q + 4 <= len(data):
+        if flags & 0x8 and q + 4 <= bound:
             quality = int.from_bytes(data[q : q + 4], "big")
             q += 4
         encoder = None
-        enc = data[q : q + 9]
+        enc = data[q : min(q + 9, bound)]
         if len(enc) == 9 and all(0x20 <= c < 0x7F for c in enc):
             encoder = enc.decode("ascii").rstrip()
         return {

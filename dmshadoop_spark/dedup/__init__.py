@@ -32,10 +32,13 @@ from dmshadoop_spark.dedup.minhash import (
 from dmshadoop_spark.dedup.simhash import simhash, simhash_candidate_pairs, simhash_df, token_hashes
 from dmshadoop_spark.dedup.substring import (
     build_occurrence_index,
+    compact_index,
+    read_occurrence_index,
     substring_decontaminate,
     substring_dedup,
     substring_dedup_fixpoint,
     substring_ingest,
+    vacuum_index,
 )
 
 __all__ = [
@@ -46,10 +49,13 @@ __all__ = [
     "blocked_cosine_pairs",
     "connected_components",
     "build_occurrence_index",
+    "compact_index",
+    "read_occurrence_index",
     "substring_decontaminate",
     "substring_dedup",
     "substring_dedup_fixpoint",
     "substring_ingest",
+    "vacuum_index",
     "dhash_int",
     "hamming_candidate_pairs",
     "image_hash_df",

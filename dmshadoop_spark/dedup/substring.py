@@ -92,6 +92,11 @@ carries ~32 bytes/token.
 from __future__ import annotations
 
 import hashlib
+import json
+import os
+import re
+import shutil
+import uuid
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -278,13 +283,190 @@ def _excise(toks: DataFrame, islands: DataFrame, id_col: str) -> DataFrame:
 
 
 _OCC_SCHEMA = "_id long, pos long, h1 long, h2 long"
+# on-disk schema: same rows plus the hash-prefix bucket partition column
+_OCC_SCHEMA_B = "_id long, pos long, h1 long, h2 long, b int"
+_OCC_BUCKETS = 64  # default bucket count; stored per-generation in _meta.json
+_OCC_GEN_RE = re.compile(r"^gen=(\d+)$")
+
+# ---------------------------------------------------------------------------
+# Occurrence-index storage (round-11 verdict task 2 + staging-atomicity
+# advice). Layout v2 — MVCC generations of a HASH-PREFIX-BUCKETED table:
+#
+#   <index>/gen=N/_meta.json          {"format":2,"buckets":NB,"min_len":L}
+#   <index>/gen=N/_SUCCESS
+#   <index>/gen=N/b=<pmod(h1,NB)>/part-*.parquet
+#
+# Every mutation (build, per-batch append, compact) builds the FULL next
+# generation in a `.staging-*` dot-dir — new files written, carried files
+# HARDLINKED from gen=N (O(files) metadata ops, zero data copied) — and
+# publishes it with one atomic `os.rename`, the same commit protocol as
+# dms/store.py (same ConcurrentWriteError on a lost claim race). This
+# closes the round-11 advice gap: a crash mid-append can no longer leave
+# the index silently missing part of an accepted batch's windows — the
+# rename either happened (whole batch indexed) or it didn't (index
+# byte-identical to before; the failed ingest call raises and the caller
+# retries the batch). The bucket partition column makes the per-batch
+# probe PRUNE: a batch's distinct windows map to ≤ NB buckets, and the
+# probe scan reads only those `b=` directories (plan-asserted
+# PartitionFilters), so probe IO is bounded by the batch's bucket
+# footprint, not the whole index.
+# ---------------------------------------------------------------------------
+
+
+def _occ_gen_path(path: str, gen: int) -> str:
+    return os.path.join(path, f"gen={gen}")
+
+
+def _occ_generations(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    gens = []
+    for entry in os.listdir(path):
+        m = _OCC_GEN_RE.match(entry)
+        if m and os.path.exists(os.path.join(path, entry, "_SUCCESS")):
+            gens.append(int(m.group(1)))
+    return sorted(gens)
+
+
+def _occ_current_gen(path: str) -> int | None:
+    gens = _occ_generations(path)
+    return gens[-1] if gens else None
+
+
+def _occ_meta(path: str) -> dict | None:
+    """The CURRENT generation's metadata — buckets and min_len travel
+    inside the generation dir so they commit atomically with the data
+    (a re-bucketing compact can never leave meta and files disagreeing,
+    which would silently mis-prune the probe)."""
+    gen = _occ_current_gen(path)
+    if gen is None:
+        return None
+    try:
+        with open(os.path.join(_occ_gen_path(path, gen), "_meta.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _occ_sweep(path: str) -> None:
+    """Remove crashed-commit staging debris at the start of every index
+    mutation (the dms/store.py sweep discipline)."""
+    if not os.path.isdir(path):
+        return
+    for entry in os.listdir(path):
+        p = os.path.join(path, entry)
+        if entry.startswith(".staging-") and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _occ_publish(staging: str, path: str, new_gen: int) -> None:
+    """Atomic rename-publish of a fully-built staging dir as gen=N —
+    shares the single-writer claim semantics of DocumentStore commits."""
+    from dmshadoop_spark.dms.store import ConcurrentWriteError
+
+    target = _occ_gen_path(path, new_gen)
+    try:
+        os.rename(staging, target)
+    except OSError as exc:
+        raise ConcurrentWriteError(
+            f"occurrence-index generation {new_gen} was committed "
+            f"concurrently (single-writer contract); staged commit left "
+            f"at {staging}"
+        ) from exc
+
+
+def _occ_with_bucket(occ: DataFrame, nb: int) -> DataFrame:
+    return occ.withColumn(
+        "b", F.pmod(F.col("h1"), F.lit(int(nb))).cast("int")
+    )
+
+
+def _occ_stage_write(occ_b: DataFrame, path: str, nb: int, L: int,
+                     sort: bool = False) -> str:
+    """Write a bucketed occurrence frame + its _meta.json into a fresh
+    staging dir under the index root; returns the staging path. The
+    ``repartition(nb, "b")`` co-locates each bucket in one task, so a
+    commit adds at most ONE file per bucket (hashes are uniform, so
+    buckets are skew-free by construction); ``sort`` additionally
+    orders rows by (h1, h2) within each bucket so compacted files carry
+    tight parquet row-group stats."""
+    os.makedirs(path, exist_ok=True)
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    part = occ_b.repartition(int(nb), "b")
+    if sort:
+        part = part.sortWithinPartitions("b", "h1", "h2")
+    part.write.partitionBy("b").parquet(staging)
+    with open(os.path.join(staging, "_meta.json"), "w") as f:
+        json.dump(
+            {"format": 2, "buckets": int(nb), "min_len": int(L)}, f
+        )
+    return staging
+
+
+def _occ_link_gen(src_gen: str, dst_staging: str) -> None:
+    """Hardlink a generation's data files into a staging dir, merging
+    per-bucket directories (markers/meta are NOT carried — the staging
+    dir writes its own)."""
+    from dmshadoop_spark.dms.store import _link_visible
+
+    for entry in os.listdir(src_gen):
+        src = os.path.join(src_gen, entry)
+        if entry.startswith("b=") and os.path.isdir(src):
+            dst = os.path.join(dst_staging, entry)
+            os.makedirs(dst, exist_ok=True)
+            _link_visible(src, dst)
+        elif os.path.isfile(src) and not entry.startswith(("_", ".")):
+            _link_visible(src_gen, dst_staging)  # flat stragglers, if any
+            break
 
 
 def _index_committed(path: str | None) -> bool:
-    import os
+    return path is not None and _occ_meta(path) is not None
 
-    return path is not None and os.path.exists(
-        os.path.join(path, "_SUCCESS")
+
+def _occ_validate_min_len(meta: dict, L: int, path: str) -> None:
+    if meta.get("min_len") != L:
+        raise ValueError(
+            f"occurrence index at {path} was built with "
+            f"min_len={meta.get('min_len')}, queried with min_len={L}; "
+            f"the index is bound to (corpus, tokenizer, min_len)"
+        )
+
+
+def read_occurrence_index(spark, path: str) -> DataFrame:
+    """Reader over the committed occurrence index's CURRENT generation:
+    (_id, pos, h1, h2, b) with ``b`` the hash-prefix partition column
+    (filters on ``b`` prune at the directory level)."""
+    gen = _occ_current_gen(path)
+    if gen is None:
+        raise ValueError(f"no committed occurrence index at {path}")
+    return spark.read.schema(_OCC_SCHEMA_B).parquet(
+        _occ_gen_path(path, gen)
+    )
+
+
+def _index_probe(spark, index_table: str, batch_hashes: DataFrame,
+                 nb: int) -> DataFrame:
+    """The per-batch membership probe: which of the batch's distinct
+    (h1, h2) windows already exist in the index. The batch side is the
+    BROADCAST build side (≤ the batch's distinct windows); the index
+    side reads ONLY the buckets the batch's hashes map to — a bounded
+    driver collect of ≤ nb small ints turns into a static partition
+    IN-filter, so probe IO is the batch's bucket footprint, not the
+    index (plan-asserted by test_index_probe_prunes_buckets)."""
+    hit = sorted(
+        r["b"]
+        for r in _occ_with_bucket(batch_hashes, nb)
+        .select("b")
+        .distinct()
+        .collect()
+    )
+    idx = read_occurrence_index(spark, index_table)
+    return (
+        idx.where(F.col("b").isin(hit))
+        .select("h1", "h2")
+        .join(F.broadcast(batch_hashes), ["h1", "h2"], "left_semi")
+        .distinct()
     )
 
 
@@ -293,11 +475,20 @@ def _occ_via_index(spark, toks: DataFrame, L: int, index_table: str | None):
     ``index_table`` when present (hash scan skipped), persisted TO it
     when given-but-empty, else localCheckpoint via ``stabilize``."""
     if _index_committed(index_table):
-        return spark.read.schema(_OCC_SCHEMA).parquet(index_table)
+        _occ_validate_min_len(_occ_meta(index_table), L, index_table)
+        return read_occurrence_index(spark, index_table).select(
+            "_id", "pos", "h1", "h2"
+        )
     occ = _occurrence_table(toks, L)
     if index_table is not None:
-        occ.write.mode("overwrite").parquet(index_table)
-        return spark.read.schema(_OCC_SCHEMA).parquet(index_table)
+        _occ_sweep(index_table)
+        staging = _occ_stage_write(
+            _occ_with_bucket(occ, _OCC_BUCKETS), index_table, _OCC_BUCKETS, L
+        )
+        _occ_publish(staging, index_table, 0)
+        return read_occurrence_index(spark, index_table).select(
+            "_id", "pos", "h1", "h2"
+        )
     return stabilize(occ)
 
 
@@ -308,10 +499,11 @@ def build_occurrence_index(
     text_col: str = "text",
     min_len: int = 50,
     mode: str = "overwrite",
+    buckets: int = _OCC_BUCKETS,
 ) -> DataFrame:
-    """Materialize the corpus's window-hash occurrence table
-    (_id, pos, h1, h2) as a REAL parquet table and return a reader over
-    it (round-10 verdict tasks 2 + 7). Two uses:
+    """Materialize the corpus's window-hash occurrence table as a REAL
+    hash-prefix-bucketed MVCC parquet table (layout comment above) and
+    return a reader over it (round-10 verdict tasks 2 + 7). Two uses:
 
       * ``substring_dedup(..., index_table=path)`` reuses it instead of
         re-hashing the corpus — and a real table also replaces the
@@ -319,15 +511,69 @@ def build_occurrence_index(
         accumulation SCALE.md's x39 note flags (blocks pinned until
         eviction storms; a parquet table is bounded, shareable across
         sessions, and vacuumable).
-      * ``substring_ingest`` probes it per batch and appends accepted
-        remainders, keeping it ≡ the occurrence table of
+      * ``substring_ingest`` probes it per batch (reading only the
+        batch's hash buckets) and appends accepted remainders
+        atomically, keeping it ≡ the occurrence table of
         corpus ∪ accepted batches.
 
-    The table is bound to (corpus, tokenizer, min_len) — callers own
-    that contract, exactly like any materialized index."""
-    occ = _occurrence_table(_token_table(docs, id_col, text_col), int(min_len))
-    occ.write.mode(mode).parquet(path)
-    return docs.sparkSession.read.schema(_OCC_SCHEMA).parquet(path)
+    A rebuild over an existing index commits as the NEXT generation
+    (mode="overwrite", the default) and vacuums the superseded ones;
+    mode="error" refuses to touch a committed index. The table is bound
+    to (corpus, tokenizer, min_len) — enforced: probes with a different
+    min_len raise. Maintenance: ``compact_index`` /
+    ``vacuum_index``."""
+    L, nb = int(min_len), int(buckets)
+    cur = _occ_current_gen(path)
+    if cur is not None and mode in ("error", "errorifexists"):
+        raise ValueError(f"occurrence index already committed at {path}")
+    _occ_sweep(path)
+    occ = _occurrence_table(_token_table(docs, id_col, text_col), L)
+    staging = _occ_stage_write(_occ_with_bucket(occ, nb), path, nb, L)
+    new_gen = 0 if cur is None else cur + 1
+    _occ_publish(staging, path, new_gen)
+    if cur is not None:
+        vacuum_index(path, keep_last=1)
+    return read_occurrence_index(docs.sparkSession, path)
+
+
+def compact_index(spark, path: str, buckets: int | None = None) -> int:
+    """OPTIMIZE for the occurrence index: rewrite the current generation
+    as ONE (h1, h2)-sorted file per bucket, committed as the next
+    generation. Per-batch appends add ≤ one small file per bucket per
+    batch; compaction folds them back so the probe's per-bucket read is
+    one sequential sorted file with tight row-group stats — the same
+    scheduled-maintenance role DocumentStore.compact plays for data
+    files. ``buckets`` re-buckets (meta updates atomically with the
+    rewrite); default keeps the current bucket count. Returns the new
+    generation number; superseded generations stay time-travelable
+    until ``vacuum_index``."""
+    meta = _occ_meta(path)
+    if meta is None:
+        raise ValueError(f"no committed occurrence index at {path}")
+    nb = int(buckets) if buckets is not None else int(meta["buckets"])
+    cur = _occ_current_gen(path)
+    _occ_sweep(path)
+    occ = read_occurrence_index(spark, path).select(
+        "_id", "pos", "h1", "h2"
+    )
+    staging = _occ_stage_write(
+        _occ_with_bucket(occ, nb), path, nb, int(meta["min_len"]), sort=True
+    )
+    _occ_publish(staging, path, cur + 1)
+    return cur + 1
+
+
+def vacuum_index(path: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` committed index generations
+    (hardlink sharing makes this safe for newer snapshots, exactly as in
+    DocumentStore.vacuum). Returns the removed generation numbers."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    gens = _occ_generations(path)
+    drop = gens[:-keep_last]
+    for g in drop:
+        shutil.rmtree(_occ_gen_path(path, g))
+    return drop
 
 
 def substring_dedup(
@@ -590,8 +836,11 @@ def substring_ingest(
     Scale shape (the O(batch) contract): the batch tokenizes and hashes
     once; the index is probed with ONE scan carrying the batch's
     distinct window hashes as a BROADCAST left-semi build side — the
-    index never shuffles and never sorts, per-batch index cost is one
-    sequential two-column parquet read (the x21 banded-probe posture).
+    index never shuffles and never sorts, and the scan reads ONLY the
+    hash-prefix buckets the batch's windows map to (static partition
+    pruning via a bounded ≤ buckets driver collect — round-11 verdict
+    task 2), so per-batch index IO is the batch's bucket footprint,
+    not the whole table (the x21 banded-probe posture, plus pruning).
     Batch-internal detection and excision run entirely on batch-sized
     frames. The append recomputes hashes over the CLEAN text, so after
     every ingest the index is exactly the occurrence table of
@@ -615,20 +864,18 @@ def substring_ingest(
     # one hash pass over the batch; feeds the index probe, batch-dup
     # detection, the mark join, and (via excision) the index append
     occ = stabilize(_occurrence_table(toks, L))
-    if _index_committed(index_table):
-        idx = (
-            spark.read.schema(_OCC_SCHEMA)
-            .parquet(index_table)
-            .select("h1", "h2")
+    meta = _occ_meta(index_table)
+    if meta is not None:
+        _occ_validate_min_len(meta, L, index_table)
+        nb = int(meta["buckets"])
+        # broadcast the BATCH side so the index is scanned once and
+        # never shuffled — and scanned PRUNED: only the buckets the
+        # batch's hashes map to are read (see _index_probe)
+        corpus_hits = _index_probe(
+            spark, index_table, occ.select("h1", "h2").distinct(), nb
         )
-        # broadcast the BATCH side so the corpus-sized index is scanned
-        # once and never shuffled; output ≤ batch's distinct windows
-        corpus_hits = idx.join(
-            F.broadcast(occ.select("h1", "h2").distinct()),
-            ["h1", "h2"],
-            "left_semi",
-        ).distinct()
     else:
+        nb = _OCC_BUCKETS
         corpus_hits = spark.createDataFrame([], "h1 long, h2 long")
     dup = (
         occ.groupBy("h1", "h2")
@@ -684,9 +931,27 @@ def substring_ingest(
         )
     out = stabilize(_excise(toks, islands, id_col))
     # fold step: the accepted remainders' windows join the index so the
-    # next batch sees corpus ∪ everything accepted so far
+    # next batch sees corpus ∪ everything accepted so far. The append
+    # is ATOMIC (round-11 advice): the batch's new bucket files are
+    # staged, the previous generation's files are hardlinked in beside
+    # them, and one rename publishes the whole next generation — a
+    # crash leaves the index exactly as before (the failed call raises;
+    # re-ingesting the batch is idempotent-safe by construction).
     clean_occ = _occurrence_table(
         _token_table(out, id_col, "clean_text"), L
     )
-    clean_occ.write.mode("append").parquet(index_table)
+    _occ_sweep(index_table)
+    staging = _occ_stage_write(
+        _occ_with_bucket(clean_occ, nb), index_table, nb, L
+    )
+    has_new = any(e.startswith("b=") for e in os.listdir(staging))
+    cur = _occ_current_gen(index_table)
+    if not has_new and cur is not None:
+        # idempotent re-ingest: nothing accepted carries a new window —
+        # no commit (the index already equals corpus ∪ accepted batches)
+        shutil.rmtree(staging)
+        return out
+    if cur is not None:
+        _occ_link_gen(_occ_gen_path(index_table, cur), staging)
+    _occ_publish(staging, index_table, 0 if cur is None else cur + 1)
     return out

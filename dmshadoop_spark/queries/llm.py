@@ -6420,6 +6420,135 @@ def x42_substring_ingest(spark, sf_dir):
     return substring_ingest(batch, idx, min_len=10, keep="all")
 
 
+@query(
+    "x42b_index_maintenance",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    batchd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM batchd),
+    btok AS (SELECT doc_id, unnest(t) AS tok,
+                    generate_subscripts(t, 1) - 1 AS pos
+             FROM btoks),
+    bsh AS (SELECT doc_id, pos,
+                   string_agg(tok, ' ') OVER w AS s,
+                   count(*) OVER w AS c
+            FROM btok
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)),
+    bocc AS (SELECT doc_id, pos, s FROM bsh WHERE c = 10),
+    ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    ctok AS (SELECT doc_id, unnest(t) AS tok,
+                    generate_subscripts(t, 1) - 1 AS pos
+             FROM ctoks),
+    csh AS (SELECT string_agg(tok, ' ') OVER w AS s,
+                   count(*) OVER w AS c
+            FROM ctok
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)),
+    hit AS (SELECT DISTINCT s FROM csh WHERE c = 10
+            UNION
+            SELECT s FROM bocc GROUP BY s
+            HAVING min(doc_id) <> max(doc_id)),
+    marked AS (SELECT o.doc_id, o.pos, o.pos + 9 AS e
+               FROM bocc o JOIN hit USING (s)),
+    isl AS (SELECT doc_id, pos, e,
+                   CASE WHEN pos > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -2) + 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM marked),
+    isl2 AS (SELECT doc_id, pos, e,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS g
+             FROM isl),
+    spans AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+              FROM isl2 GROUP BY doc_id, g),
+    iv AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed
+           FROM spans GROUP BY doc_id),
+    bk AS (SELECT t.doc_id,
+                  CAST(len(t.t) AS BIGINT) - coalesce(iv.removed, 0) AS kept
+           FROM btoks t LEFT JOIN iv USING (doc_id)),
+    cw AS (SELECT CAST(sum(greatest(len(t) - 9, 0)) AS BIGINT) AS w
+           FROM ctoks),
+    bw AS (SELECT CAST(sum(greatest(kept - 9, 0)) AS BIGINT) AS w FROM bk),
+    rm AS (SELECT CAST(coalesce(sum(removed), 0) AS BIGINT) AS r FROM iv)
+    SELECT cw.w + bw.w AS index_rows,
+           cw.w + bw.w AS index_rows_after_reingest,
+           CAST(1 AS BIGINT) AS n_generations,
+           CAST(1 AS BIGINT) AS max_files_per_bucket,
+           rm.r AS batch_removed_tokens
+    FROM cw, bw, rm
+    """,
+)
+def x42b_index_maintenance(spark, sf_dir):
+    """Occurrence-index maintenance as an oracle-checked query (round-11
+    verdict task 2 — the s20 pattern applied to the substring-dedup
+    index): build the corpus index, substring_ingest a batch (appends
+    the accepted remainders as a new generation), compact_index (one
+    sorted file per bucket, committed as the next generation),
+    vacuum_index, then RE-ingest the same batch — idempotent, so the
+    index must not move. The oracle recomputes the index's exact row
+    count from first principles — window count of corpus ∪ accepted
+    remainders, where a doc with n tokens carries max(0, n-L+1)
+    windows — TWICE (before/after the idempotent re-ingest: zero row
+    drift), and pins the layout facts: exactly 1 surviving generation
+    and at most 1 part file per bucket after compact+vacuum. At 100 TB
+    this cycle is the standard small-file remedy for a continuously-fed
+    index: appends cost one staged commit per batch, compaction is the
+    scheduled rewrite, and the probe reads stay one sorted file per hit
+    bucket."""
+    import os as _os
+
+    from dmshadoop_spark.dedup.substring import (
+        _occ_generations,
+        build_occurrence_index,
+        compact_index,
+        read_occurrence_index,
+        substring_ingest,
+        vacuum_index,
+    )
+    from dmshadoop_spark.workdirs import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    idx = _os.path.join(scratch_dir("x42b_occmaint"), "idx")
+    build_occurrence_index(corpus, idx, min_len=10, buckets=16)
+    out = substring_ingest(batch, idx, min_len=10, keep="all")
+    removed = out.agg(
+        F.coalesce(F.sum("removed_tokens"), F.lit(0)).cast("long")
+    ).collect()[0][0]
+    compact_index(spark, idx)
+    vacuum_index(idx, keep_last=1)
+    rows = read_occurrence_index(spark, idx).count()
+    substring_ingest(batch, idx, min_len=10, keep="all")  # idempotent
+    rows2 = read_occurrence_index(spark, idx).count()
+    gens = _occ_generations(idx)
+    cur = _os.path.join(idx, f"gen={gens[-1]}")
+    files_per_bucket = [
+        len([
+            f for f in _os.listdir(_os.path.join(cur, e))
+            if not f.startswith(("_", "."))
+        ])
+        for e in _os.listdir(cur)
+        if e.startswith("b=")
+    ]
+    return spark.createDataFrame(
+        [(
+            rows,
+            rows2,
+            len(gens),
+            max(files_per_bucket) if files_per_bucket else 0,
+            removed,
+        )],
+        "index_rows long, index_rows_after_reingest long, "
+        "n_generations long, max_files_per_bucket long, "
+        "batch_removed_tokens long",
+    )
+
+
 @query("x41_substring_dedup_fixpoint")  # iterative — rows-only + digest
 def x41_substring_dedup_fixpoint(spark, sf_dir):
     """Exact-substring dedup iterated to its FIXPOINT: excising a span

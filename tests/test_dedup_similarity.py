@@ -3511,9 +3511,9 @@ def test_substring_ingest_fold_equivalence(spark, tmp_path):
     invariance, at window-hash granularity."""
     from dmshadoop_spark.dedup import build_occurrence_index, substring_ingest
     from dmshadoop_spark.dedup.substring import (
-        _OCC_SCHEMA,
         _occurrence_table,
         _token_table,
+        read_occurrence_index,
     )
 
     idx = str(tmp_path / "idx")
@@ -3530,7 +3530,7 @@ def test_substring_ingest_fold_equivalence(spark, tmp_path):
         )
     )
     got = sorted(
-        map(tuple, spark.read.schema(_OCC_SCHEMA).parquet(idx).collect())
+        map(tuple, read_occurrence_index(spark, idx).select("_id", "pos", "h1", "h2").collect())
     )
     assert expect == got
 
@@ -3542,7 +3542,7 @@ def test_substring_ingest_idempotent_and_founds_index(spark, tmp_path):
     granularity). A missing index is an empty corpus: the first batch
     self-dedups and founds it."""
     from dmshadoop_spark.dedup import substring_ingest
-    from dmshadoop_spark.dedup.substring import _OCC_SCHEMA
+    from dmshadoop_spark.dedup.substring import read_occurrence_index
 
     idx = str(tmp_path / "idx")  # never created: founding ingest
     batch = _ing_batch(spark)
@@ -3553,12 +3553,12 @@ def test_substring_ingest_idempotent_and_founds_index(spark, tmp_path):
     # no corpus: only the batch-internal dup (docs 3/4) is excised
     assert out1[1]["removed_tokens"] == 0
     assert out1[3]["clean_text"] == "one two three"
-    n1 = spark.read.schema(_OCC_SCHEMA).parquet(idx).count()
+    n1 = read_occurrence_index(spark, idx).select("_id", "pos", "h1", "h2").count()
     out2 = {
         r["doc_id"]: r
         for r in substring_ingest(batch, idx, min_len=10, keep="all").collect()
     }
-    n2 = spark.read.schema(_OCC_SCHEMA).parquet(idx).count()
+    n2 = read_occurrence_index(spark, idx).select("_id", "pos", "h1", "h2").count()
     assert n1 == n2  # idempotent: nothing new indexed
     # doc 1 (12 tokens, now fully indexed) is excised wholesale;
     # doc 3's 3-token remainder has no window and passes through
@@ -3617,9 +3617,9 @@ def test_substring_ingest_two_batch_sequence_fold_equivalence(spark, tmp_path):
     span accepted in batch 1 is excised from batch 2."""
     from dmshadoop_spark.dedup import build_occurrence_index, substring_ingest
     from dmshadoop_spark.dedup.substring import (
-        _OCC_SCHEMA,
         _occurrence_table,
         _token_table,
+        read_occurrence_index,
     )
 
     idx = str(tmp_path / "idx")
@@ -3650,6 +3650,133 @@ def test_substring_ingest_two_batch_sequence_fold_equivalence(spark, tmp_path):
         )
     )
     got = sorted(
-        map(tuple, spark.read.schema(_OCC_SCHEMA).parquet(idx).collect())
+        map(tuple, read_occurrence_index(spark, idx).select("_id", "pos", "h1", "h2").collect())
     )
     assert expect == got
+
+
+def test_index_probe_prunes_buckets(spark, tmp_path):
+    """Round-11 verdict task 2: the per-batch index probe reads ONLY the
+    hash-prefix buckets the batch's windows map to — plan-asserted
+    static partition pruning (PartitionFilters IN-list), so probe IO is
+    the batch's bucket footprint, never the whole index."""
+    from dmshadoop_spark.dedup import build_occurrence_index
+    from dmshadoop_spark.dedup.substring import (
+        _index_probe,
+        _occ_meta,
+        _occurrence_table,
+        _token_table,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_occurrence_index(_ing_corpus(spark), idx, min_len=10, buckets=16)
+    meta = _occ_meta(idx)
+    assert meta["buckets"] == 16 and meta["min_len"] == 10
+    batch_hashes = (
+        _occurrence_table(_token_table(_ing_batch(spark), "doc_id", "text"), 10)
+        .select("h1", "h2")
+        .distinct()
+    )
+    probe = _index_probe(spark, idx, batch_hashes, 16)
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [b" in fmt and " IN " in fmt
+    # the probe finds exactly the corpus-shared windows (doc 1's span)
+    assert probe.count() > 0
+
+
+def test_compact_index_folds_files_and_preserves_rows(spark, tmp_path):
+    """compact_index rewrites the current generation as one sorted file
+    per bucket without changing a single row; vacuum_index drops the
+    superseded generations (hardlink-safe)."""
+    import os
+
+    from dmshadoop_spark.dedup import (
+        build_occurrence_index,
+        compact_index,
+        read_occurrence_index,
+        substring_ingest,
+        vacuum_index,
+    )
+    from dmshadoop_spark.dedup.substring import _occ_generations
+
+    idx = str(tmp_path / "idx")
+    build_occurrence_index(_ing_corpus(spark), idx, min_len=10, buckets=4)
+    novel = "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    for k in (1, 2):
+        b = spark.createDataFrame(
+            [(k, f"batch{k} {novel} tail{k} alpha{k} beta{k} gamma{k}"
+                 f" delta{k} eps{k} zeta{k} eta{k} theta{k}")],
+            "doc_id long, text string",
+        )
+        substring_ingest(b, idx, min_len=10)
+    before = sorted(
+        map(tuple, read_occurrence_index(spark, idx)
+            .select("_id", "pos", "h1", "h2").collect())
+    )
+    gens_before = _occ_generations(idx)
+    assert len(gens_before) == 3  # build + 2 appends
+    # appends accumulate files: some bucket carries >1 part file
+    cur_dir = os.path.join(idx, f"gen={gens_before[-1]}")
+    def files_per_bucket(d):
+        out = {}
+        for e in os.listdir(d):
+            if e.startswith("b="):
+                out[e] = len([
+                    f for f in os.listdir(os.path.join(d, e))
+                    if not f.startswith(("_", "."))
+                ])
+        return out
+    assert max(files_per_bucket(cur_dir).values()) > 1
+    g = compact_index(spark, idx)
+    dropped = vacuum_index(idx, keep_last=1)
+    assert dropped == gens_before
+    new_dir = os.path.join(idx, f"gen={g}")
+    per_bucket = files_per_bucket(new_dir)
+    assert per_bucket and max(per_bucket.values()) == 1
+    after = sorted(
+        map(tuple, read_occurrence_index(spark, idx)
+            .select("_id", "pos", "h1", "h2").collect())
+    )
+    assert before == after  # not a single row changed
+    # re-bucketing compact: meta and layout move together
+    g2 = compact_index(spark, idx, buckets=2)
+    from dmshadoop_spark.dedup.substring import _occ_meta
+
+    assert _occ_meta(idx)["buckets"] == 2
+    after2 = sorted(
+        map(tuple, read_occurrence_index(spark, idx)
+            .select("_id", "pos", "h1", "h2").collect())
+    )
+    assert before == after2
+
+
+def test_index_append_is_atomic_and_guarded(spark, tmp_path):
+    """Round-11 advice (substring.py): the ingest append publishes the
+    whole next generation with one rename — staging debris from a
+    crashed append is invisible to readers and swept by the next
+    mutation; a min_len mismatch raises instead of probing garbage."""
+    import os
+
+    import pytest as _pytest
+
+    from dmshadoop_spark.dedup import (
+        build_occurrence_index,
+        read_occurrence_index,
+        substring_ingest,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_occurrence_index(_ing_corpus(spark), idx, min_len=10, buckets=4)
+    n0 = read_occurrence_index(spark, idx).count()
+    # simulate a crash mid-append: a staged-but-unpublished commit
+    debris = os.path.join(idx, ".staging-deadbeef")
+    os.makedirs(os.path.join(debris, "b=0"))
+    with open(os.path.join(debris, "b=0", "part-torn.parquet"), "wb") as f:
+        f.write(b"\x00junk")
+    assert read_occurrence_index(spark, idx).count() == n0  # invisible
+    substring_ingest(_ing_batch(spark), idx, min_len=10)
+    assert not os.path.exists(debris)  # swept by the next mutation
+    with _pytest.raises(ValueError, match="min_len"):
+        substring_ingest(_ing_batch(spark), idx, min_len=12)

@@ -5,6 +5,8 @@ families, no RNG at execution time) and expression-only (JVM-side, no
 Python UDFs in the hot path)."""
 
 from dmshadoop_spark.dedup.audiohash import (
+    audio_essence_df,
+    audio_exact_dedup_pairs,
     audio_fingerprint_int,
     audio_hash_df,
     audio_neardup_pairs,
@@ -43,6 +45,8 @@ from dmshadoop_spark.dedup.substring import (
 
 __all__ = [
     "ahash_int",
+    "audio_essence_df",
+    "audio_exact_dedup_pairs",
     "audio_fingerprint_int",
     "audio_hash_df",
     "audio_neardup_pairs",

@@ -120,3 +120,116 @@ def audio_neardup_pairs(
     )
     pairs = hamming_candidate_pairs(fps, id_col, "ahash", chunks)
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def audio_essence_df(
+    audio: DataFrame,
+    content_col: str = "content",
+    id_col: str = "path",
+) -> DataFrame:
+    """(id, codec, n_frames, total_samples, sample_rate, essence_md5)
+    for every MPEG-audio / AAC-ADTS payload in a binary column — the
+    CONTAINER-level fingerprint for crawled compressed audio (round-11
+    verdict task 7: the ADTS arm in composition).
+
+    The essence is the md5 of the concatenated compressed audio FRAMES
+    (the ``mp3_frames``/``adts_frames`` walk spans): ID3v2 tags, sync
+    junk before the first frame, and trailing garbage are excluded, so
+    the same encoded audio re-tagged by different crawlers fingerprints
+    identically — the metadata-invariant exact-dup key a crawl-audio
+    pipeline dedups on BEFORE any (impossible-here) decode. Routing
+    uses the content sniffer, so ID3-tagged ADTS streams take the AAC
+    walk (the round-12 sniffer fix, exercised in composition).
+    Non-audio rows get NULL codec. Arrow-batched; audio bytes never
+    leave their executor."""
+
+    def work(batches):
+        import hashlib
+
+        from dmshadoop_spark.dms.extract import _sniff
+        from dmshadoop_spark.multimodal.containers import (
+            adts_frames,
+            mp3_frames,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("codec", "n_frames", "total_samples", "sample_rate",
+                    "essence_md5")}
+            for blob in pdf[content_col]:
+                row = (None, None, None, None, None)
+                if blob is not None:
+                    data = bytes(blob)
+                    ctype = _sniff(data)
+                    walker = {
+                        "audio/mpeg": mp3_frames,
+                        "audio/aac": adts_frames,
+                    }.get(ctype)
+                    if walker is not None:
+                        try:
+                            frames = walker(data)
+                            h = hashlib.md5()
+                            for fr in frames:
+                                h.update(
+                                    data[fr["offset"]:
+                                         fr["offset"] + fr["length"]]
+                                )
+                            row = (
+                                ctype,
+                                len(frames),
+                                sum(fr["samples"] for fr in frames),
+                                frames[0]["sample_rate"],
+                                h.hexdigest(),
+                            )
+                        except ValueError:
+                            pass
+                for k, v in zip(out, row):
+                    out[k].append(v)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "codec": out["codec"],
+                "n_frames": pd.array(out["n_frames"], dtype="Int64"),
+                "total_samples": pd.array(
+                    out["total_samples"], dtype="Int64"
+                ),
+                "sample_rate": pd.array(out["sample_rate"], dtype="Int64"),
+                "essence_md5": out["essence_md5"],
+            })
+
+    return audio.select(id_col, content_col).mapInPandas(
+        work,
+        schema=(
+            f"{id_col} string, codec string, n_frames bigint, "
+            "total_samples bigint, sample_rate bigint, essence_md5 string"
+        ),
+    )
+
+
+def audio_exact_dedup_pairs(
+    audio: DataFrame,
+    content_col: str = "content",
+    id_col: str = "path",
+) -> DataFrame:
+    """(id_a, id_b, codec, n_frames, total_samples, sample_rate) for
+    every pair of audio payloads with IDENTICAL compressed essence
+    (audio_essence_df) — exact crawl-audio dedup, invariant to ID3
+    tagging and container-level junk. One equi self-join on the md5 key
+    (uniform by construction — it is a hash); duplicate-cluster sizes
+    bound the pair fan-out exactly as in the x1 exact-dedup tier."""
+    fps = audio_essence_df(audio, content_col, id_col).filter(
+        F.col("codec").isNotNull()
+    )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, on="essence_md5")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            F.col("a.codec").alias("codec"),
+            F.col("a.n_frames").alias("n_frames"),
+            F.col("a.total_samples").alias("total_samples"),
+            F.col("a.sample_rate").alias("sample_rate"),
+        )
+    )

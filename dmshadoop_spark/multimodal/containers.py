@@ -249,11 +249,35 @@ def parse_mp3(data: bytes) -> dict:
     return out
 
 
+def _fixture_payload(seed: str | None, i: int, n: int) -> bytes:
+    """Deterministic per-frame payload bytes for the fixture encoders:
+    zeros without a seed (the historical digest-pinned output), else a
+    blake2b keystream of (seed, frame index) — distinct seeds yield
+    distinct compressed essences, which the crawl-audio dedup fixtures
+    need (all-zero payloads would alias every same-shape stream)."""
+    import hashlib as _hl
+
+    if seed is None:
+        return b"\x00" * n
+    out = b""
+    j = 0
+    while len(out) < n:
+        out += _hl.blake2b(
+            f"{seed}:{i}:{j}".encode(), digest_size=32
+        ).digest()
+        j += 1
+    return out[:n]
+
+
 def encode_mp3(
-    n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    payload_seed: str | None = None,
 ) -> bytes:
     """Deterministic spec-valid MPEG-1 Layer III frame sequence (headers +
-    zeroed payloads) — the fixture generator for parse_mp3 round-trips.
+    zeroed payloads, or blake2b-keystream payloads under
+    ``payload_seed``) — the fixture generator for parse_mp3 round-trips.
     Real audio content is irrelevant to container parsing, exactly like
     encode_avi's opaque frame payloads."""
     br_idx = _BITRATES[(1, 3)].index(bitrate_kbps) + 1
@@ -267,8 +291,10 @@ def encode_mp3(
         ]
     )
     frame_len = 1152 // 8 * bitrate_kbps * 1000 // sample_rate
-    frame = header + b"\x00" * (frame_len - 4)
-    return frame * n_frames
+    return b"".join(
+        header + _fixture_payload(payload_seed, i, frame_len - 4)
+        for i in range(n_frames)
+    )
 
 
 def _mp3_frame_shell(bitrate_kbps: int, sample_rate: int) -> bytearray:
@@ -421,9 +447,11 @@ def encode_adts(
     channels: int = 2,
     profile: int = 1,
     payload_len: int = 20,
+    payload_seed: str | None = None,
 ) -> bytes:
     """Deterministic spec-valid ADTS frame sequence (7-byte headers +
-    zeroed payloads) — the fixture generator for parse_adts
+    zeroed payloads, or blake2b-keystream payloads under
+    ``payload_seed``) — the fixture generator for parse_adts
     round-trips, mirroring encode_mp3."""
     sf_idx = _ADTS_RATES.index(sample_rate)
     frame_len = 7 + payload_len
@@ -438,7 +466,10 @@ def encode_adts(
             0xFC,  # fullness lo + 1 raw data block
         ]
     )
-    return (header + b"\x00" * payload_len) * n_frames
+    return b"".join(
+        header + _fixture_payload(payload_seed, i, payload_len)
+        for i in range(n_frames)
+    )
 
 
 # ---------------------------------------------------------------------------

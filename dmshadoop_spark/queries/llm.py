@@ -1621,31 +1621,41 @@ def x6_mp4_frames(spark, sf_dir):
 
 @query("x6_frame_sample")  # mixed real-mp3 + fallback branches → rows-only + digest
 def x6_frame_sample(spark, sf_dir):
-    """Frame sampling across BOTH branch classes in one run: docs with
-    doc_id % 4 == 0 synthesize a real MPEG-1 Layer III stream
-    (encode_mp3, frame count/bitrate from doc_id) and take the REAL
-    frame-walk branch (containers.mp3_frames → every stride-th actual
-    compressed frame payload, real=true — the round-5 verdict's task 3);
-    the rest stay text bytes on the deterministic fallback (real=false).
-    The digest column pins frame boundaries, timestamps, payload bytes,
-    and the real flag for the whole mix."""
+    """Frame sampling across THREE branch classes in one run: docs with
+    doc_id % 8 == 0 synthesize a real AAC ADTS stream (encode_adts —
+    the round-11 container, exercised in composition per the round-11
+    verdict's task 7), the remaining doc_id % 4 == 0 docs a real MPEG-1
+    Layer III stream (encode_mp3, frame count/bitrate from doc_id) —
+    both take the REAL frame-walk branch (containers.adts_frames /
+    mp3_frames → every stride-th actual compressed frame payload,
+    real=true); the rest stay text bytes on the deterministic fallback
+    (real=false). The digest column pins frame boundaries, timestamps,
+    payload bytes, and the real flag for the whole mix."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     from dmshadoop_spark.functions.digest import with_sorted_digest
-    from dmshadoop_spark.multimodal import encode_mp3, sample_frames
+    from dmshadoop_spark.multimodal import encode_adts, encode_mp3, sample_frames
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bitrates = (96, 128, 160, 192)
+        rates = (44100, 48000, 32000)
         for pdf in batches:
             paths, blobs = [], []
             for d, text in zip(pdf["doc_id"], pdf["text"]):
                 d = int(d)
                 paths.append(f"doc://{d}")
-                if d % 4 == 0:
+                if d % 8 == 0:
+                    blobs.append(
+                        encode_adts(
+                            8 + d % 5, rates[(d // 8) % 3], 1 + d % 2,
+                            profile=1,
+                        )
+                    )
+                elif d % 4 == 0:
                     blobs.append(
                         encode_mp3(
                             10 + d % 7, bitrates[(d // 4) % 4], 44100
@@ -4788,6 +4798,94 @@ _AUDIO_NEARDUP_ORACLE = """
 """
 
 
+@query(
+    "x44_crawl_audio_dedup",
+    oracle="""
+    WITH grp AS (SELECT doc_id // 3 AS g FROM documents
+                 WHERE doc_id < 180 AND doc_id % 3 = 0)
+    SELECT 'a' || lpad(CAST(g * 3 AS VARCHAR), 3, '0') AS path_a,
+           'a' || lpad(CAST(g * 3 + 1 AS VARCHAR), 3, '0') AS path_b,
+           CASE WHEN g % 2 = 0 THEN 'audio/mpeg'
+                ELSE 'audio/aac' END AS codec,
+           CAST(6 + g % 5 AS BIGINT) AS n_frames,
+           CAST((6 + g % 5) * CASE WHEN g % 2 = 0 THEN 1152 ELSE 1024 END
+                AS BIGINT) AS total_samples,
+           CAST(CASE WHEN g % 2 = 0 THEN 44100
+                     ELSE CASE g % 3 WHEN 0 THEN 44100
+                                     WHEN 1 THEN 48000
+                                     ELSE 32000 END
+                END AS BIGINT) AS sample_rate
+    FROM grp
+    """,
+)
+def x44_crawl_audio_dedup(spark, sf_dir):
+    """Mixed MP3/AAC crawl-audio exact dedup under a FULL value oracle
+    (round-11 verdict task 7: the ADTS arm exercised in composition the
+    way x32 exercises WAV). 180 docs = 60 groups × 3 variants; even
+    groups are MPEG-1 Layer III streams, odd groups AAC ADTS — per
+    group a keystream-payload stream (n = 6 + g%5 frames, bitrate/rate/
+    channels from g), with variant 0 the bare stream, variant 1 the
+    SAME stream wrapped in an ID3v2 tag (crawlers re-tag), and variant
+    2 a different-keystream decoy of identical shape. The essence
+    fingerprint (dedup/audiohash.py:audio_essence_df) md5s the frame
+    walk's byte spans — ID3 tags and container junk excluded — so the
+    expected pair set is EXACTLY (3g, 3g+1) per group: tag-invariance
+    (v0=v1) and payload sensitivity (v2 never pairs) in one result.
+    The ID3-tagged AAC variants route through the round-12 sniffer fix
+    (ADTS discrimination past the syncsafe tag size); the oracle
+    recomputes every container fact — codec, frame count, total
+    samples (1152 vs 1024 per frame), sample rate — from the doc_id
+    arithmetic.
+
+    Plan: one documents scan → Arrow synth → Arrow frame-walk
+    fingerprint → ONE equi self-join on the md5 essence key (uniform
+    by construction); no decode, no all-pairs comparison."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from dmshadoop_spark.dedup import audio_exact_dedup_pairs
+    from dmshadoop_spark.multimodal.containers import (
+        encode_adts,
+        encode_id3v2,
+        encode_mp3,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 180)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitrates = (96, 128, 160, 192)
+        rates = (44100, 48000, 32000)
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, v = d // 3, d % 3
+                n = 6 + g % 5
+                seed = f"g{g}" if v < 2 else f"g{g}x"
+                if g % 2 == 0:
+                    stream = encode_mp3(
+                        n, bitrates[g % 4], 44100, payload_seed=seed
+                    )
+                else:
+                    stream = encode_adts(
+                        n, rates[g % 3], 1 + g % 2, profile=1,
+                        payload_seed=seed,
+                    )
+                if v == 1:
+                    stream = encode_id3v2(
+                        stream, title=f"t{g}", artist=f"a{g}"
+                    )
+                paths.append(f"a{d:03d}")
+                blobs.append(stream)
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    audio = docs.select("doc_id").mapInPandas(
+        synth, schema="path string, content binary"
+    )
+    return audio_exact_dedup_pairs(audio)
+
+
 @query("x32_audio_neardup", oracle=_AUDIO_NEARDUP_ORACLE)
 def x32_audio_neardup(spark, sf_dir):
     """Audio near-dup under a FULL value oracle — the first LSH-banded
@@ -6546,6 +6644,158 @@ def x42b_index_maintenance(spark, sf_dir):
         "index_rows long, index_rows_after_reingest long, "
         "n_generations long, max_files_per_bucket long, "
         "batch_removed_tokens long",
+    )
+
+
+@query(
+    "x41b_substring_fixpoint_bounded",
+    oracle="""
+    WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS m FROM documents),
+    planted AS (
+        SELECT m + 1 AS doc_id,
+               'qja1 qja2 qja3 qja4 qja5 qja6 qxs1 qxs2 qxs3 qxs4 qxs5 '
+               || 'qxs6 qxs7 qxs8 qxs9 qxs10 qjb1 qjb2 qjb3 qjb4 qjb5 qjb6'
+                   AS text
+        FROM mx
+        UNION ALL
+        SELECT m + 2,
+               'qoth1 qoth2 qoth3 qoth4 qoth5 qxs1 qxs2 qxs3 qxs4 qxs5 '
+               || 'qxs6 qxs7 qxs8 qxs9 qxs10 qoth6 qoth7 qoth8 qoth9 qoth10'
+        FROM mx
+        UNION ALL
+        SELECT m + 3,
+               'qcz1 qcz2 qja1 qja2 qja3 qja4 qja5 qja6 qjb1 qjb2 qjb3 '
+               || 'qjb4 qjb5 qjb6 qcz3'
+        FROM mx
+    ),
+    c0 AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id, text FROM planted),
+    toks1 AS (SELECT doc_id, string_split(text, ' ') AS t FROM c0),
+    tok1 AS (SELECT doc_id, unnest(t) AS tok,
+                    generate_subscripts(t, 1) - 1 AS pos FROM toks1),
+    sh1 AS (SELECT doc_id, pos, string_agg(tok, ' ') OVER w AS s,
+                   count(*) OVER w AS c
+            FROM tok1
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)),
+    occ1 AS (SELECT doc_id, pos, s FROM sh1 WHERE c = 10),
+    dup1 AS (SELECT s FROM occ1 GROUP BY s
+             HAVING min(doc_id) <> max(doc_id)),
+    mk1 AS (SELECT o.doc_id, o.pos, o.pos + 9 AS e
+            FROM occ1 o JOIN dup1 USING (s)),
+    is1 AS (SELECT doc_id, pos, e,
+                   CASE WHEN pos > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -2) + 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM mk1),
+    is1b AS (SELECT doc_id, pos, e,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS g
+             FROM is1),
+    sp1 AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+            FROM is1b GROUP BY doc_id, g),
+    iv1 AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed
+            FROM sp1 GROUP BY doc_id),
+    cov1 AS (SELECT doc_id, unnest(generate_series(s, e)) AS idx FROM sp1),
+    kp1 AS (SELECT t.doc_id, t.pos, t.tok
+            FROM tok1 t LEFT JOIN cov1 c
+              ON t.doc_id = c.doc_id AND t.pos = c.idx
+            WHERE c.idx IS NULL),
+    cl1 AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kp1 GROUP BY doc_id),
+    c1 AS (SELECT c0.doc_id, coalesce(cl1.clean_text, '') AS text
+           FROM c0 LEFT JOIN cl1 USING (doc_id)),
+    toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM c1),
+    tok2 AS (SELECT doc_id, unnest(t) AS tok,
+                    generate_subscripts(t, 1) - 1 AS pos FROM toks2),
+    sh2 AS (SELECT doc_id, pos, string_agg(tok, ' ') OVER w AS s,
+                   count(*) OVER w AS c
+            FROM tok2
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)),
+    occ2 AS (SELECT doc_id, pos, s FROM sh2 WHERE c = 10),
+    dup2 AS (SELECT s FROM occ2 GROUP BY s
+             HAVING min(doc_id) <> max(doc_id)),
+    mk2 AS (SELECT o.doc_id, o.pos, o.pos + 9 AS e
+            FROM occ2 o JOIN dup2 USING (s)),
+    is2 AS (SELECT doc_id, pos, e,
+                   CASE WHEN pos > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -2) + 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM mk2),
+    is2b AS (SELECT doc_id, pos, e,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS g
+             FROM is2),
+    sp2 AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+            FROM is2b GROUP BY doc_id, g),
+    iv2 AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed
+            FROM sp2 GROUP BY doc_id),
+    cov2 AS (SELECT doc_id, unnest(generate_series(s, e)) AS idx FROM sp2),
+    kp2 AS (SELECT t.doc_id, t.pos, t.tok
+            FROM tok2 t LEFT JOIN cov2 c
+              ON t.doc_id = c.doc_id AND t.pos = c.idx
+            WHERE c.idx IS NULL),
+    cl2 AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kp2 GROUP BY doc_id)
+    SELECT c0.doc_id,
+           coalesce(cl2.clean_text, '') AS clean_text,
+           CAST(len(t1.t) AS BIGINT) AS orig_tokens,
+           CAST(len(t1.t) AS BIGINT)
+               - coalesce(iv1.removed, 0) - coalesce(iv2.removed, 0)
+               AS kept_tokens,
+           coalesce(iv1.removed, 0) + coalesce(iv2.removed, 0)
+               AS removed_tokens,
+           CAST(2 AS BIGINT) AS n_passes
+    FROM c0
+    JOIN toks1 t1 USING (doc_id)
+    LEFT JOIN cl2 USING (doc_id)
+    LEFT JOIN iv1 USING (doc_id)
+    LEFT JOIN iv2 USING (doc_id)
+    """,
+)
+def x41b_substring_fixpoint_bounded(spark, sf_dir):
+    """The bounded-pass twin that upgrades the fixpoint tier to a full
+    value oracle (round-11 verdict task 6): exactly TWO passes of
+    exact-substring dedup over documents ∪ a three-doc planted JUNCTURE
+    (doc A = P·X·Q and doc B share the ≥10-token span X; doc C contains
+    P·Q contiguously — no single pass can see the P·Q duplicate, but
+    pass 1 excises X from A, joining A's flanks into exactly P·Q, and
+    pass 2 then excises it from both A and C). The planted juncture
+    guarantees a productive second pass at EVERY scale factor, making
+    the pass count deterministic (n_passes = 2) and the whole
+    computation DuckDB-expressible: the oracle replays the x39
+    shingle-string CTE, then replays it AGAIN over pass 1's cleaned
+    output — per-doc accounting is the sum of both passes against the
+    original token counts. x41 (the unbounded fixpoint) stays
+    rows-only+digest for the data-dependent pass count; this entry
+    value-checks the iteration mechanics it is built from."""
+    from dmshadoop_spark.dedup.substring import substring_dedup_fixpoint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = docs.agg(F.max("doc_id")).first()[0]
+    X = " ".join(f"qxs{i}" for i in range(1, 11))
+    P = " ".join(f"qja{i}" for i in range(1, 7))
+    Q = " ".join(f"qjb{i}" for i in range(1, 7))
+    O1 = " ".join(f"qoth{i}" for i in range(1, 6))
+    O2 = " ".join(f"qoth{i}" for i in range(6, 11))
+    planted = spark.createDataFrame(
+        [
+            (m + 1, f"{P} {X} {Q}"),
+            (m + 2, f"{O1} {X} {O2}"),
+            (m + 3, f"qcz1 qcz2 {P} {Q} qcz3"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(planted)
+    return substring_dedup_fixpoint(
+        corpus, "doc_id", "text", min_len=10, keep="all", max_passes=2
     )
 
 

@@ -382,17 +382,24 @@ def _occ_with_bucket(occ: DataFrame, nb: int) -> DataFrame:
 
 
 def _occ_stage_write(occ_b: DataFrame, path: str, nb: int, L: int,
-                     sort: bool = False) -> str:
+                     sort: bool = False, wide: bool = True) -> str:
     """Write a bucketed occurrence frame + its _meta.json into a fresh
-    staging dir under the index root; returns the staging path. The
-    ``repartition(nb, "b")`` co-locates each bucket in one task, so a
-    commit adds at most ONE file per bucket (hashes are uniform, so
-    buckets are skew-free by construction); ``sort`` additionally
-    orders rows by (h1, h2) within each bucket so compacted files carry
-    tight parquet row-group stats."""
+    staging dir under the index root; returns the staging path.
+    Repartitioning on ``b`` co-locates each bucket's rows, so a commit
+    adds at most ONE file per bucket (hashes are uniform, so buckets
+    are skew-free by construction). ``wide=True`` (builds/compacts)
+    uses nb tasks for full-table parallelism; ``wide=False`` (per-batch
+    appends) keeps the session's shuffle-partition count — a small
+    batch must not pay nb-task scheduling for a handful of rows (the
+    growth probe measured the 256-task append tax exceeding the scan
+    savings at small scale). ``sort`` additionally orders rows by
+    (h1, h2) within each bucket so compacted files carry tight parquet
+    row-group stats."""
     os.makedirs(path, exist_ok=True)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    part = occ_b.repartition(int(nb), "b")
+    part = (
+        occ_b.repartition(int(nb), "b") if wide else occ_b.repartition("b")
+    )
     if sort:
         part = part.sortWithinPartitions("b", "h1", "h2")
     part.write.partitionBy("b").parquet(staging)
@@ -942,7 +949,7 @@ def substring_ingest(
     )
     _occ_sweep(index_table)
     staging = _occ_stage_write(
-        _occ_with_bucket(clean_occ, nb), index_table, nb, L
+        _occ_with_bucket(clean_occ, nb), index_table, nb, L, wide=False
     )
     has_new = any(e.startswith("b=") for e in os.listdir(staging))
     cur = _occ_current_gen(index_table)

@@ -57,34 +57,32 @@ def load_all() -> None:
 # canaries. Everything not listed follows in registration order, so the
 # window rotates across rounds until every query has a confirmed row.
 #
-# ROUND-11 DECISION: CORRECTNESS_r10 ran 50/50 clean; cumulative
-# coverage at round-11 start was 233/233 of the round-10 registry
-# (tools/rotation.py: zero unconfirmed, zero stranded). This window,
-# regenerated from live state: 3 canaries + the 4 round-11
-# registrations (s22_deletion_vector — merge-on-read deletion vectors
-# for DocumentStore under a full oracle that also pins the layout
-# facts; s23_delete_where — predicate-shaped bulk delete, key set
-# computed by the predicate scan and written distributed, full oracle;
-# x42_substring_ingest — the substring tier's O(batch) ingest
-# twin over a persisted occurrence index, full shingle-string oracle;
-# x6_aac_meta — AAC ADTS frame-walk metadata incl. header-derived
-# duration, full formula oracle)
-# + 9 changed-path re-confirms (x6_mp3_meta — five new oracle-backed
-# Xing/LAME VBR columns; x39/x39b/x40/x41 — substring.py gained the
-# integral-id guard and the index_table materialization path;
-# x35/x35b — centroid_frame now chunks its Arrow list offsets;
-# x35d — stabilize(hint_small) switched to the measured-bytes
-# estimator and _parse_bytes was fixed; x24b — widened to SIXTEEN
-# dispatch arms with the new ADTS format) + the OLDEST cumulative-green
-# rows: all 10 remaining r5-vintage rows (the trivial scan/agg/function
-# rows deferred by the r10 window) and 24 of the 46 r6-vintage rows
-# (salted ops, the t1-t5/t4b text family, the st1-st7 streaming
-# family, the x32/x33/x34 multimodal dedup tier, the x5 PQ lanes, and
-# the x6 feature/frame rows; x6_video_features, x6_resize_thumbnails
-# and x6_mkv_pcm were swapped out for the late s23/x6_aac_meta/x24b
-# slots). The remaining 22 r6 rows (f6-f12, j1-j7, q-family,
-# x6_video_features, x6_resize_thumbnails, x6_mkv_pcm) roll to the
-# r12 window.
+# ROUND-12 DECISION: CORRECTNESS_r11 ran 50/50 clean; cumulative
+# coverage at round-12 start was 237/237 of the round-11 registry
+# (tools/rotation.py: zero unconfirmed). This window, regenerated from
+# live state: 3 canaries + the 3 round-12 registrations
+# (x42b_index_maintenance — the occurrence index's build → ingest →
+# compact → vacuum → idempotent-re-ingest cycle under a full oracle
+# pinning exact index row counts, zero re-ingest drift, and the layout
+# facts; x41b_substring_fixpoint_bounded — two bounded dedup passes
+# over documents + a planted juncture, the fixpoint tier's full value
+# oracle via chained shingle CTEs; x44_crawl_audio_dedup — mixed
+# MP3/AAC compressed-essence exact dedup, ID3-invariant, full
+# arithmetic oracle)
+# + 14 changed-path re-confirms (s20/s22/s23 — DocumentStore commits
+# moved to atomic rename-publish with the single-writer claim, staging
+# sweep, and bounded multi-file tombstone writes; x42/x39/x39b/x40/x41
+# — the occurrence index moved to the bucketed MVCC v2 layout with
+# pruned probes and narrow-task appends; x6_mp3_meta/x6_aac_meta/
+# x6_multimodal_meta/x24b — the sniffer now discriminates ADTS past
+# ID3v2 tags and VBR header reads are frame-bounded; x6_frame_sample —
+# gained the ADTS real branch; x32_audio_neardup — audiohash.py gained
+# the essence-fingerprint surface)
+# + the OLDEST cumulative-green rows: all 22 remaining r6-vintage rows
+# (f6-f12, j1-j7, the q-family five, x6_video_features,
+# x6_resize_thumbnails, x6_mkv_pcm) and 8 of the r7-vintage rows
+# (a8_cube, the j6b/j8/j9 join tier, q2/q4, s12, ud3). The remaining
+# r7 rows roll to the r13 window.
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
 # before this window was handed to the driver.
 PRIORITY: list[str] = [
@@ -92,56 +90,56 @@ PRIORITY: list[str] = [
     "a6_q1_pricing_summary",
     "w1_latest_per_group",
     "x2_ngram_jaccard",
-    # round-11 registrations
+    # round-12 registrations
+    "x42b_index_maintenance",
+    "x41b_substring_fixpoint_bounded",
+    "x44_crawl_audio_dedup",
+    # changed this round -> re-confirm
+    "s20_compaction",
     "s22_deletion_vector",
     "s23_delete_where",
     "x42_substring_ingest",
-    "x6_aac_meta",
-    # changed this round -> re-confirm
-    "x6_mp3_meta",
     "x39_substring_dedup",
     "x39b_substring_dedup_keep_one",
     "x40_substring_decontam",
     "x41_substring_dedup_fixpoint",
-    "x35_semdedup",
-    "x35b_semdedup_autok",
-    "x35d_semdedup_ingest",
+    "x6_mp3_meta",
+    "x6_aac_meta",
+    "x6_multimodal_meta",
     "x24b_extract_dispatch_wide",
-    # oldest-green re-validation: the final r5 rows + 24 of the r6 rows
-    "a3_count",
-    "a4_distinct",
-    "f1_concat_key",
-    "o1_sort_limit",
-    "o2_top1",
-    "p1_project",
-    "p2_eq_predicate",
-    "p4_null_check",
-    "p5_nonempty_guard",
-    "s1_full_scan",
-    "a2_collect_list",
-    "a17_salted_agg",
-    "j13_salted_join",
-    "t1_tokenize",
-    "t2_inverted_index",
-    "t3_term_lookup",
-    "t4_tfidf_topk",
-    "t4b_index_search",
-    "t5_search_numfound",
-    "st1_tumbling_window",
-    "st2_sliding_window",
-    "st3_session_window",
-    "st4_watermark_filter",
-    "st5_stateful_dedup",
-    "st6_stream_static_join",
-    "st7_stateful_user_totals",
-    "x32_audio_neardup",
-    "x33_video_neardup",
-    "x34_multimodal_pipeline",
-    "x5_knn_ivfpq",
-    "x5_knn_pq",
-    "x6_feature_extract",
     "x6_frame_sample",
-    "x6_image_features",
+    "x32_audio_neardup",
+    # oldest-green re-validation: all 22 r6 rows + 8 r7 rows
+    "f6_json_extract",
+    "f7_map_ops",
+    "f8_string_funcs",
+    "f9_date_funcs",
+    "f10_hash",
+    "f11_arith",
+    "f12_array_funcs",
+    "j1_semi_join",
+    "j2_anti_join",
+    "j3_inner_join",
+    "j4_broadcast_join",
+    "j5_outer_join",
+    "j6_range_join",
+    "j7_asof_join",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "x6_video_features",
+    "x6_resize_thumbnails",
+    "x6_mkv_pcm",
+    "a8_cube",
+    "j6b_binned_range_join",
+    "j8_cross_join",
+    "j9_salted_skew_join",
+    "q2_top_supplier_per_nation",
+    "q4_order_priority",
+    "s12_partitioned_sink",
+    "ud3_grouped_agg_udaf",
 ]
 
 

@@ -698,6 +698,7 @@ def substring_decontaminate(
     text_col: str = "text",
     bench_text_col: str | None = None,
     min_len: int = 50,
+    index_table: str | None = None,
 ) -> DataFrame:
     """Substring-level eval decontamination: excise from every TRAIN
     document each token span of ≥ ``min_len`` tokens that also appears
@@ -716,18 +717,44 @@ def substring_decontaminate(
     here — compose with ``substring_dedup`` for that. Single-pass
     juncture semantics as in ``substring_dedup``: spans present in the
     input are always removed; a juncture-created overlap needs a
-    re-run."""
+    re-run.
+
+    ``index_table`` (round 12): a committed occurrence index of the
+    TRAIN corpus (build_occurrence_index — same caller contract as
+    ``substring_dedup(index_table=)``) replaces the train hash scan
+    entirely, and — because the benchmark's distinct windows are the
+    TINY side — the index read prunes to the benchmark's hit buckets:
+    this is the point-probe regime the bucketed layout exists for, IO
+    ~(bench windows / buckets) of the index instead of a full corpus
+    hash pass per decontamination run (re-screening a 100 TB corpus
+    against each new eval set is the production recurrence)."""
     L = int(min_len)
     if L < 2:
         raise ValueError("min_len must be ≥ 2")
     toks = _token_table(train, id_col, text_col)
-    occ = _occurrence_table(toks, L)
     bench_toks = _token_table(
         benchmark, id_col, bench_text_col or text_col
     )
     bench_windows = (
         _occurrence_table(bench_toks, L).select("h1", "h2").distinct()
     )
+    if _index_committed(index_table):
+        _occ_validate_min_len(_occ_meta(index_table), L, index_table)
+        nb = int(_occ_meta(index_table)["buckets"])
+        bench_windows = stabilize(bench_windows)  # hashed once, used twice
+        hit = sorted(
+            r["b"]
+            for r in _occ_with_bucket(bench_windows, nb)
+            .select("b").distinct().collect()
+        )
+        occ = (
+            read_occurrence_index(train.sparkSession, index_table)
+            .where(F.col("b").isin(hit))
+            .select("_id", "pos", "h1", "h2")
+        )
+        bench_windows = F.broadcast(bench_windows)
+    else:
+        occ = _occurrence_table(toks, L)
     marked = occ.join(bench_windows, ["h1", "h2"], "left_semi").select(
         "_id", "pos", (F.col("pos") + F.lit(L - 1)).alias("end")
     )

@@ -6344,9 +6344,7 @@ def x39b_substring_dedup_keep_one(spark, sf_dir):
     return substring_dedup(docs, "doc_id", "text", min_len=10, keep="first")
 
 
-@query(
-    "x40_substring_decontam",
-    oracle="""
+_X40_DECONTAM_ORACLE = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                   FROM documents),
     tok AS (SELECT doc_id, unnest(t) AS tok,
@@ -6400,7 +6398,12 @@ def x39b_substring_dedup_keep_one(spark, sf_dir):
     LEFT JOIN cl USING (doc_id)
     LEFT JOIN iv USING (doc_id)
     WHERE d.doc_id % 10 <> 7
-    """,
+    """
+
+
+@query(
+    "x40_substring_decontam",
+    oracle=_X40_DECONTAM_ORACLE,
 )
 def x40_substring_decontam(spark, sf_dir):
     """Substring-level eval decontamination (the GPT-3-appendix / Lee
@@ -6418,6 +6421,38 @@ def x40_substring_decontam(spark, sf_dir):
     train = docs.where(F.col("doc_id") % 10 != 7)
     bench = docs.where(F.col("doc_id") % 10 == 7)
     return substring_decontaminate(train, bench, "doc_id", "text", min_len=10)
+
+
+@query("x40b_decontam_via_index", oracle=_X40_DECONTAM_ORACLE)
+def x40b_decontam_via_index(spark, sf_dir):
+    """x40's decontamination THROUGH the persisted occurrence index —
+    the point-probe regime the round-12 bucketed layout exists for: the
+    train corpus is hashed once into the index (the recurring asset),
+    and each new eval set screens against it by reading ONLY the
+    buckets its own windows map to (the benchmark side is tiny, so the
+    bucket IN-filter actually prunes — unlike bulk-batch ingest where
+    every bucket is hit). No train hash scan at query time; identical
+    results to x40 under the SAME full value oracle (the two entries
+    share it verbatim — same rows, different physical plan, which is
+    the whole claim). At 100 TB: re-screening the corpus for each new
+    benchmark drops from a full corpus Arrow pass to
+    ~(bench windows / buckets) of a two-column index read."""
+    import os as _os
+
+    from dmshadoop_spark.dedup.substring import (
+        build_occurrence_index,
+        substring_decontaminate,
+    )
+    from dmshadoop_spark.workdirs import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    bench = docs.where(F.col("doc_id") % 10 == 7)
+    idx = _os.path.join(scratch_dir("x40b_occidx"), "idx")
+    build_occurrence_index(train, idx, min_len=10, buckets=64)
+    return substring_decontaminate(
+        train, bench, "doc_id", "text", min_len=10, index_table=idx
+    )
 
 
 @query(

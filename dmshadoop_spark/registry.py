@@ -60,7 +60,7 @@ def load_all() -> None:
 # ROUND-12 DECISION: CORRECTNESS_r11 ran 50/50 clean; cumulative
 # coverage at round-12 start was 237/237 of the round-11 registry
 # (tools/rotation.py: zero unconfirmed). This window, regenerated from
-# live state: 3 canaries + the 3 round-12 registrations
+# live state: 3 canaries + the 4 round-12 registrations
 # (x42b_index_maintenance — the occurrence index's build → ingest →
 # compact → vacuum → idempotent-re-ingest cycle under a full oracle
 # pinning exact index row counts, zero re-ingest drift, and the layout
@@ -68,7 +68,8 @@ def load_all() -> None:
 # over documents + a planted juncture, the fixpoint tier's full value
 # oracle via chained shingle CTEs; x44_crawl_audio_dedup — mixed
 # MP3/AAC compressed-essence exact dedup, ID3-invariant, full
-# arithmetic oracle)
+# arithmetic oracle; x40b_decontam_via_index — x40 through the
+# persisted train index, same shared oracle, pruned point-probe plan)
 # + 14 changed-path re-confirms (s20/s22/s23 — DocumentStore commits
 # moved to atomic rename-publish with the single-writer claim, staging
 # sweep, and bounded multi-file tombstone writes; x42/x39/x39b/x40/x41
@@ -81,7 +82,7 @@ def load_all() -> None:
 # + the OLDEST cumulative-green rows: all 22 remaining r6-vintage rows
 # (f6-f12, j1-j7, the q-family five, x6_video_features,
 # x6_resize_thumbnails, x6_mkv_pcm) and 8 of the r7-vintage rows
-# (a8_cube, the j6b/j8/j9 join tier, q2/q4, s12, ud3). The remaining
+# (a8_cube, the j6b/j8/j9 join tier, q2/q4, s12). The remaining
 # r7 rows roll to the r13 window.
 # Every entry below passed tools/driver_sim.py (plain session, sf0.01)
 # before this window was handed to the driver.
@@ -94,6 +95,7 @@ PRIORITY: list[str] = [
     "x42b_index_maintenance",
     "x41b_substring_fixpoint_bounded",
     "x44_crawl_audio_dedup",
+    "x40b_decontam_via_index",
     # changed this round -> re-confirm
     "s20_compaction",
     "s22_deletion_vector",
@@ -139,7 +141,6 @@ PRIORITY: list[str] = [
     "q2_top_supplier_per_nation",
     "q4_order_priority",
     "s12_partitioned_sink",
-    "ud3_grouped_agg_udaf",
 ]
 
 

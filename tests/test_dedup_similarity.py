@@ -3780,3 +3780,50 @@ def test_index_append_is_atomic_and_guarded(spark, tmp_path):
     assert not os.path.exists(debris)  # swept by the next mutation
     with _pytest.raises(ValueError, match="min_len"):
         substring_ingest(_ing_batch(spark), idx, min_len=12)
+
+
+def test_decontaminate_via_index_skips_train_scan_and_prunes(spark, tmp_path):
+    """x40b's physical claim: with a committed TRAIN index,
+    substring_decontaminate's plan contains NO Arrow hash stage for the
+    train side beyond the (tiny) benchmark hashing, reads the persisted
+    index, AND prunes the index read to the benchmark's hit buckets;
+    results identical to the direct path."""
+    from dmshadoop_spark.dedup import build_occurrence_index, substring_decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, f"alpha beta {_ING_SHARED} gamma"),
+            (2, "totally unique text with no duplicated span at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(90, f"bench prefix {_ING_SHARED} bench suffix")],
+        "doc_id long, text string",
+    )
+    direct = {
+        r["doc_id"]: r["clean_text"]
+        for r in substring_decontaminate(
+            train, bench, min_len=10
+        ).collect()
+    }
+    idx = str(tmp_path / "tidx")
+    build_occurrence_index(train, idx, min_len=10, buckets=16)
+    via = substring_decontaminate(
+        train, bench, min_len=10, index_table=idx
+    )
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        via._jdf.queryExecution(), "formatted"
+    )
+    assert "tidx" in fmt  # the persisted index is scanned...
+    assert "PartitionFilters: [b" in fmt and " IN " in fmt  # ...pruned
+    # ZERO Arrow hash stages in the final plan: the benchmark side was
+    # hashed once at its stabilize boundary (checkpoint scan), and the
+    # train side never hashes at all — the index replaces it
+    assert fmt.count("MapInPandas") == 0
+    assert {r["doc_id"]: r["clean_text"] for r in via.collect()} == direct
+    # min_len mismatch against the committed index raises
+    with pytest.raises(ValueError, match="min_len"):
+        substring_decontaminate(
+            train, bench, min_len=12, index_table=idx
+        )

@@ -5731,6 +5731,14 @@ def x36_quality_classifier(spark, sf_dir):
         .join(labels, "doc_id")
         .withColumn("split", split)
     )
+    # Materialize the feature subtree ONCE before the scaler's stats
+    # pass (round 12, guide §2.4/§5): standardize's moment collect and
+    # the pre-loop checkpoint used to each execute the full
+    # explode→groupBy→join subtree; checkpointing first makes the stats
+    # job a scan of the materialized matrix, and the post-transform
+    # checkpoint (which the 12 GD scans reuse) a cheap projection of it.
+    # Values unchanged — same rows feed the same DECIMAL moments.
+    raw = stabilize(raw)
     feat, _mu, _sd = standardize(
         raw, "x", dim=64, stats_on=raw.filter(F.col("split") == "train")
     )

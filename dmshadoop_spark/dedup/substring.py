@@ -285,8 +285,53 @@ def _excise(toks: DataFrame, islands: DataFrame, id_col: str) -> DataFrame:
 _OCC_SCHEMA = "_id long, pos long, h1 long, h2 long"
 # on-disk schema: same rows plus the hash-prefix bucket partition column
 _OCC_SCHEMA_B = "_id long, pos long, h1 long, h2 long, b int"
-_OCC_BUCKETS = 64  # default bucket count; stored per-generation in _meta.json
+_OCC_BUCKETS = 64  # fallback bucket count; stored per-generation in _meta.json
 _OCC_GEN_RE = re.compile(r"^gen=(\d+)$")
+
+# Adaptive bucket sizing (round 12, guide §6): every per-commit cost of
+# the index — build/append file count, hardlink count, and the probe's
+# per-bucket file opens — is O(buckets), while probe pruning only needs
+# buckets ∝ data. A CONSTANT 64 is wrong at both ends: at test SFs it
+# writes/links/opens 64 near-empty files per commit (measured ~2 s of
+# x42's 5 s), and at 100 TB it would leave multi-TB buckets. The count
+# is derived from the source's optimizer size estimate (file-size based
+# for parquet scans — no extra job): one bucket per ~64 MB of source
+# text keeps compacted bucket files in the guide's 128 MB–1 GB window
+# (the index carries ~4× the source bytes at 32 B/window), floored at 8
+# and capped at 65 536 directories, rounded to a power of two so the
+# layout is stable under small growth. Buckets travel in _meta.json, so
+# mixed-bucket generations can never disagree with their files; results
+# are bucket-count-independent by construction (b only routes storage).
+_OCC_AUTO_BUCKET_SRC_BYTES = 64 * 1024 * 1024
+_OCC_AUTO_BUCKET_MIN = 8
+_OCC_AUTO_BUCKET_MAX = 65536
+
+
+def _auto_buckets(src: DataFrame) -> int:
+    """Bucket count from ``src``'s compile-time size estimate; falls
+    back to ``_OCC_BUCKETS`` when no estimate is available (in-memory
+    relations report Long.MaxValue-ish defaults — treated as absent)."""
+    try:
+        est = int(
+            str(
+                src._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:
+        return _OCC_BUCKETS
+    if est <= 0 or est >= 2**62:  # unknown / session-default estimate
+        return _OCC_BUCKETS
+    raw = max(
+        _OCC_AUTO_BUCKET_MIN,
+        min(
+            _OCC_AUTO_BUCKET_MAX,
+            -(-est // _OCC_AUTO_BUCKET_SRC_BYTES),
+        ),
+    )
+    return 1 << (raw - 1).bit_length()  # next power of two
 
 # ---------------------------------------------------------------------------
 # Occurrence-index storage (round-11 verdict task 2 + staging-atomicity
@@ -489,8 +534,9 @@ def _occ_via_index(spark, toks: DataFrame, L: int, index_table: str | None):
     occ = _occurrence_table(toks, L)
     if index_table is not None:
         _occ_sweep(index_table)
+        nb = _auto_buckets(toks)
         staging = _occ_stage_write(
-            _occ_with_bucket(occ, _OCC_BUCKETS), index_table, _OCC_BUCKETS, L
+            _occ_with_bucket(occ, nb), index_table, nb, L
         )
         _occ_publish(staging, index_table, 0)
         return read_occurrence_index(spark, index_table).select(
@@ -506,7 +552,7 @@ def build_occurrence_index(
     text_col: str = "text",
     min_len: int = 50,
     mode: str = "overwrite",
-    buckets: int = _OCC_BUCKETS,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Materialize the corpus's window-hash occurrence table as a REAL
     hash-prefix-bucketed MVCC parquet table (layout comment above) and
@@ -529,7 +575,8 @@ def build_occurrence_index(
     to (corpus, tokenizer, min_len) — enforced: probes with a different
     min_len raise. Maintenance: ``compact_index`` /
     ``vacuum_index``."""
-    L, nb = int(min_len), int(buckets)
+    L = int(min_len)
+    nb = int(buckets) if buckets is not None else _auto_buckets(docs)
     cur = _occ_current_gen(path)
     if cur is not None and mode in ("error", "errorifexists"):
         raise ValueError(f"occurrence index already committed at {path}")
@@ -909,7 +956,7 @@ def substring_ingest(
             spark, index_table, occ.select("h1", "h2").distinct(), nb
         )
     else:
-        nb = _OCC_BUCKETS
+        nb = _auto_buckets(toks)
         corpus_hits = spark.createDataFrame([], "h1 long, h2 long")
     dup = (
         occ.groupBy("h1", "h2")
@@ -971,8 +1018,23 @@ def substring_ingest(
     # them, and one rename publishes the whole next generation — a
     # crash leaves the index exactly as before (the failed call raises;
     # re-ingesting the batch is idempotent-safe by construction).
-    clean_occ = _occurrence_table(
-        _token_table(out, id_col, "clean_text"), L
+    # Only docs the excision actually TOUCHED need a second hash pass
+    # (round 12, guide §4: the Arrow pass is the expensive per-row
+    # term): an untouched doc's clean tokens are exactly its original
+    # tokens, so its window rows are already in the materialized batch
+    # ``occ`` — reuse them via an id semi-join and rehash only the
+    # excised docs (whose positions shifted and whose junctures can
+    # form new windows). Bit-identical rows either way.
+    untouched = out.where(F.col("removed_tokens") == 0).select(
+        F.col(id_col).alias("_id")
+    )
+    clean_occ = occ.join(untouched, "_id", "left_semi").unionByName(
+        _occurrence_table(
+            _token_table(
+                out.where(F.col("removed_tokens") > 0), id_col, "clean_text"
+            ),
+            L,
+        )
     )
     _occ_sweep(index_table)
     staging = _occ_stage_write(

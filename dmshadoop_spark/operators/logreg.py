@@ -118,26 +118,38 @@ def standardize(
         var = float(r["sq"]) / r["n"] - m * m
         mu[r["pos"]] = m
         sd[r["pos"]] = var**0.5 if var > 0 else 1.0
-    mu_lit = F.array(*[F.lit(v) for v in mu])
-    sd_lit = F.array(*[F.lit(v) for v in sd])
+    # one F.expr call instead of 2·dim F.lit py4j round trips (same
+    # zip_with tree, same doubles — see _margin's note)
+    mu_a = "array(" + ",".join(_sql_double(v) for v in mu) + ")"
+    sd_a = "array(" + ",".join(_sql_double(v) for v in sd) + ")"
     out = feat.withColumn(
         x_col,
-        F.zip_with(
-            F.zip_with(F.col(x_col), mu_lit, lambda xi, m: xi - m),
-            sd_lit,
-            lambda d, s: d / s,
+        F.expr(
+            f"zip_with(zip_with(`{x_col}`,{mu_a},(xi,m)->xi-m),{sd_a},"
+            f"(d,s)->d/s)"
         ),
     )
     return out, mu, sd
 
 
-def _margin(x, weights: list[float], bias: float):
-    """bias + w·x as a sequential left fold (deterministic)."""
-    w_lit = F.array(*[F.lit(float(v)) for v in weights])
-    return F.lit(float(bias)) + F.aggregate(
-        F.zip_with(w_lit, x, lambda w, xi: w * xi),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _sql_double(x: float) -> str:
+    """A SQL double literal that parses back to exactly ``x``."""
+    return f"{float(x)!r}D"
+
+
+def _margin(x_col: str, weights: list[float], bias: float):
+    """bias + w·x as a sequential left fold (deterministic).
+
+    One SQL string through one ``F.expr`` call (round 12 — the
+    similarity/assign._dist_arr fix): building dim ``F.lit`` Columns
+    plus the fold tree per GD iteration cost a py4j round trip per
+    node on the driver. The parsed tree is the same
+    aggregate(zip_with(...)) left fold over the same doubles (repr
+    round-trips exactly) — weights stay bit-identical."""
+    w = "array(" + ",".join(_sql_double(v) for v in weights) + ")"
+    return F.expr(
+        f"{_sql_double(bias)} + aggregate(zip_with({w},`{x_col}`,"
+        f"(w,xi)->w*xi),0.0D,(acc,v)->acc+v)"
     )
 
 
@@ -194,7 +206,7 @@ def _train_logreg_loop(
             (
                 (
                     F.lit(1.0)
-                    / (F.lit(1.0) + F.exp(-_margin(F.col(x_col), weights, bias)))
+                    / (F.lit(1.0) + F.exp(-_margin(x_col, weights, bias)))
                 )
                 - F.col(label_col).cast("double")
             ).alias("r"),
@@ -240,5 +252,5 @@ def score_logreg(
     return df.withColumn(
         out_col,
         F.lit(1.0)
-        / (F.lit(1.0) + F.exp(-_margin(F.col(x_col), weights, bias))),
+        / (F.lit(1.0) + F.exp(-_margin(x_col, weights, bias))),
     )

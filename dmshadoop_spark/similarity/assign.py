@@ -35,21 +35,35 @@ LITERAL_MAX_CENTROIDS = 256
 _MAX_DIST_CELLS = 4_000_000
 
 
-def _lits(cents: np.ndarray) -> list[Column]:
-    return [F.array(*[F.lit(float(x)) for x in row]) for row in cents]
+def _sql_double(x: float) -> str:
+    """A SQL double literal that parses back to exactly ``x`` (repr is
+    the shortest round-trip form; the D suffix keeps the parser in
+    double, never decimal)."""
+    return f"{float(x)!r}D"
 
 
-def _dist_arr(v: Column, cents: np.ndarray) -> Column:
-    """Literal-path array of squared L2 distances to each centroid."""
+def _sql_double_array(row) -> str:
+    return "array(" + ",".join(_sql_double(x) for x in row) + ")"
 
-    def l2sq(cent):
-        return F.aggregate(
-            F.zip_with(v, cent, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
-    return F.array(*[l2sq(c) for c in _lits(cents)])
+def _dist_arr(vec_col: str, cents: np.ndarray) -> Column:
+    """Literal-path array of squared L2 distances to each centroid.
+
+    Built as ONE SQL string through ONE ``F.expr`` call (round 12): the
+    previous form created k·dim ``F.lit`` Column objects plus a
+    zip_with/aggregate tree per centroid — each a py4j round trip, so
+    merely CONSTRUCTING the expression cost hundreds of driver
+    milliseconds per call (per Lloyd round, in the k-means loop). The
+    parsed tree is the same aggregate(zip_with(...)) fold with the same
+    doubles (repr round-trips exactly), so evaluation — and every
+    pinned digest downstream — is bit-identical."""
+    c = f"`{vec_col}`"
+    terms = ",".join(
+        f"aggregate(zip_with({c},{_sql_double_array(row)},"
+        f"(x,y)->(x-y)*(x-y)),0.0D,(acc,x)->acc+x)"
+        for row in cents
+    )
+    return F.expr(f"array({terms})")
 
 
 def _dist_chunks(
@@ -100,7 +114,7 @@ def with_nearest_cell(
         else not vectorized
     )
     if use_literal:
-        staged = df.withColumn("_d", _dist_arr(F.col(vec_col), cents))
+        staged = df.withColumn("_d", _dist_arr(vec_col, cents))
         return staged.withColumn(
             out_col,
             F.array_position(F.col("_d"), F.array_min(F.col("_d"))),
@@ -311,7 +325,7 @@ def with_probe_cells(
     if len(cents) <= LITERAL_MAX_CENTROIDS:
         ranked = F.array_sort(
             F.zip_with(
-                _dist_arr(F.col(vec_col), cents),
+                _dist_arr(vec_col, cents),
                 F.sequence(F.lit(1), F.lit(len(cents))),
                 lambda d, i: F.struct(d.alias("d"), i.cast("long").alias("cell")),
             )

@@ -87,6 +87,30 @@ def kmeans_centroids(
     # boxed Python floats.
     init_pdf = vecs.orderBy(*order).limit(k).select("_v").toPandas()
     cents = np.array(init_pdf["_v"].tolist(), dtype=np.float64)
+
+    # PHYSICAL-ONLY loop tuning (round 12 — the same scoped override
+    # train_logreg shipped in round 10, guide §2.2): each Lloyd update's
+    # exchange carries ≤ k×dim partial-sum rows per input partition, so
+    # 32 reduce tasks and a per-round AQE re-plan are pure scheduling
+    # tax × n_iter. Values are bit-identical under any partitioning —
+    # the update sums are DECIMAL (exact, order-free) — and the driver
+    # loop is single-threaded (repo-wide assumption), so no concurrent
+    # plan sees the override. Confs are restored on exit.
+    conf = df.sparkSession.conf
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.shuffle.partitions", "1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _lloyd_loop(vecs, cents, n_iter, vectorized)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def _lloyd_loop(
+    vecs: DataFrame, cents: np.ndarray, n_iter: int, vectorized: bool | None
+) -> np.ndarray:
     from dmshadoop_spark.similarity.assign import with_nearest_cell
 
     for _ in range(n_iter):

@@ -5837,24 +5837,16 @@ def x37_jl_projection(spark, sf_dir):
     state; downstream ANN then scans 4× fewer dimensions. Output is one
     row per (vector, output dim) so the hash gate checks every
     coordinate."""
+    from dmshadoop_spark.similarity.jl import jl_project
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    cols = []
-    for k in range(JL_D_OUT):
-        signs = F.array(
-            *[F.lit(_jl_sign(i, k)) for i in range(JL_D_IN)]
-        )
-        proj = (
-            F.aggregate(
-                F.zip_with(F.col("v"), signs, lambda x, s: x * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            * F.lit(0.25)
-        )
-        cols.append(proj.alias(f"_p{k}"))
-    wide = emb.select("vec_id", F.array(*cols).alias("_ps"))
+    # one-expr construction (functions/sqllit.py note): same md5-sign
+    # matrix, same fold, same 0.25 = 16^-1/2 scale — bit-identical
+    wide = emb.select(
+        "vec_id", jl_project("v", JL_D_IN, JL_D_OUT).alias("_ps")
+    )
     return wide.select(
         "vec_id", F.posexplode("_ps").alias("dim_k", "proj")
     ).select("vec_id", F.col("dim_k").cast("long").alias("dim_k"), "proj")
@@ -5978,12 +5970,19 @@ def x38_bigram_lm_score(spark, sf_dir):
         )
         # Probabilities precomputed in Python: (c+1)/(u+V) is one IEEE
         # double division — identical to the oracle's and to the join
-        # path's JVM-side division of the same exact integers.
+        # path's JVM-side division of the same exact integers. The map
+        # literal is rendered as ONE SQL string through one F.expr call
+        # (functions/sqllit.py): the create_map(*2·|bigrams| F.lit
+        # Columns) form cost a py4j round trip per node — ~2 s of
+        # driver time at the 961-entry operating point — before any
+        # execution. Same keys (escaped exactly), same doubles.
+        from dmshadoop_spark.functions.sqllit import sql_double, sql_str
+
         pmap_items = []
         for (w1, w2), c in sorted(bc.items()):
-            pmap_items.append(F.lit(f"{w1}{_X38_KEY_SEP}{w2}"))
-            pmap_items.append(F.lit((c + 1.0) / (uc[w1] + float(vocab))))
-        pmap = F.create_map(*pmap_items)
+            pmap_items.append(sql_str(f"{w1}{_X38_KEY_SEP}{w2}"))
+            pmap_items.append(sql_double((c + 1.0) / (uc[w1] + float(vocab))))
+        pmap = F.expr(f"map({','.join(pmap_items)})")
         probs = F.transform(
             bgs,
             lambda b: F.element_at(

@@ -44,23 +44,27 @@ def jl_sign(i: int, k: int) -> float:
     return 1.0 if "0123456789abcdef".index(h[0]) % 2 == 0 else -1.0
 
 
-def jl_project(vec: Column, d_in: int = 64, d_out: int = 16) -> Column:
-    """array<double> of the d_out JL projections of a d_in-dim vector —
-    matrix as plan literals, one scan-local left fold per output dim,
-    scaled by 1/sqrt(d_out)."""
-    scale = F.lit(d_out**-0.5)
-    cols = []
-    for k in range(d_out):
-        signs = F.array(*[F.lit(jl_sign(i, k)) for i in range(d_in)])
-        cols.append(
-            F.aggregate(
-                F.zip_with(vec, signs, lambda x, s: x * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            * scale
-        )
-    return F.array(*cols)
+def jl_project(vec_col: str, d_in: int = 64, d_out: int = 16) -> Column:
+    """array<double> of the d_out JL projections of a d_in-dim vector
+    column (by NAME) — matrix as plan literals, one scan-local left
+    fold per output dim, scaled by 1/sqrt(d_out).
+
+    Rendered as ONE SQL string through one ``F.expr`` call (round 12 —
+    functions/sqllit.py): the per-element ``F.lit`` form cost
+    d_in×d_out py4j round trips (~1 s of driver time per call for the
+    64×16 default) before any execution. Same fold tree, same doubles
+    (repr round-trips exactly) — projections bit-identical."""
+    from dmshadoop_spark.functions.sqllit import sql_double, sql_double_array
+
+    c = f"`{vec_col}`"
+    scale = sql_double(d_out**-0.5)
+    terms = ",".join(
+        f"(aggregate(zip_with({c},"
+        f"{sql_double_array(jl_sign(i, k) for i in range(d_in))},"
+        f"(x,s)->x*s),0.0D,(acc,x)->acc+x)) * {scale}"
+        for k in range(d_out)
+    )
+    return F.expr(f"array({terms})")
 
 
 def jl_sq8_index(
@@ -123,8 +127,8 @@ def jl_sq8_index(
     else:
         proj = corpus.select(
             F.col(id_col).alias("neighbor_id"),
-            jl_project(as_double(vec_col), d_in, d_out).alias("p"),
-        )
+            as_double(vec_col).alias("_v"),
+        ).select("neighbor_id", jl_project("_v", d_in, d_out).alias("p"))
     coded = with_sq8(proj, "p").drop("p")
     return stabilize(coded) if checkpoint else coded
 
@@ -218,7 +222,7 @@ def jl_sq8_knn(
         .select(
             query_id_col,
             "_qfull",
-            jl_project(F.col("_qfull"), d_in, d_out).alias("_qp"),
+            jl_project("_qfull", d_in, d_out).alias("_qp"),
         )
         .transform(stabilize)
     )

@@ -82,22 +82,29 @@ def brute_force_knn(
     return _rank_topk(scored, query_id_col, k)
 
 
-def _bucket_expr(vec, planes: np.ndarray):
-    """Sign-pattern bucket id over a **materialized** double-array column:
-    bit i = (v · plane_i) >= 0."""
-    v = F.col(vec) if isinstance(vec, str) else vec
-    bits = []
-    for i, plane in enumerate(planes):
-        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
-        bits.append(
-            F.when(dot(v, plane_lit) >= 0, F.lit(1 << i)).otherwise(
-                F.lit(0)
-            )
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+def _sql_dot(vec_col: str, row) -> str:
+    """SQL text of the repo's left-fold dot product against a literal
+    vector (functions/vectors.dot's exact tree — one expr() py4j call
+    instead of one per element; see functions/sqllit.py)."""
+    from dmshadoop_spark.functions.sqllit import sql_double_array
+
+    return (
+        f"aggregate(zip_with(`{vec_col}`,{sql_double_array(row)},"
+        f"(x,y)->x*y),0.0D,(acc,x)->acc+x)"
+    )
+
+
+def _bucket_expr(vec_col: str, planes: np.ndarray):
+    """Sign-pattern bucket id over a **materialized** double-array column
+    (by NAME): bit i = (v · plane_i) >= 0. Rendered as one SQL string —
+    the per-element F.lit form cost planes×dim py4j round trips per
+    call. Same fold, same comparisons, bit-identical buckets."""
+    terms = " + ".join(
+        f"(CASE WHEN ({_sql_dot(vec_col, plane)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
 
 
 def lsh_knn(
@@ -149,19 +156,14 @@ def lsh_knn(
     if nprobe > 1:
         # margins: |v·plane_i| per plane, ranked ascending — flipping the
         # lowest-margin bit probes the most plausible neighboring bucket
-        margins = F.array(
-            *[
-                F.struct(
-                    F.abs(
-                        dot(
-                            F.col("_qv"),
-                            F.array(*[F.lit(float(x)) for x in plane]),
-                        )
-                    ).alias("m"),
-                    F.lit(1 << i).cast("long").alias("bit"),
-                )
+        margins = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('m',abs({_sql_dot('_qv', plane)}),"
+                f"'bit',CAST({1 << i} AS BIGINT))"
                 for i, plane in enumerate(hyperplanes)
-            ]
+            )
+            + ")"
         )
         flips = F.slice(
             F.transform(F.array_sort(margins), lambda s: s["bit"]),

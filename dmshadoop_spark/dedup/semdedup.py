@@ -568,7 +568,12 @@ def semdedup(
     )
     from dmshadoop_spark.similarity.kmeans import kmeans_centroids
 
-    base = emb.select(
+    from dmshadoop_spark.catalog import widen
+
+    # widen(): the full-corpus assignment fold and the pair staging are
+    # scan-local CPU work — on the single-file test scan they would run
+    # on one core (no-op at scale — catalog.widen docstring)
+    base = widen(emb).select(
         F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
     ).withColumn("_nv", F.sqrt(norm_sq(F.col("_v"))))
 

@@ -51,7 +51,12 @@ def hashed_features(
     token RELATIVE frequencies (bucket = xxhash64(token) mod dim; each
     count divided by the document's token count, so weights are
     length-invariant)."""
-    toks = docs.select(
+    from dmshadoop_spark.catalog import widen
+
+    # widen() before the explode/groupBy pipeline: a one-file scan would
+    # otherwise run the whole tokenize+explode map on one core (no-op at
+    # scale — catalog.widen docstring)
+    toks = widen(docs).select(
         F.col(id_col).alias("_id"), tokenize(text_col).alias("_toks")
     ).select("_id", F.size("_toks").alias("_n"), F.explode("_toks").alias("_t"))
     counts = (

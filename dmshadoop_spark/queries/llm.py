@@ -5742,6 +5742,17 @@ def x36_quality_classifier(spark, sf_dir):
     feat, _mu, _sd = standardize(
         raw, "x", dim=64, stats_on=raw.filter(F.col("split") == "train")
     )
+    # The 12 GD scans + scoring + the accuracy aggregate all read this
+    # checkpoint; at test SFs AQE coalesces the tiny feature build to ONE
+    # partition, so every loop iteration's map ran single-threaded
+    # (round 12, guide §2.6 idle-capacity). Rebalance to cluster width
+    # before materializing — a no-op guard at scale, where the matrix
+    # already carries ≥ parallelism partitions. Hash on doc_id
+    # (deterministic under retries); values are partitioning-free
+    # (DECIMAL sums, sorted digest).
+    dp = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < dp:
+        feat = feat.repartition(dp, "doc_id")
     feat = stabilize(feat)
     train = feat.filter(F.col("split") == "train")
     weights, bias = train_logreg(train, "y", "x", dim=64, n_iter=12, lr=4.0)
@@ -5922,7 +5933,12 @@ def x38_bigram_lm_score(spark, sf_dir):
     The probability itself is one IEEE double division of exactly
     representable integer counts in either path (and in the oracle), so
     the value hash is path-independent by construction."""
-    docs = load_table(spark, sf_dir, "documents")
+    from dmshadoop_spark.catalog import widen
+
+    # widen(): the bigram explode, the vocab distinct, and the final
+    # scan-local scoring fold otherwise all run on the single-file
+    # scan's one partition (no-op at scale — catalog.widen docstring)
+    docs = widen(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", tokenize("text").alias("t")
     ).withColumn("n", F.size("t"))

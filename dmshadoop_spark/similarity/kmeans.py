@@ -67,6 +67,12 @@ def kmeans_centroids(
     vecs = df.select(
         *( [F.col(id_col)] if id_col else [] ), as_double(vec_col).alias("_v")
     )
+    # widen() so the n_iter assignment scans don't run on one core when
+    # the source is a single small file (catalog.widen: no-op at scale,
+    # where the scan already yields >= parallelism splits)
+    from dmshadoop_spark.catalog import widen
+
+    vecs = widen(vecs)
     if train_sample is not None and train_sample > 0:
         from dmshadoop_spark.functions.checkpoint import stabilize
 

@@ -93,6 +93,23 @@ def kmeans_centroids(
     # boxed Python floats.
     init_pdf = vecs.orderBy(*order).limit(k).select("_v").toPandas()
     cents = np.array(init_pdf["_v"].tolist(), dtype=np.float64)
+    if n_iter > 0:
+        from dmshadoop_spark.functions.checkpoint import stabilize
+
+        # Materialize the loop input once and rebalance when it comes
+        # back under-parallel (round 12, guide §2.6): widen() abstains
+        # on checkpoint-derived frames (PQ subspace slices, bounded
+        # train samples), whose single partition ran every interpreted
+        # assignment fold on ONE core — at k=256 that was ~1 s/round ×
+        # m subspaces in the PQ trainer. The loop was already going to
+        # scan these vectors n_iter times; the checkpoint holds ONLY
+        # the vector column, and the guard no-ops at scale where the
+        # frame is already wide. Values are partitioning-free (DECIMAL
+        # update sums).
+        vecs = stabilize(vecs.select("_v"))
+        dp = df.sparkSession.sparkContext.defaultParallelism
+        if vecs.rdd.getNumPartitions() < dp:
+            vecs = stabilize(vecs.repartition(dp))
 
     # PHYSICAL-ONLY loop tuning (round 12 — the same scoped override
     # train_logreg shipped in round 10, guide §2.2): each Lloyd update's

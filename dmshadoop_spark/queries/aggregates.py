@@ -125,7 +125,15 @@ def a6_q1_pricing_summary(spark, sf_dir):
     """Multi-key hash aggregate — the flagship TPC-H-Q1-shaped pricing
     summary. HashAggregateExec does partial→shuffle→final automatically; the
     shuffle carries only (2 keys × ~4 groups) of decimal partials."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from dmshadoop_spark.catalog import widen
+
+    # widen(): the single-row-group test file gives the scan ONE split,
+    # so the six decimal partial sums over 600k rows ran on one core;
+    # the round-robin exchange costs less than the serial aggregation
+    # (measured 1.49 → 1.06 s at sf0.1) and is a no-op at scale
+    # (catalog.widen docstring). Decimal sums are order-free — values
+    # identical on any partitioning.
+    li = widen(load_table(spark, sf_dir, "lineitem"))
     cutoff = F.lit("2000-09-02 00:00:00").cast(li.schema["l_shipdate"].dataType)
     disc = F.lit(1) - dec4("l_discount")
     charge = dec2("l_extendedprice") * disc * (F.lit(1) + dec4("l_tax"))

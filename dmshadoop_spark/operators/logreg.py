@@ -14,10 +14,12 @@ and PageRank (operators/pagerank.py):
     reuses it (no re-scan of text).
   * ITERATE  — full-batch gradient descent. The margin is a per-row
     zip_with/aggregate fold against the weight vector riding the plan as
-    literals (scan-local, whole-stage-friendly); the gradient is a
-    posexplode → groupBy(pos) partial-aggregated sum, so the exchange
-    carries ≤ dim × partitions rows per iteration regardless of corpus
-    size. Driver state is ``dim + 1`` doubles.
+    literals (scan-local; rendered as ONE SQL string per iteration —
+    see _margin); the gradient explodes the feature array (plus a 1.0
+    bias slot) and multiplies r·x_i per emitted row in codegen, then
+    groupBy(pos) partial-aggregates, so the exchange carries ≤ dim ×
+    partitions rows per iteration regardless of corpus size. Driver
+    state is ``dim + 1`` doubles.
   * DETERMINISM — gradient components are summed in DECIMAL(38, 18)
     (exact, order-independent) and only cast back to double once per
     iteration, so training produces bit-identical weights on any

@@ -192,6 +192,21 @@ def main() -> None:
                     "load_avg": [round(x, 2) for x in os.getloadavg()],
                     "load_avg_start": round(load_start, 2),
                     "n_cpus": os.cpu_count(),
+                    # Round-13 (r12 verdict task 2): PROVE the core-count
+                    # contract from the artifact itself. os.cpu_count()
+                    # is the host's cores; these two are what the JVM
+                    # actually RUNS with — the resolved master string and
+                    # the scheduler's defaultParallelism — so a
+                    # $SPARK_GRAFT_CPUS=8 run is distinguishable from a
+                    # 32-core run even when fixed per-query costs make
+                    # the timings similar.
+                    "spark_master": spark.sparkContext.master,
+                    "default_parallelism": (
+                        spark.sparkContext.defaultParallelism
+                    ),
+                    "spark_graft_cpus": os.environ.get(
+                        "SPARK_GRAFT_CPUS"
+                    ),
                 },
                 # Mechanical noise classification (round-6 verdict task 5):
                 # "idle" iff the 1-min load was under n_cpus/8 both when
@@ -213,7 +228,10 @@ def main() -> None:
                 # medians/bands are the cross-round noise reference.
                 "protocol": "warm_at_sf+best_of_3+median_of_5",
             }
-        )
+        ),
+        flush=True,  # the ONE contract line lands before interpreter
+        # teardown / Spark shutdown can interleave anything (the r11
+        # bench JSON reached the driver unparseable with rc=0)
     )
     spark.stop()
 

@@ -139,9 +139,9 @@ def standardize(
     return out, mu, sd
 
 
-def _sql_double(x: float) -> str:
-    """A SQL double literal that parses back to exactly ``x``."""
-    return f"{float(x)!r}D"
+# one canonical renderer (round-13: the private copy lacked the
+# non-finite guard — see functions/sqllit.sql_double)
+from dmshadoop_spark.functions.sqllit import sql_double as _sql_double
 
 
 def _margin(x_col: str, weights: list[float], bias: float):

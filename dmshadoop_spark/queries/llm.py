@@ -5992,8 +5992,16 @@ def x38_bigram_lm_score(spark, sf_dir):
         # Columns) form cost a py4j round trip per node — ~2 s of
         # driver time at the 961-entry operating point — before any
         # execution. Same keys (escaped exactly), same doubles.
-        from dmshadoop_spark.functions.sqllit import sql_double, sql_str
+        from dmshadoop_spark.functions.sqllit import (
+            assert_escaped_literals_off,
+            sql_double,
+            sql_str,
+        )
 
+        # one conf check per rendered map (round-12 advice): under
+        # escapedStringLiterals=true the rendered keys would silently
+        # change value — fail loudly instead
+        assert_escaped_literals_off(toks.sparkSession)
         pmap_items = []
         for (w1, w2), c in sorted(bc.items()):
             pmap_items.append(sql_str(f"{w1}{_X38_KEY_SEP}{w2}"))

@@ -35,15 +35,12 @@ LITERAL_MAX_CENTROIDS = 256
 _MAX_DIST_CELLS = 4_000_000
 
 
-def _sql_double(x: float) -> str:
-    """A SQL double literal that parses back to exactly ``x`` (repr is
-    the shortest round-trip form; the D suffix keeps the parser in
-    double, never decimal)."""
-    return f"{float(x)!r}D"
-
-
-def _sql_double_array(row) -> str:
-    return "array(" + ",".join(_sql_double(x) for x in row) + ")"
+# one canonical renderer (round-13: the private copies drifted from the
+# shared one on the non-finite guard — see functions/sqllit.sql_double)
+from dmshadoop_spark.functions.sqllit import (  # noqa: E402
+    sql_double as _sql_double,
+    sql_double_array as _sql_double_array,
+)
 
 
 def _dist_arr(vec_col: str, cents: np.ndarray) -> Column:
@@ -65,10 +62,21 @@ def _dist_arr(vec_col: str, cents: np.ndarray) -> Column:
     0.88 s analysis / 0.74 s full round vs 1.61, distances
     bit-identical — same zip_with/aggregate fold per cell, same
     evaluation order over the same doubles)."""
+    # lambda variables named to be collision-proof (round-12 advice):
+    # backticks do NOT prevent lambda-variable capture, so a vector
+    # column literally named `c`/`x`/`acc` would be shadowed inside the
+    # lambda body (zip_with(c, c, ...) computes all-zero distances and
+    # silently assigns every row to cell 1). `__` names cannot collide:
+    # with_nearest_cell/with_probe_cells reject them up front.
+    if vec_col.startswith("__"):
+        raise ValueError(
+            f"vec_col {vec_col!r}: '__'-prefixed names are reserved for "
+            "the rendered lambda variables"
+        )
     mat = "array(" + ",".join(_sql_double_array(row) for row in cents) + ")"
     return F.expr(
-        f"transform({mat}, c -> aggregate(zip_with(`{vec_col}`, c,"
-        f"(x,y)->(x-y)*(x-y)), 0.0D, (acc,x)->acc+x))"
+        f"transform({mat}, __cent -> aggregate(zip_with(`{vec_col}`, __cent,"
+        f"(__x,__y)->(__x-__y)*(__x-__y)), 0.0D, (__acc,__x)->__acc+__x))"
     )
 
 

@@ -161,3 +161,68 @@ def test_auto_buckets_law(spark):
 
     assert _auto_buckets(_Boom()) == _OCC_BUCKETS
     assert _OCC_AUTO_BUCKET_MAX & (_OCC_AUTO_BUCKET_MAX - 1) == 0
+
+
+def test_sql_double_nonfinite_round_trip(spark):
+    """Round-13 (r12 verdict task 5 / advice): non-finite doubles must
+    render to parseable SQL that evaluates back to the same value —
+    the repr branch emitted 'infD'/'nanD', a ParseException at
+    expression-build time (a diverging GD weight or NaN centroid would
+    crash mid-loop)."""
+    from dmshadoop_spark.functions.sqllit import sql_double
+
+    cases = [float("inf"), float("-inf"), float("nan")]
+    exprs = [F.expr(sql_double(x)).alias(f"e{i}") for i, x in enumerate(cases)]
+    lits = [F.lit(x).alias(f"l{i}") for i, x in enumerate(cases)]
+    row = spark.range(1).select(*exprs, *lits).collect()[0]
+    for i, x in enumerate(cases):
+        got, ref = row[f"e{i}"], row[f"l{i}"]
+        assert got == ref or (got != got and ref != ref), (i, x, got, ref)
+    # and inside an array context (how _dist_arr / _margin embed them)
+    arr = spark.range(1).select(
+        F.expr(
+            "array(" + ",".join(sql_double(x) for x in cases) + ")"
+        ).alias("a")
+    ).collect()[0]["a"]
+    assert arr[0] == float("inf") and arr[1] == float("-inf")
+    assert arr[2] != arr[2]
+
+
+def test_assert_escaped_literals_off(spark):
+    """sql_str's escapes are only live under the default parser mode;
+    the assert must fire under escapedStringLiterals=true (silent key
+    corruption otherwise) and pass under the default."""
+    from dmshadoop_spark.functions.sqllit import (
+        assert_escaped_literals_off,
+    )
+
+    assert_escaped_literals_off(spark)  # default mode: no-op
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        with pytest.raises(ValueError, match="escapedStringLiterals"):
+            assert_escaped_literals_off(spark)
+    finally:
+        spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+
+
+def test_dist_arr_rejects_reserved_vec_col(spark):
+    """Backticks do not prevent lambda-variable capture: a vector column
+    named like a rendered lambda variable would be silently shadowed
+    (all-zero distances). The renderer uses __-prefixed variables and
+    refuses __-prefixed column names."""
+    from dmshadoop_spark.similarity.assign import _dist_arr, with_nearest_cell
+
+    cents = np.ones((2, 3))
+    with pytest.raises(ValueError, match="reserved"):
+        _dist_arr("__cent", cents)
+    # a column named plain 'c' (the OLD lambda variable) must now work
+    df = spark.createDataFrame(
+        [([0.9, 1.0, 1.1],), ([5.0, 5.0, 5.0],)], "c array<double>"
+    )
+    got = [
+        r["cell"]
+        for r in with_nearest_cell(df, "c", np.array([[1.0, 1.0, 1.0], [5.0, 5.0, 5.0]]))
+        .select("cell")
+        .collect()
+    ]
+    assert got == [1, 2]

@@ -162,8 +162,33 @@ def _strip_stats(df: DataFrame) -> DataFrame:
     # preserved verbatim.
     jdf = df._jdf.toDF()
     spark = df.sparkSession
-    fresh = spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema())
-    return DataFrame(fresh, spark)
+    jrdd = jdf.javaRDD()
+    fresh = spark._jsparkSession.createDataFrame(jrdd, jdf.schema())
+    out = DataFrame(fresh, spark)
+    # Partition count of the materialized blocks, captured while the
+    # JVM RDD object is in hand (round-13, r12 verdict task 6): callers
+    # used to ask `df.rdd.getNumPartitions()` afterwards, which builds a
+    # PYTHON-serialized RDD plan — one full extra analysis/planning pass
+    # per k-means/logreg call, the exact cost _estimated_scan_splits was
+    # written to avoid. getNumPartitions() here is one direct method
+    # call on an existing RDD. Read it via materialized_partitions().
+    out._ckpt_partitions = int(jrdd.getNumPartitions())
+    return out
+
+
+def materialized_partitions(df: DataFrame, default: int | None = None) -> int:
+    """Partition count of a ``stabilize``d frame, read from the count
+    captured at checkpoint time — zero planning work. For frames that
+    did not come out of ``stabilize`` (or are projections/filters of
+    one, which lose the Python-side attribute), returns ``default``
+    when given, else falls back to the ``df.rdd`` probe (one extra
+    analysis/planning pass — the cost this accessor exists to avoid)."""
+    n = getattr(df, "_ckpt_partitions", None)
+    if n is not None:
+        return int(n)
+    if default is not None:
+        return int(default)
+    return df.rdd.getNumPartitions()
 
 
 def stabilize(
@@ -220,5 +245,12 @@ def stabilize(
                 # runtime from actual sizes
                 est = thr + 1
             if est <= thr:
-                out = broadcast(out)
+                hinted = broadcast(out)
+                # the hint wrapper is a new DataFrame object — carry the
+                # checkpoint partition count across for
+                # materialized_partitions()
+                hinted._ckpt_partitions = getattr(
+                    out, "_ckpt_partitions", None
+                )
+                out = hinted
     return out

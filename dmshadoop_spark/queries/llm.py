@@ -4727,22 +4727,37 @@ def x5_pq_recall(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    variants = {
-        "hits_pq": pq_knn(
+    # The four variants are independent training pipelines whose
+    # codebook/coarse trainings are driver-synchronized Lloyd loops —
+    # built sequentially, the cluster idles through every loop's
+    # plan/collect turnaround ×4. Construct them from a small thread
+    # pool (guide §2.6 overlap; safe since round 13 made the Lloyd loop
+    # conf-free). Each variant's result is self-contained and
+    # deterministic, so the dict contents — and the digest — are
+    # unchanged; only wall-clock overlaps. Measured (cold, sf0.01):
+    # lane 99 s (r12) → 51 s (pooled subspaces) → see OPTIMIZATION_r13
+    # for the post-variant-pool number.
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = {
+        "hits_pq": lambda: pq_knn(
             emb, queries_df, k=5, m=8, nbits=4, rerank=4, train_iters=2
         ),
-        "hits_ivfpq": ivfpq_knn(
+        "hits_ivfpq": lambda: ivfpq_knn(
             emb, queries_df, k=5, n_centroids=16, nprobe=4, m=8, nbits=4,
             rerank=4,
         ),
-        "hits_pq8": pq_knn(
+        "hits_pq8": lambda: pq_knn(
             emb, queries_df, k=5, m=8, nbits=8, rerank=4, train_iters=2
         ),
-        "hits_ivfpq8": ivfpq_knn(
+        "hits_ivfpq8": lambda: ivfpq_knn(
             emb, queries_df, k=5, n_centroids=16, nprobe=8, m=8, nbits=8,
             rerank=4, coarse_iters=4,
         ),
     }
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {n: pool.submit(b) for n, b in builders.items()}
+        variants = {n: f.result() for n, f in futs.items()}
     out = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     for name, got in variants.items():
         out = out.join(hits(got, name), "query_id", "left")
@@ -5750,8 +5765,12 @@ def x36_quality_classifier(spark, sf_dir):
     # already carries ≥ parallelism partitions. Hash on doc_id
     # (deterministic under retries); values are partitioning-free
     # (DECIMAL sums, sorted digest).
+    # partition count from the checkpoint capture (round 13 — the
+    # df.rdd probe forced one extra analysis/planning pass per call)
+    from dmshadoop_spark.functions.checkpoint import materialized_partitions
+
     dp = spark.sparkContext.defaultParallelism
-    if raw.rdd.getNumPartitions() < dp:
+    if materialized_partitions(raw) < dp:
         feat = feat.repartition(dp, "doc_id")
     feat = stabilize(feat)
     train = feat.filter(F.col("split") == "train")

@@ -86,6 +86,41 @@ def kmeans_centroids(
         # one global sort-limit (TakeOrderedAndProject), materialized so
         # the n_iter Lloyd passes scan the bounded sample, not the corpus
         vecs = stabilize(vecs.orderBy(*order).limit(train_sample))
+    elif n_iter > 0:
+        # Materialize the loop input once and rebalance when it comes
+        # back under-parallel (round 12, guide §2.6): widen() abstains
+        # on checkpoint-derived frames (PQ subspace slices), whose
+        # single partition ran every interpreted assignment fold on ONE
+        # core — at k=256 that was ~1 s/round × m subspaces in the PQ
+        # trainer. GATED on the widen split estimate (round-13, r12
+        # advice): when the source already yields ≥ parallelism scan
+        # splits — the 100 TB case — the loop RE-SCANS the column-pruned
+        # source n_iter times instead of pinning a corpus-sized vector
+        # column in executor storage (the SCALE.md x39 accumulation
+        # class). When the estimator abstains (None: in-memory/UDF-
+        # derived lineage, e.g. IVF-PQ residual slices) or the source is
+        # small, the checkpoint is bounded by construction and saves
+        # n_iter re-executions of the upstream lineage. Values are
+        # partitioning-free (DECIMAL update sums) either way.
+        # Materialization happens BEFORE the init collect (round 13):
+        # the init's global sort-limit is a full pass over the same
+        # lineage, so ordering it after the checkpoint saves one
+        # upstream execution per training — ×34 trainings in the PQ
+        # recall lane. Same rows feed the same seeded order; the
+        # checkpoint keeps the id column exactly so the init's
+        # id-ordered variant still resolves.
+        from dmshadoop_spark.catalog import _estimated_scan_splits
+        from dmshadoop_spark.functions.checkpoint import (
+            materialized_partitions,
+            stabilize,
+        )
+
+        dp = df.sparkSession.sparkContext.defaultParallelism
+        splits = _estimated_scan_splits(vecs)
+        if splits is None or splits < dp:
+            vecs = stabilize(vecs)
+            if materialized_partitions(vecs) < dp:
+                vecs = stabilize(vecs.repartition(dp))
     # Arrow collect (round-10: no O(k·dim) Row objects on the driver —
     # the same footprint fix as components' union-find route): the init
     # prefix and each Lloyd update land as numpy columns; driver state
@@ -93,42 +128,55 @@ def kmeans_centroids(
     # boxed Python floats.
     init_pdf = vecs.orderBy(*order).limit(k).select("_v").toPandas()
     cents = np.array(init_pdf["_v"].tolist(), dtype=np.float64)
-    if n_iter > 0:
-        from dmshadoop_spark.functions.checkpoint import stabilize
+    if train_sample is not None and train_sample > 0 and n_iter > 0:
+        # bounded train sample: already stabilized above; rebalance the
+        # (typically single-partition) sort-limit result so the n_iter
+        # assignment scans use the cluster. Partition count comes from
+        # the checkpoint capture — no df.rdd planning pass.
+        from dmshadoop_spark.functions.checkpoint import (
+            materialized_partitions,
+            stabilize,
+        )
 
-        # Materialize the loop input once and rebalance when it comes
-        # back under-parallel (round 12, guide §2.6): widen() abstains
-        # on checkpoint-derived frames (PQ subspace slices, bounded
-        # train samples), whose single partition ran every interpreted
-        # assignment fold on ONE core — at k=256 that was ~1 s/round ×
-        # m subspaces in the PQ trainer. The loop was already going to
-        # scan these vectors n_iter times; the checkpoint holds ONLY
-        # the vector column, and the guard no-ops at scale where the
-        # frame is already wide. Values are partitioning-free (DECIMAL
-        # update sums).
-        vecs = stabilize(vecs.select("_v"))
         dp = df.sparkSession.sparkContext.defaultParallelism
-        if vecs.rdd.getNumPartitions() < dp:
-            vecs = stabilize(vecs.repartition(dp))
+        if materialized_partitions(vecs) < dp:
+            vecs = stabilize(vecs.select("_v").repartition(dp))
 
-    # PHYSICAL-ONLY loop tuning (round 12 — the same scoped override
-    # train_logreg shipped in round 10, guide §2.2): each Lloyd update's
-    # exchange carries ≤ k×dim partial-sum rows per input partition, so
-    # 32 reduce tasks and a per-round AQE re-plan are pure scheduling
-    # tax × n_iter. Values are bit-identical under any partitioning —
-    # the update sums are DECIMAL (exact, order-free) — and the driver
-    # loop is single-threaded (repo-wide assumption), so no concurrent
-    # plan sees the override. Confs are restored on exit.
-    conf = df.sparkSession.conf
-    old_parts = conf.get("spark.sql.shuffle.partitions")
-    old_aqe = conf.get("spark.sql.adaptive.enabled")
-    conf.set("spark.sql.shuffle.partitions", "1")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return _lloyd_loop(vecs, cents, n_iter, vectorized)
-    finally:
-        conf.set("spark.sql.shuffle.partitions", old_parts)
-        conf.set("spark.sql.adaptive.enabled", old_aqe)
+    # Loop physical shape (round 13 — r12 verdict "what's wrong" #2):
+    # the former session-global override (shuffle.partitions=1 + AQE
+    # off, restored on exit) assumed a single-threaded driver — the
+    # stated blocker for overlapping PQ subspace trainings — and pinned
+    # ONE reduce task regardless of k (the r12 advice scale concern:
+    # k×dim×partitions partial rows through one task). The loop now
+    # runs against a loop-tuned session CLONE
+    # (functions/loopsession.py): same pinned shape — a plain-AQE
+    # conf-free form was implemented and REVERTED after lane A/Bs
+    # showed the per-round AQE re-plan + wide-reduce tax (x36 +1.8 s,
+    # x35b +0.9 s) — but with zero shared-session mutation (concurrent
+    # trainings are safe: the clone's conf is write-once) and the
+    # reduce width scaled from the expected k×dim×partitions
+    # partial-row load instead of hard-pinned 1. Centroids are
+    # bit-identical under any of these shapes (DECIMAL update sums are
+    # order-free).
+    if n_iter > 0:
+        from dmshadoop_spark.functions.checkpoint import (
+            materialized_partitions,
+        )
+        from dmshadoop_spark.functions.loopsession import (
+            loop_frame,
+            loop_shuffle_partitions,
+        )
+
+        dim = int(cents.shape[1]) if cents.ndim == 2 and len(cents) else 1
+        n_parts = loop_shuffle_partitions(
+            k * dim,
+            materialized_partitions(
+                vecs,
+                default=df.sparkSession.sparkContext.defaultParallelism,
+            ),
+        )
+        vecs = loop_frame(vecs.select("_v"), n_parts)
+    return _lloyd_loop(vecs, cents, n_iter, vectorized)
 
 
 def _lloyd_loop(

